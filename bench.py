@@ -1,0 +1,80 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (forces complete
+execution of every operator without paying a write), after a small warmup
+that absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fordgobike_data_pipeline_spark import harness  # noqa: E402
+from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q_agg_daily_summary",
+    "q_join_role_playing",
+    "q_join_inner",
+    "q_agg_routes",
+    "q_topk_routes",
+    "q_join_full_outer",
+    "q_distinct_on",
+    "q_window_rownum",
+    "q_nearest_neighbor",
+    "q_window_time_bucket",
+    "q_union_distinct",
+    "q_anti_join",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
+
+    spark = get_spark(app_name="fordgobike-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = harness.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warmup: run the flagship once to absorb JVM + codegen startup
+    materialize(queries["q_agg_daily_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

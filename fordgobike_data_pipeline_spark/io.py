@@ -1,0 +1,126 @@
+"""Readers / writers / incremental state.
+
+Replaces the reference's storage lifecycle (SURVEY.md §2.10):
+* Postgres `COPY FROM STDIN` bulk load  → vectorized Parquet append.
+* `loaded_to_silver` row flag           → batch high-water mark
+  (`init_db.py:86-87`, `silver_load.sql:219,273-275`).
+* `REFRESH MATERIALIZED VIEW`           → atomic overwrite publish
+  (`gold_ddl.sql:201-244`).
+* transactional multi-step ETL          → idempotent per-table publish
+  (`silver_load.sql:285-308`).
+
+Scale notes: all writes are plain DataFrame writes (Tungsten/Parquet);
+publish is write-temp-then-swap so readers never see partial output; the
+high-water mark is a tiny JSON sidecar, not a scan of the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Read the driver testdata parquet tables.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst
+    for free; callers select/filter declaratively and the scan narrows.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+            # natively; read nanos as long and convert to a microsecond
+            # timestamp (integer div — exact, floor matches DuckDB's ns→µs
+            # truncation).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Atomic publish (replaces MV refresh + multi-table transaction, D4/S11)
+# ---------------------------------------------------------------------------
+
+
+def publish_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Write ``df`` to ``path`` atomically: write temp dir, then swap.
+
+    Readers either see the old table or the new one, never a partial
+    write — the Spark-native stand-in for `REFRESH MATERIALIZED VIEW`
+    (gold_ddl.sql:201-244) and the all-or-nothing silver transaction
+    (silver_load.sql:285-308). Idempotent: re-running overwrites again.
+    """
+    tmp = f"{path}._tmp_{int(time.time() * 1000)}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Append-only bronze write (stand-in for COPY, load_bronze.py:81-95)."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# High-water mark (replaces the loaded_to_silver boolean flag, D3)
+# ---------------------------------------------------------------------------
+
+
+class HighWaterMark:
+    """Tiny JSON sidecar tracking the last batch id consumed per stage.
+
+    The reference marks consumed bronze rows with
+    ``UPDATE ... SET loaded_to_silver = TRUE`` (silver_load.sql:273-275) —
+    an anti-pattern at 100 TB (rewrites the fact table every run). Here
+    bronze is partitioned by ``_batch_id`` and each downstream stage
+    remembers the highest batch it has consumed; incremental reads are
+    partition-pruned scans ``WHERE _batch_id > hwm``.
+    """
+
+    def __init__(self, state_dir: str):
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.state_dir, f"{stage}.hwm.json")
+
+    def get(self, stage: str) -> int:
+        p = self._path(stage)
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return json.load(f)["batch_id"]
+
+    def set(self, stage: str, batch_id: int) -> None:
+        tmp = self._path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "updated_utc": time.time()}, f)
+        os.replace(tmp, self._path(stage))
