@@ -1,0 +1,154 @@
+"""Pipeline runner — the DAG chain as one driver program.
+
+Replaces the reference's five Airflow DAGs (ddl → bronze → silver →
+gold → report, SURVEY §2.10 D6): each stage is a function over
+DataFrames; tables publish atomically (io.publish_overwrite) so a
+failed run leaves the previous version intact — the stand-in for the
+reference's single Postgres transaction (silver_load.sql:285-308).
+The run report (S10: Airflow REST scrape → email) becomes a metrics
+table the runner appends to.
+
+Incrementality: bronze is partitioned by ``_batch_id``; silver reads
+only batches above its high-water mark (partition-pruned scan), then
+advances the mark — replacing the UPDATE-every-row flag
+(silver_load.sql:273-275), which would rewrite the fact table each run
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import HighWaterMark, append, publish_overwrite
+from . import bronze as bronze_mod
+from . import gold as gold_mod
+from . import silver as silver_mod
+
+
+class Warehouse:
+    """Path layout for the three medallion namespaces."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, layer: str, table: str) -> str:
+        return os.path.join(self.root, layer, table)
+
+    def exists(self, layer: str, table: str) -> bool:
+        return os.path.exists(self.path(layer, table))
+
+    def read(self, spark: SparkSession, layer: str, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(layer, table))
+
+
+def ingest_bronze(
+    spark: SparkSession, wh: Warehouse, trips_raw: DataFrame, batch_id: int
+) -> None:
+    """Append one batch of raw trips (entry point 1, SURVEY §3)."""
+    df = bronze_mod.with_ingest_metadata(trips_raw, batch_id)
+    append(df, wh.path("bronze", "bike_trips"), partition_by=["_batch_id"])
+
+
+def load_locations(spark: SparkSession, wh: Warehouse, locations_geo: DataFrame) -> None:
+    """Publish the geocoded lookup (bronze.locations), conflict-skip on
+    (latitude, longitude) against any existing rows."""
+    path = wh.path("bronze", "locations")
+    existing = wh.read(spark, "bronze", "locations") if wh.exists("bronze", "locations") else None
+    merged = silver_mod.upsert_skip_conflict(existing, locations_geo, ["latitude", "longitude"])
+    publish_overwrite(merged, path)
+
+
+def build_silver(spark: SparkSession, wh: Warehouse) -> dict[str, int]:
+    """Entry point 2 (SURVEY §3): the five-step silver ETL, incremental
+    over un-consumed bronze batches."""
+    hwm = HighWaterMark(os.path.join(wh.root, "_state"))
+    mark = hwm.get("silver")
+    all_trips = wh.read(spark, "bronze", "bike_trips")
+    new_trips = all_trips.filter(F.col("_batch_id") > mark)
+    if new_trips.isEmpty():
+        return {"consumed_batches": 0}
+    geo = wh.read(spark, "bronze", "locations")
+
+    def merge(table: str, new: DataFrame, keys: list[str]) -> DataFrame:
+        existing = wh.read(spark, "silver", table) if wh.exists("silver", table) else None
+        return silver_mod.upsert_skip_conflict(existing, new, keys)
+
+    dim_locations = merge(
+        "dim_locations", silver_mod.build_dim_locations(new_trips, geo), ["location_id"]
+    )
+    publish_overwrite(dim_locations, wh.path("silver", "dim_locations"))
+
+    dim_user_types = merge(
+        "dim_user_types", silver_mod.build_dim_user_types(new_trips), ["user_type_id"]
+    )
+    publish_overwrite(dim_user_types, wh.path("silver", "dim_user_types"))
+
+    dim_date = merge("dim_date", silver_mod.build_dim_date(new_trips), ["date_id"])
+    publish_overwrite(dim_date, wh.path("silver", "dim_date"))
+
+    dim_loc_published = wh.read(spark, "silver", "dim_locations")
+    new_facts = silver_mod.build_fact_trips(new_trips, dim_loc_published)
+    # fact is append-only per batch, partitioned by start-date year for
+    # downstream partition pruning at scale
+    fact = new_facts.withColumn("p_year", (F.col("start_date_id") / 10000).cast("int"))
+    existing_fact = (
+        wh.read(spark, "silver", "fact_trips") if wh.exists("silver", "fact_trips") else None
+    )
+    merged_fact = fact if existing_fact is None else existing_fact.unionByName(fact)
+    publish_overwrite(merged_fact, wh.path("silver", "fact_trips"), partition_by=["p_year"])
+
+    max_batch = all_trips.agg(F.max("_batch_id")).first()[0]
+    hwm.set("silver", int(max_batch))
+    return {"consumed_batches": 1}
+
+
+def build_gold(spark: SparkSession, wh: Warehouse) -> None:
+    """Entry point 3 (SURVEY §3): recompute the four marts (independent
+    jobs) + the renaming views."""
+    fact = wh.read(spark, "silver", "fact_trips")
+    dim_locations = wh.read(spark, "silver", "dim_locations")
+    dim_user_types = wh.read(spark, "silver", "dim_user_types")
+    dim_date = wh.read(spark, "silver", "dim_date")
+
+    marts = {
+        "dm_daily_trip_summary": gold_mod.dm_daily_trip_summary(fact, dim_date),
+        "dm_station_popularity": gold_mod.dm_station_popularity(fact, dim_locations),
+        "dm_popular_routes": gold_mod.dm_popular_routes(fact, dim_locations),
+        "dm_user_behavior_summary": gold_mod.dm_user_behavior_summary(
+            fact, dim_user_types, dim_date
+        ),
+        "dim_locations_view": gold_mod.dim_locations_view(dim_locations),
+        "dim_user_types_view": gold_mod.dim_user_types_view(dim_user_types),
+        "dim_date_view": gold_mod.dim_date_view(dim_date),
+        "fact_trips_view": gold_mod.fact_trips_view(fact),
+    }
+    for name, df in marts.items():
+        publish_overwrite(df, wh.path("gold", name))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    wh: Warehouse,
+    trips_raw: DataFrame,
+    locations_geo: DataFrame,
+    batch_id: int,
+) -> dict:
+    """bronze → silver → gold for one batch, with a metrics row appended
+    per stage (replaces the email run-report, SURVEY §2.1 S9/S10)."""
+    metrics = []
+    for stage, fn in (
+        ("bronze", lambda: ingest_bronze(spark, wh, trips_raw, batch_id)),
+        ("locations", lambda: load_locations(spark, wh, locations_geo)),
+        ("silver", lambda: build_silver(spark, wh)),
+        ("gold", lambda: build_gold(spark, wh)),
+    ):
+        t0 = time.perf_counter()
+        fn()
+        metrics.append((batch_id, stage, round(time.perf_counter() - t0, 3)))
+    mdf = spark.createDataFrame(metrics, "batch_id INT, stage STRING, wall_sec DOUBLE")
+    append(mdf, wh.path("_state", "run_metrics"))
+    return {"batch_id": batch_id, "stages": [m[1] for m in metrics]}

@@ -1,0 +1,69 @@
+"""CSV landing-directory source.
+
+Replaces the reference's ingest chain (include/modules/get_data.py +
+include/sql/bronze/load_bronze.py):
+
+* S1/S2/S3 — bucket listing, download, unzip (get_data.py:29-90) stay
+  driver-side helpers (``discover_and_extract``): idempotent via the
+  landing/archive directory protocol (skip if archived).
+* S4 — the per-file pandas-style rewrite that appends a ``period``
+  column (load_bronze.py:48-71) becomes a single declarative scan:
+  ``period`` is derived from the *filename* with input_file_name(), so
+  one job reads every file — no per-file driver loop, which is the
+  difference between 3 files and 30,000 files at 100 TB.
+* header-driven column matching (load_bronze.py:77-87) maps to
+  header=True + explicit schema (names matched, order-independent).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TRIPS_RAW
+
+
+def discover_and_extract(raw_dir: str, extracted_dir: str, archive_dir: str) -> list[str]:
+    """Driver-side idempotent unzip/copy (get_data.py:40-90): files in
+    ``raw_dir`` are extracted/copied into ``extracted_dir`` then moved to
+    ``archive_dir``; already-archived names are skipped."""
+    os.makedirs(extracted_dir, exist_ok=True)
+    os.makedirs(archive_dir, exist_ok=True)
+    processed = []
+    for path in sorted(Path(raw_dir).glob("*")):
+        name = path.name
+        if os.path.exists(os.path.join(archive_dir, name)):
+            continue
+        if name.endswith(".csv"):
+            shutil.copyfile(path, os.path.join(extracted_dir, name))
+        elif name.endswith(".zip"):
+            with zipfile.ZipFile(path) as zf:
+                zf.extractall(extracted_dir)
+        else:
+            continue
+        shutil.move(str(path), os.path.join(archive_dir, name))
+        processed.append(name)
+    return processed
+
+
+def read_trips_csv(spark: SparkSession, extracted_dir: str) -> DataFrame:
+    """One declarative scan over every landed CSV with the explicit
+    bronze schema; ``period`` = filename prefix before the first '-'
+    (load_bronze.py:71: ``file_path.name.split("-")[0]``)."""
+    from pyspark.sql.types import StructType
+
+    fields = [f for f in TRIPS_RAW.fields if f.name != "period"]
+    df = spark.read.csv(
+        os.path.join(extracted_dir, "*.csv"),
+        header=True,
+        schema=StructType(fields),
+        timestampFormat="yyyy-MM-dd HH:mm:ss[.SSSS]",
+        mode="PERMISSIVE",
+    )
+    filename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return df.withColumn("period", F.element_at(F.split(filename, "-"), 1))
