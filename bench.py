@@ -37,6 +37,12 @@ HEADLINE = [
     "q_window_time_bucket",
     "q_union_distinct",
     "q_anti_join",
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_embed_cosine_pairs",
+    "q_ann_topk",
+    "q_text_stats",
+    "q_dedup_simhash",
 ]
 
 

@@ -55,11 +55,17 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _ensure_extensions_loaded() -> None:
+    from . import harness_scale  # noqa: F401  (registers its queries)
+
+
 def all_queries() -> dict[str, QueryFn]:
+    _ensure_extensions_loaded()
     return dict(_QUERIES)
 
 
 def all_oracle_sql() -> dict[str, str]:
+    _ensure_extensions_loaded()
     return dict(_ORACLE)
 
 

@@ -1,0 +1,277 @@
+"""Harness entries for the scale extensions (BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal plumbing — each a
+`queries()` key over the documents/embeddings testdata, oracle-checked
+where SQL-expressible (probabilistic/stub ops are rows-only, per the
+driver contract).
+
+Float-parity notes: DuckDB ``list_sum(list_transform(...))`` is a
+sequential left-fold in double, bit-identical to Spark's
+``aggregate(zip_with(...))`` — verified — so cosine values are rounded
+to 6dp on both sides and compared exactly. ``+ 0.0`` normalizes -0.0
+so struct-ordering matches SQL ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import query
+from .io import load_tables
+from .operators import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY content_hash
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per content hash."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.exact_dedup(docs, ["text"])
+
+
+@query(
+    "q_ngram_jaccard",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, unnest(range(greatest(len(toks) - 3, 0) + 1)) AS i, toks FROM w),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[(i+1):(i+3)], ' ') AS shingle FROM s),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE round(c / (sa.n + sb.n - c), 6) >= 0.8
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard near-dup pairs (inverted-index join)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = dedup.token_shingles(docs, k=3)
+    return dedup.exact_jaccard_pairs(sh, threshold=0.8)
+
+
+@query("q_dedup_minhash")  # probabilistic candidate generation → rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (64 hashes, 16 bands), exact-Jaccard
+    verified. Rows-only check; tests/test_dedup.py measures recall vs
+    the exact result."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_lsh_pairs(docs, k=3, threshold=0.8)
+
+
+@query("q_dedup_simhash")  # hash-family specific → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (16-bit chunk buckets, hamming
+    verify ≤8)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash_pairs(docs, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = """
+    list_sum(list_transform(range(64), i -> {a}.embedding[i+1]::DOUBLE * {b}.embedding[i+1]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(64), i -> {a}.embedding[i+1]::DOUBLE * {a}.embedding[i+1]::DOUBLE)))
+     * sqrt(list_sum(list_transform(range(64), i -> {b}.embedding[i+1]::DOUBLE * {b}.embedding[i+1]::DOUBLE))))
+"""
+
+
+@query(
+    "q_embed_cosine_pairs",
+    f"""
+    WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_COS.format(a='a', b='b')}, 6) + 0.0 AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: brute-force cosine ≥ 0.4 (the testdata
+    has no planted high-cosine dups — max ≈ 0.51 at sf0.01 — so the
+    threshold sits below the observed tail)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+@query(
+    "q_ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_COS.format(a='q', b='c')}, 6) + 0.0 AS sim
+        FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+    ),
+    r AS (
+        SELECT query_id, cand_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        FROM p
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, sim FROM r WHERE rank <= 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query (5 query vectors) via the
+    salted two-phase top-k aggregation."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@query("q_ann_lsh")  # approximate → rows-only; recall measured in tests
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB path): hyperplane
+    signature join, exact cosine within bucket only."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           round(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                 / len(string_split(text, ' ')), 6) AS mean_token_len,
+           round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                 / length(text), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc length/token/punctuation statistics."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = text.text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "mean_token_len",
+        "punct_ratio",
+    )
+
+
+@query(
+    "q_token_count",
+    r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens FROM documents",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.token_count_bpe_ish(docs)
+
+
+@query(
+    "q_text_quality",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS tok_chars,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(n_tok / 100.0, 1.0)
+               + 0.3 * (1.0 - least((n_punct / n_chars) * 5.0, 1.0))
+               + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6) AS quality
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-score pre-filter."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.quality_score(docs)
+
+
+@query("q_lang_id")  # heuristic with engine-specific internals → rows-only
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (en/es/fr/de/und)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.lang_id(docs)
+
+
+@query(
+    "q_doc_fingerprint",
+    r"SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata (mime/size/hash): the
+    metadata projection is oracle-checked; payloads stay opaque."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.attach_binary(docs)
+    return media.select(
+        "media_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.sha256").alias("sha256")
+    )
+
+
+@query(
+    "q_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1024 AS BIGINT) AS byte_offset
+    FROM documents,
+         unnest(range(least(octet_length(encode(text)) // 1024 + 1, 8))) AS t(i)
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-offset sampling plumbing: bounded relational fan-out per
+    media row (stub: offsets only, no codec in this container)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.attach_binary(docs)
+    return multimodal.sample_frames(media, every_n_bytes=1024, max_frames=8)
+
+
+@query("q_image_features")  # Python stub decoder → rows-only
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract (PIL if present, else the
+    deterministic stub): proves schema, batching, and partition sizing."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.repartition_for_media(multimodal.attach_binary(docs))
+    return multimodal.extract_image_features(media)

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale corpora (BASELINE.json north
+star: LLM-training-data pipeline ops, beyond the reference's surface).
+
+All pure DataFrame compositions — no Python in the hot path:
+* exact_dedup        — hash-groupBy, one shuffle.
+* token_shingles     — distinct token k-grams per doc (the unit for
+                       Jaccard / MinHash).
+* exact_jaccard_pairs— inverted-index self-join (exact, quadratic only
+                       within shared-shingle groups; hot-shingle cap
+                       bounds the blow-up).
+* minhash_lsh        — shingle→minhash signature→banded bucket join→
+                       exact-Jaccard verify; linear-ish at 100 TB.
+* simhash            — 64-bit simhash from token hashes, built
+                       relationally (explode bits, no UDF), candidate
+                       pairs via 16-bit chunk buckets + hamming verify.
+
+Design for 100 TB: every pairwise step goes through a bucket key
+(shingle, LSH band, simhash chunk) so candidate generation is a
+shuffle-join on that key, never an all-pairs product; frequency caps
+keep degenerate buckets bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """One surviving row (min id) per exact content hash; keeps the
+    duplicate count. Single hash-partitioned aggregation."""
+    key = F.md5(F.concat_ws("", *content_cols)).alias("content_hash")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def token_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct token k-grams per doc: (id_col, shingle). Short docs
+    (<k tokens) contribute their full token span as one shingle."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def exact_jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every pair sharing ≥1 shingle.
+
+    Inverted-index formulation: |A∩B| from a self-join on shingle,
+    |A∪B| = |A|+|B|−|A∩B|. ``max_shingle_freq`` drops shingles that
+    appear in more than N docs (stop-shingles) — the standard guard
+    against quadratic hot keys at corpus scale (a shingle in 1M docs
+    would otherwise emit 10^12 pairs).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = shingles.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature: per doc, min over shingles of ``n_hashes``
+    seeded xxhash64 values. One aggregation pass computes every hash
+    column (map-side combinable)."""
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(h))).alias(f"mh_{h}") for h in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+
+    shingle → signature → band hashes → bucket self-join (candidates) →
+    exact-Jaccard verification of candidates only. With 64 hashes in 16
+    bands of 4 rows, P(candidate | jaccard=0.8) ≈ 1−(1−0.8⁴)¹⁶ ≈ 0.9997;
+    the verify step removes false positives, so output ⊆ the exact
+    result with near-1 recall at the threshold.
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = token_shingles(docs, text_col, id_col, k)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact-Jaccard verification bounded to the candidate pairs only —
+    # the full inverted-index join would defeat the point of LSH at scale
+    return jaccard_for_pairs(sh, candidates, id_col, threshold)
+
+
+def jaccard_for_pairs(
+    shingles: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard for a given set of (id_a, id_b) pairs: work is
+    O(|pairs| × avg set size), independent of corpus pair count."""
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc, fully relational (no UDF).
+
+    token → xxhash64 → explode 64 bit positions → per (doc, bit) the
+    sign of Σ(±1) → reassemble the signature as a signed long (bit 63
+    contributes Long.MIN_VALUE to stay in two's complement).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    ).withColumn("th", F.xxhash64("token"))
+    bits = toks.select(
+        id_col,
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(th >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    bit_set = (
+        bits.groupBy(id_col, "bit")
+        .agg((F.sum("contrib") > 0).alias("set"))
+    )
+    sig_term = (
+        F.when(~F.col("set"), F.lit(0))
+        .when(F.col("bit") == 63, F.lit(-(2**63)))
+        .otherwise(F.expr("shiftleft(1L, bit)"))
+    )
+    return bit_set.groupBy(id_col).agg(F.sum(sig_term).cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket on each of the four 16-bit chunks,
+    verify with bit_count(a XOR b) ≤ max_hamming.
+
+    Recall contract (pigeonhole): with 4 chunks, any pair within
+    hamming ≤ 3 shares at least one exact chunk and is guaranteed
+    found; pairs at larger distances are found only if their diffs
+    happen to spare a chunk. Raising max_hamming widens the verify
+    radius but not the guarantee — use more/smaller chunks for wider
+    guarantees (at the cost of hotter buckets)."""
+    sig = simhash_signatures(docs, text_col, id_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.expr(f"(simhash >> {16 * c}) & 65535").alias("ck"),
+        )
+        for c in range(4)
+    ]
+    buckets = sig.select(
+        F.col(id_col), "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
+    left = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "ck"
+    )
+    right = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "ck"
+    )
+    return (
+        left.join(right, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

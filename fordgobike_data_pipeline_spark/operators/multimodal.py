@@ -1,0 +1,142 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct. The Spark-side machinery — schema, partition sizing, Arrow
+batch shape, UDF signatures — is real and tested; the actual media
+decode is STUBBED (PIL/ffmpeg are not in this container): each decode
+function first tries the real library and otherwise uses a clearly
+marked deterministic fake so the pipeline stays testable end-to-end.
+
+Scale notes: media rows are orders of magnitude wider than text —
+``repartition_for_media`` sizes partitions by *bytes*, not rows, so a
+single Arrow batch stays within executor memory; decode runs in
+mapInPandas (Arrow-batched, no per-row Python overhead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sha256", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def attach_binary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Build a media table from any source column: binary payload +
+    typed metadata (mime, size, content hash). With real media the
+    payload comes from the storage layer; here the utf-8 bytes stand in
+    so every downstream shape is exercised."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def repartition_for_media(df: DataFrame, target_bytes_per_partition: int = 128 << 20) -> DataFrame:
+    """Partition by payload volume: estimates total bytes from the
+    metadata column (cheap aggregate over the stats, not the payloads)
+    and repartitions so each Arrow batch holds ~target bytes."""
+    total = df.agg(F.sum("meta.n_bytes")).first()[0] or 0
+    n = max(1, int(total // target_bytes_per_partition) + 1)
+    return df.repartition(n)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    Tries PIL; without it, a deterministic fake derives pseudo-features
+    from the payload bytes (marked ``decoder='stub'``) so schema,
+    batching and determinism are testable. Swap in the real decoder by
+    installing PIL — no plan change.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            decoder = "pil"
+        except ImportError:
+            decoder = "stub"
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                if decoder == "pil":
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data))
+                    w, h = img.size
+                    luma = float(sum(img.convert("L").getdata())) / (w * h)
+                else:
+                    # deterministic fake: shape from payload length,
+                    # luma from byte content
+                    w = 16 + len(data) % 64
+                    h = 16 + (len(data) // 64) % 64
+                    luma = (sum(data[:256]) / max(1, min(len(data), 256))) if data else 0.0
+                rows.append([int(mid), int(w), int(h), float(luma), decoder])
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_luma", "decoder"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling — the *plumbing* (one row per sampled
+    offset, bounded fan-out) with a stubbed frame grab: offsets are
+    computed relationally; the frame payload slice stands in for a
+    decoded frame."""
+    n_frames = F.least(
+        (F.col("meta.n_bytes") / every_n_bytes).cast("int") + 1, F.lit(max_frames)
+    )
+    exploded = media.select(
+        "media_id", F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("pos", "idx")
+    )
+    return exploded.select(
+        "media_id",
+        F.col("pos").cast("int").alias("frame_idx"),
+        (F.col("idx") * every_n_bytes).cast("long").alias("byte_offset"),
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine / dot / l2 — native array expressions (zip_with + aggregate),
+  element-wise double math so results are bit-stable across engines.
+* cosine_topk — brute-force exact top-k, computed with a two-phase
+  (salted partial → final) top-k aggregation instead of a global
+  window: at 100 TB a window over all (query, candidate) pairs shuffles
+  everything to one partition per query; the salted form keeps every
+  aggregation bounded.
+* lsh_ann_topk — random-hyperplane LSH: candidates share a signature
+  bucket, brute-force only within the bucket. The scale path when the
+  corpus is too large for exact scan; recall measured in tests against
+  the exact result.
+
+No UDFs anywhere — everything compiles to Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, left-to-right (deterministic order — matches a
+    sequential oracle exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _topk_struct(sim: Column, *ids: Column) -> Column:
+    """Sortable struct: descending similarity, ascending id tiebreak."""
+    return F.struct((-sim).alias("neg_sim"), *ids)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query (the baseline ANN).
+
+    Two-phase: (query, salt) partial top-k bounds every collect_list to
+    ≈|corpus|/n_salt candidates, then the final phase merges n_salt·k
+    structs per query. Queries are broadcast; the corpus is scanned
+    once, partial aggregation map-side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    entry = _topk_struct(F.col("sim"), F.col("cand_id").alias("cand_id"))
+    partial = (
+        pairs.withColumn("salt", F.pmod(F.xxhash64("cand_id"), F.lit(n_salt)))
+        .groupBy("query_id", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
+    )
+    final = (
+        partial.select("query_id", F.explode("top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+    )
+    return final.select(
+        "query_id", F.posexplode("top").alias("pos", "e")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        (-F.col("e.neg_sim")).alias("sim"),
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy needed at plan
+    build: splitmix-style integer hashing → uniform in [-1, 1])."""
+    planes = []
+    state = seed * 0x9E3779B97F4A7C15 % (1 << 64)
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            state = (state + 0x9E3779B97F4A7C15) % (1 << 64)
+            z = state
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            z = z ^ (z >> 31)
+            row.append((z / float(1 << 64)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit p = (vec · plane_p ≥ 0), packed
+    into an int bucket key."""
+    bits = []
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(
+            F.when(dot(vec, plane_col) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: equi-join on the signature bucket, exact
+    cosine within the bucket only. 2^n_planes buckets partition the
+    corpus; expected candidate set is |corpus|/2^n_planes per query —
+    the knob that turns an O(|Q|·|C|) scan into O(|Q|·|C|/buckets)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    entry = _topk_struct(F.col("sim"), F.col("cand_id").alias("cand_id"))
+    final = pairs.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top")
+    )
+    return final.select("query_id", F.posexplode("top").alias("pos", "e")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        (-F.col("e.neg_sim")).alias("sim"),
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold
+    (brute-force baseline; LSH-bucketed variant = join on
+    lsh_signature first)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        a.repartition(n_part)
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

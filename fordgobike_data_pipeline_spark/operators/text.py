@@ -1,0 +1,111 @@
+"""Text analysis operators over document corpora (BASELINE.json north
+star). All native column expressions — regex/string ops stay inside
+whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword inventories for the n-gram/stopword language
+# heuristic. Deliberately small: the operator's shape (per-language
+# overlap scoring + argmax) is what scales, the lists are config.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une", "que", "est"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf"],
+}
+
+TOKEN_RE = r"\w+|[^\w\s]"  # BPE-ish: words or single punctuation marks
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stats: chars, whitespace tokens, mean token length,
+    punctuation ratio."""
+    t = F.col(text_col)
+    tok = tokens(t)
+    n_tok = F.size(tok)
+    tok_chars = F.aggregate(
+        F.transform(tok, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars / n_tok, 6).alias("mean_token_len"),
+        F.round(n_punct / F.length(t), 6).alias("punct_ratio"),
+    )
+
+
+def token_count_bpe_ish(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token count under a BPE-ish regex (words ∪ punctuation marks) —
+    the cheap proxy for tokenizer-cost estimation at corpus scale."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite quality heuristic in [0,1]: length, punctuation sanity,
+    token-shape — the standard cheap pre-filter before expensive model
+    scoring."""
+    t = F.col(text_col)
+    tok = tokens(t)
+    n_tok = F.size(tok)
+    tok_chars = F.aggregate(
+        F.transform(tok, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    mean_len = tok_chars / n_tok
+    punct_ratio = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))) / F.length(t)
+    score = (
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + 0.3 * F.least(mean_len / 10.0, F.lit(1.0))
+    )
+    return docs.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def lang_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-overlap language ID: score each language by distinct
+    stopword hits, argmax with deterministic tiebreak, 'und' when no
+    list matches. max(struct(score, neg-lang)) keeps it one projection —
+    no join, no shuffle."""
+    tok_set = F.array_distinct(tokens(F.col(text_col)))
+    entries = []
+    for lang, words in sorted(STOPWORDS.items()):
+        lit_words = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.array_intersect(tok_set, lit_words))
+        entries.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_guess"
+        ),
+        best["score"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace-normalized content fingerprint (md5) — the key for
+    exact dedup across formatting variants."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))

@@ -1,0 +1,154 @@
+"""Tests for the scale extensions: dedup recall, ANN recall vs exact,
+simhash behavior, multimodal plumbing — properties the rows-only
+driver check can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fordgobike_data_pipeline_spark.io import load_tables
+from fordgobike_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+
+
+def _emb(spark):
+    return load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+
+
+def test_minhash_recall_vs_exact(spark):
+    """MinHash-LSH (64 hashes / 16 bands) must recover ≥90% of the
+    exact Jaccard≥0.8 pairs, with zero false positives (verify step)."""
+    docs = _docs(spark)
+    sh = dedup.token_shingles(docs, k=3)
+    exact = {
+        (r.id_a, r.id_b) for r in dedup.exact_jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    mh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert mh <= exact  # exact-verify: no false positives
+    if exact:
+        assert len(mh) / len(exact) >= 0.9
+
+
+def test_exact_dedup_on_planted_duplicates(spark):
+    docs = _docs(spark)
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dups = docs.unionByName(dup)
+    out = dedup.exact_dedup(with_dups, ["text"])
+    assert out.count() == docs.count()  # dups collapsed
+    assert out.filter(F.col("n_copies") == 2).count() == 3
+    # survivor is the min id (the original)
+    assert out.filter((F.col("n_copies") == 2) & (F.col("keep_id") >= 1_000_000)).count() == 0
+
+
+def test_simhash_contract(spark):
+    """(a) an exact duplicate (hamming 0) is always found — the ≤3
+    pigeonhole guarantee; (b) every reported hamming equals the true
+    XOR popcount of the signatures; (c) no pair above max_hamming."""
+    docs = _docs(spark).limit(10)
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    both = docs.select("doc_id", "text").unionByName(dup)
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(both).collect()}
+    assert sig[0] == sig[500]
+    pairs = dedup.simhash_pairs(both, max_hamming=3).collect()
+    assert any({p.id_a, p.id_b} == {0, 500} and p.hamming == 0 for p in pairs)
+    for p in pairs:
+        true_h = bin((sig[p.id_a] ^ sig[p.id_b]) & ((1 << 64) - 1)).count("1")
+        assert p.hamming == true_h <= 3
+
+
+def test_simhash_signature_is_deterministic(spark):
+    docs = _docs(spark).limit(5)
+    a = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert a == b
+    assert all(isinstance(v, int) for v in a.values())
+
+
+def test_ann_lsh_recalls_planted_near_dups(spark):
+    """LSH's contract is near-duplicate recall: a vector pointing in the
+    same direction (cos=1) has the identical signature and MUST land in
+    the query's bucket as its top-1; and every returned sim must be a
+    true cosine from the exact scan."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    # plant colinear twins (2× scaling → same direction, same signature)
+    twins = queries.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(twins)
+    approx = similarity.lsh_ann_topk(corpus, queries, k=3, n_planes=6)
+    top1 = {r.query_id: (r.cand_id, r.sim) for r in approx.collect() if r.rank == 1}
+    for qid in range(5):
+        cand, sim = top1[qid]
+        assert cand == qid + 10_000 and sim == 1.0
+    # returned sims are true cosines (verified against the exact scan)
+    full = {
+        (r.query_id, r.cand_id): r.sim
+        for r in similarity.cosine_topk(corpus, queries, k=10_000).collect()
+    }
+    for r in approx.collect():
+        assert abs(full[(r.query_id, r.cand_id)] - r.sim) < 1e-9
+
+
+def test_topk_two_phase_matches_window(spark):
+    """The salted two-phase top-k must equal the naive window top-k."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(emb, queries, k=7)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    sim = F.round(similarity.cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    want = (
+        c.crossJoin(q)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+    )
+    gs = {(r.query_id, r.rank, r.cand_id) for r in got.collect()}
+    ws = {(r.query_id, r.rank, r.cand_id) for r in want.collect()}
+    assert gs == ws
+
+
+def test_lang_id_shape(spark):
+    out = text.lang_id(_docs(spark))
+    rows = out.collect()
+    assert len(rows) == _docs(spark).count()
+    assert all(r.lang_guess in {"en", "es", "fr", "de", "und"} for r in rows)
+
+
+def test_multimodal_plumbing(spark):
+    docs = _docs(spark).limit(20)
+    media = multimodal.attach_binary(docs)
+    feats = multimodal.extract_image_features(
+        multimodal.repartition_for_media(media, target_bytes_per_partition=4096)
+    )
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r.decoder in {"stub", "pil"} for r in rows)
+    assert all(r.width > 0 and r.height > 0 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: (r.width, r.height, r.mean_luma) for r in feats.collect()}
+    assert {r.media_id: (r.width, r.height, r.mean_luma) for r in rows} == again
+
+
+def test_frame_sample_bounded_fanout(spark):
+    docs = _docs(spark)
+    media = multimodal.attach_binary(docs)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    per_doc = frames.groupBy("media_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= 4
+    offs = frames.filter(F.col("media_id") == 0).orderBy("frame_idx").collect()
+    assert [o.byte_offset for o in offs] == [i * 64 for i in range(len(offs))]
