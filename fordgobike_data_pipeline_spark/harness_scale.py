@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .harness import query
 from .io import load_tables
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, sessions, similarity, text
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -266,6 +266,62 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.attach_binary(docs)
     return multimodal.sample_frames(media, every_n_bytes=1024, max_frames=8)
+
+
+@query(
+    "q_sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        FROM o
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the events table —
+    lag → running-sum session ids, one shared sort for both windows."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return sessions.session_windows(ev, gap_seconds=1800)
+
+
+@query(
+    "q_summary_stats",
+    """
+    SELECT event_type,
+           count(value) AS cnt,
+           round(avg(value), 3) AS mean_value,
+           round(stddev_samp(value), 3) AS std_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style summary statistics (notebook cell 5, SURVEY A9)
+    as an explicit grouped aggregation."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("cnt"),
+        F.round(F.avg("value"), 3).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 3).alias("std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
 
 
 @query("q_image_features")  # Python stub decoder → rows-only

@@ -29,6 +29,35 @@ from . import gold as gold_mod
 from . import silver as silver_mod
 
 
+def with_retries(fn, retries: int = 2, delay_sec: float = 1.0):
+    """Stage-level retry (replaces the Airflow retry policy, SURVEY
+    §2.10 D5: retries=2 across all DAGs). Spark task-level retries are
+    built in; this guards whole-stage failures (e.g. a flaky source)."""
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — mirror Airflow catch-all
+            last = exc
+            if attempt < retries:
+                time.sleep(delay_sec)
+    raise last
+
+
+def format_run_report(spark: SparkSession, wh: "Warehouse") -> str:
+    """Fixed-width run report from the metrics table (replaces the
+    Airflow-REST-scrape → email report, sender.py:39-76)."""
+    rows = (
+        wh.read(spark, "_state", "run_metrics")
+        .orderBy("batch_id", "stage")
+        .collect()
+    )
+    lines = [f"{'batch':>6} | {'stage':<12} | {'wall_sec':>8}", "-" * 32]
+    for r in rows:
+        lines.append(f"{r.batch_id:>6} | {r.stage:<12} | {r.wall_sec:>8.3f}")
+    return "\n".join(lines)
+
+
 class Warehouse:
     """Path layout for the three medallion namespaces."""
 
@@ -147,7 +176,7 @@ def run_pipeline(
         ("gold", lambda: build_gold(spark, wh)),
     ):
         t0 = time.perf_counter()
-        fn()
+        with_retries(fn, retries=2, delay_sec=1.0)
         metrics.append((batch_id, stage, round(time.perf_counter() - t0, 3)))
     mdf = spark.createDataFrame(metrics, "batch_id INT, stage STRING, wall_sec DOUBLE")
     append(mdf, wh.path("_state", "run_metrics"))

@@ -1,0 +1,80 @@
+"""Structured Streaming upgrades (SURVEY §2.8).
+
+The reference is scheduled batch with a consumed-flag (`@daily`,
+dags/Bronze_dag.py:32; loaded_to_silver, init_db.py:87) — no streaming
+operators exist. These are the engine's *capability upgrades*, the
+idiomatic Spark replacements the survey maps out:
+
+* stream_ingest_trips — Trigger.AvailableNow file stream over the
+  landing dir: exactly-once incremental ingest via the checkpoint
+  (replaces daily re-listing + the row flag). Each invocation drains
+  whatever is new and stops — same cadence as the reference's daily
+  batch, but restart-safe and no-rescan.
+* windowed_event_counts — event-time tumbling aggregation with a
+  watermark for late data (the streaming twin of q_window_time_bucket;
+  identical results on bounded input).
+* deduped_stream — watermark-bounded streaming dedup by key.
+
+All three run identically on a 1000-executor cluster: the file source
+lists incrementally, state lives in the checkpoint, watermarks bound
+state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import TRIPS_RAW
+
+
+def stream_ingest_trips(
+    spark: SparkSession,
+    extracted_dir: str,
+    bronze_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental CSV → parquet bronze ingest, AvailableNow trigger.
+
+    The checkpoint tracks consumed files — re-running after new files
+    land processes only the delta (replaces the archive-dir idempotence
+    protocol of get_data.py:49-60 with engine-native exactly-once)."""
+    fields = [f for f in TRIPS_RAW.fields if f.name != "period"]
+    stream = (
+        spark.readStream.schema(StructType(fields))
+        .option("header", True)
+        .csv(extracted_dir)
+    )
+    filename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    enriched = (
+        stream.withColumn("period", F.element_at(F.split(filename, "-"), 1))
+        .withColumn("created_at", F.current_timestamp())
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", bronze_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling window counts with late-data watermark.
+    Works on both streaming and batch inputs (same plan shape as the
+    oracle-checked q_window_time_bucket)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "cnt", "sum_value")
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event_id, state bounded by watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

@@ -1,0 +1,73 @@
+"""Runner utilities: retry policy (D5), run report (S10), pandas_udf
+surface (§2.9), atomic publish."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fordgobike_data_pipeline_spark.functions import exprs
+from fordgobike_data_pipeline_spark.functions.udfs import haversine_km_udf
+from fordgobike_data_pipeline_spark.io import publish_overwrite
+from fordgobike_data_pipeline_spark.plans import runner
+
+
+def test_with_retries_recovers():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert runner.with_retries(flaky, retries=2, delay_sec=0.0) == "ok"
+    assert len(calls) == 3
+
+
+def test_with_retries_exhausted():
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        runner.with_retries(always_fails, retries=1, delay_sec=0.0)
+
+
+def test_format_run_report(spark, tmp_path):
+    wh = runner.Warehouse(str(tmp_path))
+    mdf = spark.createDataFrame(
+        [(1, "bronze", 1.5), (1, "silver", 2.25)],
+        "batch_id INT, stage STRING, wall_sec DOUBLE",
+    )
+    mdf.write.parquet(wh.path("_state", "run_metrics"))
+    report = runner.format_run_report(spark, wh)
+    assert "bronze" in report and "2.250" in report
+    assert report.splitlines()[0].split("|")[1].strip() == "stage"
+
+
+def test_haversine_udf_matches_native_expr(spark):
+    df = spark.createDataFrame(
+        [(37.7766, -122.4174, 37.3297, -121.9026), (0.0, 0.0, 0.0, 0.0)],
+        "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE",
+    )
+    out = df.select(
+        haversine_km_udf("lat1", "lon1", "lat2", "lon2").alias("udf_km"),
+        exprs.haversine_km("lat1", "lon1", "lat2", "lon2").alias("native_km"),
+    ).collect()
+    for r in out:
+        assert abs(r.udf_km - r.native_km) < 1e-9
+    assert 60 < out[0].udf_km < 75  # SF ↔ San Jose ≈ 67 km
+
+
+def test_publish_overwrite_atomic_swap(spark, tmp_path):
+    path = str(tmp_path / "t")
+    publish_overwrite(spark.range(10).toDF("n"), path)
+    assert spark.read.parquet(path).count() == 10
+    # overwrite from a plan READING the same path (the merge pattern)
+    existing = spark.read.parquet(path)
+    merged = existing.union(spark.range(10, 15).toDF("n"))
+    publish_overwrite(merged, path)
+    assert spark.read.parquet(path).count() == 15
+    assert not [p for p in os.listdir(str(tmp_path)) if "_tmp_" in p]

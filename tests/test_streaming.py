@@ -1,0 +1,114 @@
+"""Structured Streaming tests: AvailableNow incremental ingest with
+exactly-once checkpointing, watermark windowed aggregation parity with
+the batch twin, streaming dedup, and the native session_window."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fordgobike_data_pipeline_spark.io import load_tables
+from fordgobike_data_pipeline_spark.operators import sessions
+from fordgobike_data_pipeline_spark.streaming import incremental
+
+from . import fixtures
+from .conftest import SF_SMOKE
+from .test_sources import _write_csv
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    rows = fixtures.make_trips(n=30)
+    _write_csv(landing / "201801-a.csv", rows[:20])
+
+    incremental.stream_ingest_trips(spark, str(landing), bronze, ckpt)
+    assert spark.read.parquet(bronze).count() == 20
+
+    # re-run with no new files → no duplicates (checkpoint)
+    incremental.stream_ingest_trips(spark, str(landing), bronze, ckpt)
+    assert spark.read.parquet(bronze).count() == 20
+
+    # new file → only the delta is ingested
+    _write_csv(landing / "201802-b.csv", rows[20:])
+    incremental.stream_ingest_trips(spark, str(landing), bronze, ckpt)
+    df = spark.read.parquet(bronze)
+    assert df.count() == 30
+    assert {r.period for r in df.select("period").distinct().collect()} == {
+        "201801", "201802",
+    }
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """The streaming windowed aggregation over a file stream must equal
+    the batch computation on the same data."""
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = incremental.windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.bucket_start, r.cnt, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r.bucket_start, r.cnt, r.sum_value)
+        for r in incremental.windowed_event_counts(ev).collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_dedup(spark, tmp_path):
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].limit(50)
+    doubled = ev.unionByName(ev)
+    src = str(tmp_path / "dup_src")
+    doubled.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        incremental.deduped_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT count(*) FROM dedup_out").first()[0] == 50
+
+
+def test_session_windows_properties(spark):
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    out = sessions.session_windows(ev, gap_seconds=1800)
+    rows = out.collect()
+    assert sum(r.n_events for r in rows) == ev.count()
+    # session ids are 1..k contiguous per user
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.session_id)
+    for ids in by_user.values():
+        assert sorted(ids) == list(range(1, len(ids) + 1))
+    # sessions don't overlap per user and bounds are ordered
+    for r in rows:
+        assert r.session_start <= r.session_end
+
+
+def test_session_window_native_agrees_on_counts(spark):
+    """The native session_window and the lag/cumsum formulation must
+    produce the same number of sessions and event totals."""
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    a = sessions.session_windows(ev, gap_seconds=1800)
+    b = sessions.session_windows_native(ev, gap="30 minutes")
+    assert a.count() == b.count()
+    assert (
+        a.agg(F.sum("n_events")).first()[0] == b.agg(F.sum("n_events")).first()[0]
+    )
