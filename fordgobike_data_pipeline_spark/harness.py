@@ -959,6 +959,88 @@ def q_scan_csv_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals — absent from the reference (SURVEY
+    §2.4 notes it comes free in Spark); exposed as engine capability."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "q_set_ops",
+    """
+    WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT nationkey, 'both' AS src FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+    UNION ALL
+    SELECT nationkey, 'cust_only' AS src FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — absent from the reference (SURVEY §2.5),
+    free in Spark; exposed as engine capability."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s).withColumn("src", F.lit("both")).union(
+        c.exceptAll(s).distinct().withColumn("src", F.lit("cust_only"))
+    )
+
+
+@query(
+    "q_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders FROM orders
+    GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — absent from the reference (SURVEY §2.4); post-aggregation
+    filter."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "q_window_lag_cumsum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running-sum analytics windows (SURVEY §2.7 extension):
+    both windows share one (custkey, date) sort."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+    )
+
+
+@query(
     "q_window_time_bucket",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,

@@ -85,20 +85,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_COS = """
-    list_sum(list_transform(range(64), i -> {a}.embedding[i+1]::DOUBLE * {b}.embedding[i+1]::DOUBLE))
-    / (sqrt(list_sum(list_transform(range(64), i -> {a}.embedding[i+1]::DOUBLE * {a}.embedding[i+1]::DOUBLE)))
-     * sqrt(list_sum(list_transform(range(64), i -> {b}.embedding[i+1]::DOUBLE * {b}.embedding[i+1]::DOUBLE))))
+# unit-normalize once, then cosine == one dot product — the oracle
+# mirrors the exact op order (inner x² fold → sqrt → per-element divide →
+# product fold) so doubles stay bit-identical to Spark's
+_NORM_CTE = """
+    n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS nv
+        FROM embeddings
+    )
 """
+_NDOT = "list_sum(list_transform(range(64), i -> {a}.nv[i+1] * {b}.nv[i+1]))"
 
 
 @query(
     "q_embed_cosine_pairs",
     f"""
-    WITH p AS (
+    WITH {_NORM_CTE},
+    p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round({_COS.format(a='a', b='b')}, 6) + 0.0 AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               round({_NDOT.format(a='a', b='b')}, 6) + 0.0 AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4
     """,
@@ -114,11 +123,12 @@ def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_topk",
     f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    WITH {_NORM_CTE},
+    q AS (SELECT vec_id, nv FROM n WHERE vec_id < 5),
     p AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               round({_COS.format(a='q', b='c')}, 6) + 0.0 AS sim
-        FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+               round({_NDOT.format(a='q', b='c')}, 6) + 0.0 AS sim
+        FROM q JOIN n c ON c.vec_id != q.vec_id
     ),
     r AS (
         SELECT query_id, cand_id, sim,
@@ -208,6 +218,42 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality-score pre-filter."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.quality_score(docs)
+
+
+@query(
+    "q_tfidf",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln((t.n_docs + 1) / (dfreq.df + 1)), 6) AS tf_idf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN total t
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, token, tf_idf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tf_idf DESC, token) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, broadcast vocab)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.tf_idf_top_terms(docs, k=5)
+
+
+@query("q_ann_ivf")  # approximate (probed lists) → rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer, nprobe=3 inverted
+    lists per query, exact cosine within the probed lists."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_ann_topk(emb, queries, k=10, centroid_mod=25, nprobe=3)
 
 
 @query("q_lang_id")  # heuristic with engine-specific internals → rows-only

@@ -39,6 +39,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit_normalize(a: Column) -> Column:
+    """vec / ||vec|| in double. Normalizing each side ONCE before a join
+    turns cosine into a single dot product — 3× less per-pair work and
+    no per-pair sqrt; at 10^7+ candidate pairs this is the difference
+    that matters."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def _topk_struct(sim: Column, *ids: Column) -> Column:
     """Sortable struct: descending similarity, ascending id tiebreak."""
     return F.struct((-sim).alias("neg_sim"), *ids)
@@ -60,16 +69,20 @@ def cosine_topk(
     once, partial aggregation map-side.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        unit_normalize(F.col(vec_col)).alias("c_vec"),
+    )
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            (F.round(dot(F.col("q_vec"), F.col("c_vec")), 6) + F.lit(0.0)).alias("sim"),
         )
     )
     entry = _topk_struct(F.col("sim"), F.col("cand_id").alias("cand_id"))
@@ -141,14 +154,16 @@ def lsh_ann_topk(
     corpus; expected candidate set is |corpus|/2^n_planes per query —
     the knob that turns an O(|Q|·|C|) scan into O(|Q|·|C|/buckets)."""
     planes = _hyperplanes(dim, n_planes, seed)
+    # signature from the raw vector (sign is scale-invariant); cosine
+    # becomes a plain dot over the unit-normalized pair
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("c_vec"),
+        unit_normalize(F.col(vec_col)).alias("c_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     pairs = (
@@ -157,7 +172,92 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            (F.round(dot(F.col("q_vec"), F.col("c_vec")), 6) + F.lit(0.0)).alias("sim"),
+        )
+    )
+    entry = _topk_struct(F.col("sim"), F.col("cand_id").alias("cand_id"))
+    final = pairs.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top")
+    )
+    return final.select("query_id", F.posexplode("top").alias("pos", "e")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        (-F.col("e.neg_sim")).alias("sim"),
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every
+    ``centroid_mod``-th vector is a centroid) partitions the corpus into
+    inverted lists; queries probe their ``nprobe`` nearest centroids and
+    brute-force only those lists. Expected work per query:
+    nprobe/|centroids| of the corpus — the standard trade against the
+    full scan when even LSH buckets are too coarse.
+
+    (Production would k-means the centroids; the deterministic modulus
+    keeps this reproducible with no iterative fitting, and the plan
+    shape — assign / probe / scan-lists — is identical.)"""
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        unit_normalize(F.col(vec_col)).alias("cent_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), unit_normalize(F.col(vec_col)).alias("c_vec")
+    )
+    # assign: nearest centroid per corpus vector (argmin via min(struct))
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "cand_id",
+            "c_vec",
+            F.struct(
+                (-dot(F.col("c_vec"), F.col("cent_vec"))).alias("neg_sim"),
+                F.col("centroid_id"),
+            ).alias("e"),
+        )
+        .groupBy("cand_id")
+        .agg(F.min("e").alias("m"), F.first("c_vec").alias("c_vec"))
+        .select("cand_id", F.col("m.centroid_id").alias("list_id"), "c_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), unit_normalize(F.col(vec_col)).alias("q_vec")
+    )
+    # probe: nprobe nearest centroids per query
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_vec",
+            F.struct(
+                (-dot(F.col("q_vec"), F.col("cent_vec"))).alias("neg_sim"),
+                F.col("centroid_id"),
+            ).alias("e"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("e")), 1, nprobe).alias("top"),
+            F.first("q_vec").alias("q_vec"),
+        )
+        .select(
+            "query_id", "q_vec", F.explode("top.centroid_id").alias("list_id")
+        )
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.round(dot(F.col("q_vec"), F.col("c_vec")), 6) + F.lit(0.0)).alias("sim"),
         )
     )
     entry = _topk_struct(F.col("sim"), F.col("cand_id").alias("cand_id"))
@@ -181,8 +281,8 @@ def cosine_pairs(
     """Embedding near-duplicate pairs above a cosine threshold
     (brute-force baseline; LSH-bucketed variant = join on
     lsh_signature first)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = emb.select(F.col(id_col).alias("id_a"), unit_normalize(F.col(vec_col)).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), unit_normalize(F.col(vec_col)).alias("vec_b"))
     n_part = emb.sparkSession.sparkContext.defaultParallelism
     return (
         a.repartition(n_part)
@@ -191,7 +291,7 @@ def cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            (F.round(dot(F.col("vec_a"), F.col("vec_b")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -102,6 +102,41 @@ def lang_id(
     )
 
 
+def tf_idf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k terms per doc by smoothed TF-IDF.
+
+    Two shuffles total: (doc, token) counts, then token document
+    frequencies joined back (broadcast — vocab ≪ corpus). The corpus
+    size is a broadcast scalar, not a driver-side collect. Scores are
+    rounded before ranking so ordering is stable across engines."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int").alias("rank"), "token", "tf_idf")
+    )
+
+
 def fingerprint(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -122,6 +122,31 @@ def test_topk_two_phase_matches_window(spark):
     assert gs == ws
 
 
+def test_ivf_recalls_planted_near_dups(spark):
+    """A colinear twin shares its query's nearest centroid, so IVF with
+    any nprobe ≥ 1 must return it as top-1 with sim 1.0; and every
+    returned sim must be a true cosine."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(twins)
+    out = similarity.ivf_ann_topk(corpus, queries, k=3, centroid_mod=10, nprobe=2)
+    top1 = {r.query_id: (r.cand_id, r.sim) for r in out.collect() if r.rank == 1}
+    for qid in range(5):
+        cand, sim = top1[qid]
+        assert cand == qid + 10_000 and sim == 1.0
+    full = {
+        (r.query_id, r.cand_id): r.sim
+        for r in similarity.cosine_topk(corpus, queries, k=10_000).collect()
+    }
+    for r in out.collect():
+        assert abs(full[(r.query_id, r.cand_id)] - r.sim) < 1e-9
+
+
 def test_lang_id_shape(spark):
     out = text.lang_id(_docs(spark))
     rows = out.collect()
