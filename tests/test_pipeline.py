@@ -175,6 +175,20 @@ def test_incremental_second_batch(spark, wh):
     assert max_date >= 20180118
 
 
+def test_catalog_registration(spark, wh):
+    """D1: published tables addressable by <layer>.<name> via the
+    catalog after registration."""
+    from fordgobike_data_pipeline_spark.plans import ddl
+
+    registered = ddl.register_warehouse_tables(spark, wh)
+    assert "silver.fact_trips" in registered
+    assert "gold.dm_station_popularity" in registered
+    n = spark.table("silver.fact_trips").count()
+    assert n == spark.read.parquet(wh.path("silver", "fact_trips")).count()
+    # idempotent re-registration
+    assert set(ddl.register_warehouse_tables(spark, wh)) == set(registered)
+
+
 def test_metrics_table(spark, wh):
     m = wh.read(spark, "_state", "run_metrics")
     stages = {r.stage for r in m.collect()}

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the properties that make these
+queries survive 100× scale-up must stay in the plan — filters reaching
+the parquet scan, dims broadcast instead of shuffled, top-k compiling
+to TakeOrderedAndProject, no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+
+from fordgobike_data_pipeline_spark import harness
+
+from .conftest import SF_SMOKE
+
+
+def explain(spark, name: str) -> str:
+    df = harness.all_queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = explain(spark, "q_filter_eq")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_column_pruning(spark):
+    plan = explain(spark, "q_agg_daily_summary")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the 5 needed columns, not all 11
+    assert "l_extendedprice" in read and "l_partkey" not in read and "l_discount" not in read
+
+
+def test_dims_broadcast_not_shuffled(spark):
+    plan = explain(spark, "q_join_role_playing")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = explain(spark, "q_topk_routes")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_no_unintended_cartesian(spark):
+    """Only operators that *mean* cross join (q_cross_join, nearest
+    neighbor, brute-force similarity) may contain a nested-loop/cartesian
+    product."""
+    allowed = {
+        "q_cross_join",
+        "q_nearest_neighbor",
+        "q_embed_cosine_pairs",
+        "q_ann_topk",
+        "q_ann_lsh",
+        "q_ann_ivf",
+        "q_tfidf",  # broadcast scalar n_docs
+        "q_generate_series",  # 1-row bounds
+        "q_union_all_null",  # 1-row literal
+    }
+    for name in sorted(harness.all_oracle_sql()):
+        if name in allowed:
+            continue
+        plan = explain(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_anti_join_stays_join(spark):
+    plan = explain(spark, "q_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_incremental_read_prunes_partitions(spark, tmp_path):
+    """The high-water-mark filter must prune bronze batch partitions at
+    the scan (PartitionFilters), not post-filter rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("_batch_id", (F.col("id") % 4).cast("int"))
+    path = str(tmp_path / "bronze_parts")
+    df.write.partitionBy("_batch_id").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("_batch_id") > 2)
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "_batch_id" in pf
+    assert scan.count() == 25
