@@ -64,6 +64,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        spark.catalog.clearCache()  # isolate queries from leftover state
         t0 = time.perf_counter()
         materialize(queries[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -126,6 +126,12 @@ def minhash_lsh_pairs(
     result with near-1 recall at the threshold.
     """
     rows_per_band = n_hashes // n_bands
+    # the shingle table feeds both the signature build and the verify
+    # join; recompute beats caching here — the exploded table is much
+    # wider than the text it came from, and both consumers fuse the
+    # explode into their own aggregation (measured equal at sf0.1; at
+    # corpus scale persist(DISK_ONLY) becomes worth it if the parse
+    # dominates — one-line change at this call site)
     sh = token_shingles(docs, text_col, id_col, k)
     sig = minhash_signatures(sh, id_col, n_hashes)
     band_structs = [

@@ -155,8 +155,18 @@ def build_gold(spark: SparkSession, wh: Warehouse) -> None:
         "dim_date_view": gold_mod.dim_date_view(dim_date),
         "fact_trips_view": gold_mod.fact_trips_view(fact),
     }
-    for name, df in marts.items():
-        publish_overwrite(df, wh.path("gold", name))
+    # the marts are independent jobs — submit concurrently so the Spark
+    # scheduler interleaves their stages (the reference fans out its four
+    # MV refreshes the same way, dags/gold_dag.py:70)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = {
+            name: pool.submit(publish_overwrite, df, wh.path("gold", name))
+            for name, df in marts.items()
+        }
+        for name, fut in futures.items():
+            fut.result()  # surface the first failure
 
 
 def run_pipeline(
