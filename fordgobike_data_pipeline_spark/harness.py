@@ -959,6 +959,26 @@ def q_scan_csv_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (describe()-adjacent,
+    SURVEY A9 extension). At 100 TB swap percentile → approx_percentile
+    (t-digest, partial-aggregatable) — flagged engine deviation."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@query(
     "q_rollup",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY §5.4) with hypothesis: expression-level
+semantics that must hold for all inputs, checked against plain-Python
+models. One shared Spark round-trip per property (batched inputs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fordgobike_data_pipeline_spark.functions import exprs, skew
+
+DATES = st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2035, 12, 31))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(DATES, min_size=1, max_size=50, unique=True))
+def test_smart_date_key_roundtrip(spark, dates):
+    df = spark.createDataFrame([(d,) for d in dates], "d DATE")
+    out = df.select(
+        "d",
+        exprs.smart_date_key("d").alias("key"),
+        exprs.key_to_date(exprs.smart_date_key("d")).alias("back"),
+        exprs.weekend_flag("d").alias("wknd"),
+    ).collect()
+    for r in out:
+        assert r.key == r.d.year * 10000 + r.d.month * 100 + r.d.day
+        assert r.back == r.d
+        # python weekday(): Mon=0..Sun=6 → weekend = {5, 6}
+        assert r.wknd == (r.d.weekday() in (5, 6))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50))
+def test_round_minutes_half_up(spark, secs):
+    df = spark.createDataFrame([(s,) for s in secs], "s INT")
+    out = df.select("s", exprs.round_minutes("s").alias("m")).collect()
+    for r in out:
+        # PG ROUND(x/60.0) half-away-from-zero for positives
+        assert r.m == math.floor(r.s / 60.0 + 0.5)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=0, max_size=12), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_surrogate_key_deterministic_and_injective_on_inputs(spark, rows):
+    df = spark.createDataFrame([(a, b) for a, b in rows], "a STRING, b STRING")
+    out = df.select(
+        "a", "b", exprs.surrogate_key_md5("a", "b").alias("k")
+    ).collect()
+    seen: dict[tuple, int] = {}
+    for r in out:
+        key = (r.a, r.b)
+        if key in seen:
+            assert seen[key] == r.k  # deterministic
+        seen[key] = r.k
+        assert isinstance(r.k, int)
+    # distinct inputs → distinct keys (md5-64 collision ≈ 0 at this size)
+    assert len({v for v in seen.values()}) == len(seen)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from(["x", "y", "z", "hot"]), min_size=1, max_size=200),
+    st.integers(min_value=2, max_value=16),
+)
+def test_two_phase_count_equals_plain_count(spark, keys, n_salt):
+    df = spark.createDataFrame([(k,) for k in keys], "k STRING")
+    got = {
+        r.k: r.cnt for r in skew.two_phase_count(df, ["k"], n_salt=n_salt).collect()
+    }
+    want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(500)], "k INT, payload INT"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k INT, tag STRING")
+    got = {
+        (r.k, r.payload, r.tag)
+        for r in skew.salted_join(big, small, "k", n_salt=4).collect()
+    }
+    want = {(r.k, r.payload, r.tag) for r in big.join(small, "k").collect()}
+    assert got == want
