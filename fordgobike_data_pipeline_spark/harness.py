@@ -959,6 +959,58 @@ def q_scan_csv_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS cnt,
+           sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation. The reference parses its
+    JSON (geocode responses) in driver Python (get_locations.py:71-87);
+    the engine-native mapping is from_json/get_json_object (SURVEY
+    §1.2), keeping parse inside codegen."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status columns per priority) — dashboard-shaped output;
+    fixed pivot values so the plan stays a single pass (dynamic pivot
+    would need a values scan first)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+@query(
     "q_percentiles",
     """
     SELECT event_type,
