@@ -192,32 +192,30 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per doc, fully relational (no UDF).
 
-    token → xxhash64 → explode 64 bit positions → per (doc, bit) the
-    sign of Σ(±1) → reassemble the signature as a signed long (bit 63
-    contributes Long.MIN_VALUE to stay in two's complement).
+    token → xxhash64, then ONE aggregation computes all 64 bit-vote
+    sums as columnar expressions (``sum((th >> b) & 1)`` per bit) —
+    no 64× row explosion, map-side combinable like the MinHash
+    signature build. Bit b is set when votes ``2·Σbit_b > n_tokens``
+    (i.e. Σ(±1) > 0); the signature reassembles as a signed long with
+    bit 63 contributing Long.MIN_VALUE (two's complement).
     """
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     ).withColumn("th", F.xxhash64("token"))
-    bits = toks.select(
-        id_col,
-        "th",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(th >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    votes = toks.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.expr(f"(th >> {b}) & 1")).alias(f"s{b}") for b in range(64)],
     )
-    bit_set = (
-        bits.groupBy(id_col, "bit")
-        .agg((F.sum("contrib") > 0).alias("set"))
-    )
-    sig_term = (
-        F.when(~F.col("set"), F.lit(0))
-        .when(F.col("bit") == 63, F.lit(-(2**63)))
-        .otherwise(F.expr("shiftleft(1L, bit)"))
-    )
-    return bit_set.groupBy(id_col).agg(F.sum(sig_term).cast("long").alias("simhash"))
+    terms = []
+    for b in range(64):
+        bit_set = 2 * F.col(f"s{b}") > F.col("n")
+        value = F.lit(-(2**63)) if b == 63 else F.lit(1 << b)
+        terms.append(F.when(bit_set, value).otherwise(F.lit(0)))
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
@@ -225,6 +223,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket on each of the four 16-bit chunks,
     verify with bit_count(a XOR b) ≤ max_hamming.
@@ -234,7 +233,13 @@ def simhash_pairs(
     found; pairs at larger distances are found only if their diffs
     happen to spare a chunk. Raising max_hamming widens the verify
     radius but not the guarantee — use more/smaller chunks for wider
-    guarantees (at the cost of hotter buckets)."""
+    guarantees (at the cost of hotter buckets).
+
+    ``max_bucket_size`` drops chunk buckets holding more than N docs —
+    a chunk value shared by thousands of docs is a low-information
+    collision that would emit O(N²) candidates; near-dup pairs still
+    match on their other (rarer) chunks. The standard quadratic-blowup
+    guard at corpus scale."""
     sig = simhash_signatures(docs, text_col, id_col)
     chunk_structs = [
         F.struct(
@@ -246,6 +251,12 @@ def simhash_pairs(
     buckets = sig.select(
         F.col(id_col), "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("chunk", "ck").agg(F.count("*").alias("_bs"))
+        buckets = buckets.join(
+            F.broadcast(sizes.filter(F.col("_bs") <= max_bucket_size)).select("chunk", "ck"),
+            ["chunk", "ck"],
+        )
     left = buckets.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "ck"
     )

@@ -72,7 +72,10 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         unit_normalize(F.col(vec_col)).alias("q_vec"),
     )
-    c = corpus.select(
+    # a small parquet corpus arrives as one partition; spread it so the
+    # broadcast nested-loop fans across all cores
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_part).select(
         F.col(id_col).alias("cand_id"),
         unit_normalize(F.col(vec_col)).alias("c_vec"),
     )
@@ -210,7 +213,8 @@ def ivf_ann_topk(
         F.col(id_col).alias("centroid_id"),
         unit_normalize(F.col(vec_col)).alias("cent_vec"),
     )
-    c = corpus.select(
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_part).select(
         F.col(id_col).alias("cand_id"), unit_normalize(F.col(vec_col)).alias("c_vec")
     )
     # assign: nearest centroid per corpus vector (argmin via min(struct))
