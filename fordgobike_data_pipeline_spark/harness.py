@@ -1113,6 +1113,41 @@ def q_window_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    """
+    SELECT event_type, CAST(year(ts) AS INT) AS y, count(*) AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(year(ts) AS INT)), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup's hierarchy): per-type,
+    per-year, and grand-total groups in one pass."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(year(ts) AS INT) AS y, count(*) AS cnt
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(year(ts) AS INT)), ())
+        """
+    )
+
+
+@query("q_approx_sketches")  # HLL / t-digest are engine-specific → rows-only
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketches that replace exact distinct/percentile at 100 TB:
+    approx_count_distinct (HyperLogLog++, mergeable partial state) and
+    approx_percentile (t-digest). Accuracy vs exact is asserted in
+    tests/test_scale_ops.py; the driver records rows-only."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+    )
+
+
+@query(
     "q_window_time_bucket",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,

@@ -221,6 +221,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winnow_fingerprint",
+    """
+    WITH g AS (
+        SELECT doc_id, i AS pos, substr(text, i, 5) AS gram
+        FROM documents,
+             unnest(range(1, greatest(length(text) - 5 + 1, 1) + 1)) t(i)
+    ),
+    h AS (
+        SELECT doc_id, pos,
+               CAST(CAST(from_hex(substr(md5(gram), 1, 16)) AS BIT) AS BIGINT) AS hv
+        FROM g
+    ),
+    w AS (
+        SELECT doc_id, min(hv) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+        FROM h
+    )
+    SELECT DISTINCT doc_id, fingerprint FROM w
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5 char grams, window 4) —
+    bit-exact md5-based hashes so the oracle reproduces the selection."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.winnowing_fingerprints(docs, k=5, window=4)
+
+
+@query(
     "q_tfidf",
     """
     WITH toks AS (

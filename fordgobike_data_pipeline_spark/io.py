@@ -89,6 +89,41 @@ def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> N
     writer.parquet(path)
 
 
+def publish_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Publish as a bucketed (and optionally sort-ordered) catalog table.
+
+    Bucketing is the physical-design lever the reference approximates
+    with B-tree FK indexes (silver_ddl.sql:70-75): two tables bucketed
+    on the same key with the same bucket count join WITHOUT a shuffle —
+    the exchange both sides would pay disappears from the plan. At
+    100 TB that is the difference between re-shuffling the fact table
+    per join and never shuffling it at all; repeated aggregations on the
+    bucket key skip their exchange too.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog forgets tables across sessions but leaves
+    # their warehouse directories behind — clear a stale location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.replace(".", ".db/"))
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 # ---------------------------------------------------------------------------
 # High-water mark (replaces the loaded_to_silver boolean flag, D3)
 # ---------------------------------------------------------------------------

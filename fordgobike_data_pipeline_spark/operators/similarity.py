@@ -151,11 +151,19 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the signature bucket, exact
     cosine within the bucket only. 2^n_planes buckets partition the
     corpus; expected candidate set is |corpus|/2^n_planes per query —
-    the knob that turns an O(|Q|·|C|) scan into O(|Q|·|C|/buckets)."""
+    the knob that turns an O(|Q|·|C|) scan into O(|Q|·|C|/buckets).
+
+    ``multiprobe=1`` additionally probes every bucket at hamming
+    distance 1 from the query's signature (flip each plane bit):
+    n_planes+1 probes ⇒ ≈(n_planes+1)× the candidates and a large
+    recall boost — the standard way to buy recall without re-hashing.
+    Buckets partition the corpus, so probes never duplicate candidates.
+    """
     planes = _hyperplanes(dim, n_planes, seed)
     # signature from the raw vector (sign is scale-invariant); cosine
     # becomes a plain dot over the unit-normalized pair
@@ -169,6 +177,13 @@ def lsh_ann_topk(
         unit_normalize(F.col(vec_col)).alias("q_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
+    if multiprobe:
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        q = q.select(
+            "query_id", "q_vec", F.explode(F.array(*probes)).alias("bucket")
+        )
     pairs = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))

@@ -102,6 +102,50 @@ def lang_id(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every char k-gram, keep the min hash of each sliding window of
+    ``window`` consecutive grams, distinct per doc. Near-identical docs
+    share most fingerprints (local mutations only disturb nearby
+    windows) — the plagiarism/near-dup index primitive.
+
+    Relational formulation: positions → substring k-grams → signed-64
+    md5 hash (same construction as the surrogate keys, so the oracle
+    reproduces it bit-exactly) → window-min over position → distinct.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import exprs as E
+
+    t = F.col(text_col)
+    n_pos = F.greatest(F.length(t) - k + 1, F.lit(1))
+    grams = docs.select(
+        F.col(id_col), F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"), t.alias("_t")
+    ).select(
+        id_col, "pos", F.col("_t").substr(F.col("pos"), F.lit(k)).alias("gram")
+    )
+    hashed = grams.select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 16), 16, -10).cast("long").alias("hv"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.select(F.col(id_col), F.min("hv").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def tf_idf_top_terms(
     docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

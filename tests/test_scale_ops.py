@@ -99,6 +99,29 @@ def test_ann_lsh_recalls_planted_near_dups(spark):
         assert abs(full[(r.query_id, r.cand_id)] - r.sim) < 1e-9
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    """Probing hamming-1 buckets must not lose candidates and should
+    recover strictly more of the exact top-k on random vectors."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.cand_id)
+        for r in similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id)
+        for r in similarity.lsh_ann_topk(
+            emb, queries, k=10, n_planes=6, multiprobe=1
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)  # more candidates reached
+
+
 def test_topk_two_phase_matches_window(spark):
     """The salted two-phase top-k must equal the naive window top-k."""
     from pyspark.sql import Window
@@ -147,11 +170,57 @@ def test_ivf_recalls_planted_near_dups(spark):
         assert abs(full[(r.query_id, r.cand_id)] - r.sim) < 1e-9
 
 
+def test_winnowing_robust_to_local_edits(spark):
+    """A doc with a small local edit shares most fingerprints with the
+    original (only windows near the edit change)."""
+    docs = _docs(spark).limit(5)
+    mutated = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 900).alias("doc_id"),
+        F.concat(F.lit("EDIT "), F.col("text")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(mutated)
+    fp = text.winnowing_fingerprints(both, k=5, window=4)
+    sets: dict[int, set] = {}
+    for r in fp.collect():
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    a, b = sets[0], sets[900]
+    overlap = len(a & b) / len(a | b)
+    assert overlap > 0.8
+    # and unrelated docs share almost nothing
+    other = sets[1]
+    assert len(a & other) / len(a | other) < 0.2
+
+
 def test_lang_id_shape(spark):
     out = text.lang_id(_docs(spark))
     rows = out.collect()
     assert len(rows) == _docs(spark).count()
     assert all(r.lang_guess in {"en", "es", "fr", "de", "und"} for r in rows)
+
+
+def test_approx_sketches_accuracy(spark):
+    """HLL distinct within 5% of exact; t-digest p50 within 5% of the
+    exact interpolated median."""
+    from fordgobike_data_pipeline_spark import harness
+
+    got = {
+        r.event_type: (r.approx_users, r.approx_p50)
+        for r in harness.all_queries()["q_approx_sketches"](spark, SF_SMOKE).collect()
+    }
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    exact = {
+        r.event_type: (r.users, r.p50)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for et, (users, p50) in exact.items():
+        au, ap = got[et]
+        assert abs(au - users) / users <= 0.05
+        assert abs(ap - p50) <= max(0.05 * abs(p50), 0.5)
 
 
 def test_multimodal_plumbing(spark):
