@@ -1,0 +1,86 @@
+"""Data-quality validation operators.
+
+The reference validates manually (notebooks/data_exploration.ipynb:
+null census, dtype checks, outlier probes) and declares — but cannot
+distributedly enforce — FK constraints (silver_ddl.sql:62-66). These
+operators turn both into engine checks that run as ordinary jobs and
+emit small report DataFrames (append them to the run-metrics table or
+gate a publish on them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_census(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column null counts + ratios in ONE pass (notebook cell 7's
+    isna().sum(), distributed). Output: one row per column."""
+    cols = cols or df.columns
+    aggs = [F.count("*").alias("_total")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_n_{c}"))
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").alias("n_null"),
+                F.round(F.col(f"_n_{c}") / F.col("_total"), 6).alias("null_ratio"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("s"), F.col("_total").alias("n_rows")).select(
+        "s.column", "s.n_null", "s.null_ratio", "n_rows"
+    )
+
+
+def fk_integrity(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, allow_null: bool = True
+) -> DataFrame:
+    """Referential-integrity report: rows whose FK resolves to no dim
+    row (the check behind silver_ddl.sql's FK constraints). One
+    broadcast-or-shuffle anti-join; returns a 1-row summary."""
+    candidates = fact if not allow_null else fact.filter(F.col(fact_key).isNotNull())
+    orphans = candidates.join(
+        dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_anti"
+    )
+    return candidates.agg(F.count("*").alias("n_checked")).crossJoin(
+        orphans.agg(F.count("*").alias("n_orphans"))
+    ).select("n_checked", "n_orphans", (F.col("n_orphans") == 0).alias("ok"))
+
+
+def range_check(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Out-of-range census for a numeric column (notebook cells 21-26
+    outlier probes). NULLs are not violations."""
+    c = F.col(col)
+    viol = F.count(F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1))
+    return df.agg(
+        F.lit(col).alias("column"),
+        F.count(c).alias("n_values"),
+        viol.alias("n_out_of_range"),
+        (viol == 0).alias("ok"),
+    )
+
+
+def expect_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Uniqueness check on a key set (the reference's PRIMARY KEY /
+    UNIQUE constraints): reports duplicate key count."""
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    return df.agg(F.count("*").alias("n_rows")).crossJoin(
+        dups.agg(
+            F.count("*").alias("n_duplicate_keys"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows_in_duplicates"),
+        )
+    ).select(
+        "n_rows",
+        "n_duplicate_keys",
+        "n_rows_in_duplicates",
+        (F.col("n_duplicate_keys") == 0).alias("ok"),
+    )
