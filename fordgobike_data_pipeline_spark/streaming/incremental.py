@@ -78,3 +78,33 @@ def windowed_event_counts(
 def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup by event_id, state bounded by watermark."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user event count + value sum that SURVIVES across micro-batches
+    and restarts — state lives in the checkpoint, Arrow-batched per
+    group. The template for operators Spark's built-in aggregations
+    can't express (custom accumulators, decay windows, per-key models).
+    Emits one updated row per user per batch (update output mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state):
+        (user_id,) = key
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [cnt], "sum_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
+        stateStructType="cnt BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -86,6 +86,53 @@ def test_streaming_dedup(spark, tmp_path):
     assert spark.sql("SELECT count(*) FROM dedup_out").first()[0] == 50
 
 
+def test_stateful_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across a
+    second batch arriving after a full stop/restart — state restored
+    from the checkpoint."""
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    first, second = ev.filter(F.col("event_id") < 60), ev.filter(
+        (F.col("event_id") >= 60) & (F.col("event_id") < 100)
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    first.write.mode("append").parquet(src)
+
+    def run(name):
+        got: dict = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[r.user_id] = (r.n_events, r.sum_value)
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            incremental.stateful_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    run("totals_1")
+    second.write.mode("append").parquet(src)
+    got = run("totals_2")
+
+    both = first.unionByName(second)
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in both.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # users touched by batch 2 must show CUMULATIVE totals incl. batch 1
+    batch2_users = {r.user_id for r in second.select("user_id").distinct().collect()}
+    for u in batch2_users:
+        assert got[u] == want[u]
+
+
 def test_session_windows_properties(spark):
     ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
     out = sessions.session_windows(ev, gap_seconds=1800)
