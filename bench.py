@@ -43,6 +43,10 @@ HEADLINE = [
     "q_ann_topk",
     "q_text_stats",
     "q_dedup_simhash",
+    "q_sessionize",
+    "q_tfidf",
+    "q_winnow_fingerprint",
+    "q_rollup",
 ]
 
 

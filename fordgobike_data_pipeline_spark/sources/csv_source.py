@@ -28,6 +28,23 @@ from pyspark.sql import functions as F
 from ..schemas import TRIPS_RAW
 
 
+def list_bucket_keys(
+    fetch_fn,
+    base_url: str = "",
+    suffixes: tuple[str, ...] = (".zip", ".csv"),
+) -> list[str]:
+    """S1 — bucket-listing scan (get_data.py:29-38): fetch the bucket
+    index XML, keep ``<Key>`` entries with data suffixes, return full
+    URLs. ``fetch_fn(url) -> bytes`` is injected (no network in tests;
+    production passes an HTTP client). Parsing is namespace-tolerant —
+    S3 listings carry a default xmlns."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(fetch_fn(base_url))
+    keys = [el.text for el in root.iter() if el.tag.endswith("Key") and el.text]
+    return [base_url + k for k in keys if k.endswith(suffixes)]
+
+
 def discover_and_extract(raw_dir: str, extracted_dir: str, archive_dir: str) -> list[str]:
     """Driver-side idempotent unzip/copy (get_data.py:40-90): files in
     ``raw_dir`` are extracted/copied into ``extracted_dir`` then moved to

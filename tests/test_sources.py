@@ -89,6 +89,20 @@ def test_geocode_enrichment_topology(spark):
     assert {(round(r.latitude, 4), round(r.longitude, 4)) for r in got} == coords
 
 
+def test_list_bucket_keys_parses_s3_xml():
+    xml = b"""<?xml version="1.0"?>
+    <ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+      <Contents><Key>201801-fordgobike-tripdata.csv.zip</Key></Contents>
+      <Contents><Key>2017-fordgobike-tripdata.csv</Key></Contents>
+      <Contents><Key>index.html</Key></Contents>
+    </ListBucketResult>"""
+    urls = csv_source.list_bucket_keys(lambda url: xml, "https://bucket/")
+    assert urls == [
+        "https://bucket/201801-fordgobike-tripdata.csv.zip",
+        "https://bucket/2017-fordgobike-tripdata.csv",
+    ]
+
+
 def test_geocode_error_rows_dropped(spark):
     trips = fixtures.trips_df(spark)
     cand = geocode.candidate_coordinates(trips, None)
