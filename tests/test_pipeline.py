@@ -175,6 +175,21 @@ def test_incremental_second_batch(spark, wh):
     assert max_date >= 20180118
 
 
+def test_incremental_gold_refresh_equals_full(spark, wh):
+    """Splicing only the affected date groups must produce exactly the
+    full-recompute mart (runs after the second batch landed)."""
+    from fordgobike_data_pipeline_spark.plans import gold as gold_mod
+
+    runner.refresh_daily_summary_incremental(spark, wh, new_batch_min=2)
+    got = wh.read(spark, "gold", "dm_daily_trip_summary")
+    full = gold_mod.dm_daily_trip_summary(
+        wh.read(spark, "silver", "fact_trips"), wh.read(spark, "silver", "dim_date")
+    )
+    g = {tuple(r) for r in got.collect()}
+    f = {tuple(r) for r in full.collect()}
+    assert g == f
+
+
 def test_catalog_registration(spark, wh):
     """D1: published tables addressable by <layer>.<name> via the
     catalog after registration."""
