@@ -30,7 +30,12 @@ def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
     """One surviving row (min id) per exact content hash; keeps the
-    duplicate count. Single hash-partitioned aggregation."""
+    duplicate count. Single hash-partitioned aggregation.
+
+    Columns join on a control-character separator so multi-column
+    content is unambiguous — ("ab","c") must not hash like ("a","bc");
+    with a single column no separator appears, so the hash is
+    md5(col) exactly (matching the oracle's md5(text))."""
     key = F.md5(F.concat_ws("", *content_cols)).alias("content_hash")
     return (
         df.select(key, F.col(id_col))

@@ -204,6 +204,26 @@ def test_catalog_registration(spark, wh):
     assert set(ddl.register_warehouse_tables(spark, wh)) == set(registered)
 
 
+def test_publish_failure_leaves_old_table_intact(spark, tmp_path):
+    """D4 atomicity: a failing recompute must not damage the published
+    table — the swap happens only after the new write succeeds."""
+    from fordgobike_data_pipeline_spark.io import publish_overwrite
+
+    path = str(tmp_path / "mart")
+    publish_overwrite(spark.range(100).toDF("n"), path)
+
+    bad = spark.range(10).selectExpr(
+        "CASE WHEN id < 5 THEN id ELSE raise_error('boom') END AS n"
+    )
+    with pytest.raises(Exception):
+        publish_overwrite(bad, path)
+    # old version still fully readable
+    assert spark.read.parquet(path).count() == 100
+    # and a later good publish still succeeds
+    publish_overwrite(spark.range(7).toDF("n"), path)
+    assert spark.read.parquet(path).count() == 7
+
+
 def test_metrics_table(spark, wh):
     m = wh.read(spark, "_state", "run_metrics")
     stages = {r.stage for r in m.collect()}
