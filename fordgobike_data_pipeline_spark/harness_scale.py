@@ -285,6 +285,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, queries, k=10, centroid_mod=25, nprobe=3)
 
 
+@query("q_embed_pairs_lsh")  # bucketed approximation → rows-only
+def q_embed_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucketed pair search
+    (candidates share a hyperplane signature). Subset-of-brute-force
+    property tested in tests/test_scale_ops.py."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.cosine_pairs_lsh(emb, threshold=0.4, n_planes=6)
+
+
+@query("q_clean_corpus")  # composes probabilistic stages → rows-only
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus cleaning pipeline (quality gate → lang
+    filter → exact dedup → MinHash near-dedup) — returns the per-stage
+    row-count accounting report."""
+    from .plans import corpus
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    _, report = corpus.clean_corpus(
+        docs, min_quality=0.4, keep_langs=("en", "es", "fr", "de", "und")
+    )
+    return report
+
+
 @query("q_lang_id")  # heuristic with engine-specific internals → rows-only
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID (en/es/fr/de/und)."""

