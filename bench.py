@@ -47,6 +47,9 @@ HEADLINE = [
     "q_tfidf",
     "q_winnow_fingerprint",
     "q_rollup",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_embed_pairs_lsh",
 ]
 
 

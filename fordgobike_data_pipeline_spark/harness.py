@@ -959,6 +959,65 @@ def q_scan_csv_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_name) AS name_lower,
+           substr(p_type, 1, 6) AS type_prefix,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           CAST(levenshtein(p_brand, substr(p_type, 1, 8)) AS INT) AS edit_dist,
+           length(trim(p_name)) AS name_len
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function library breadth: case, substr, pad, translate,
+    Levenshtein edit distance (the string-similarity primitive), trim."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.levenshtein("p_brand", F.substring("p_type", 1, 8)).alias("edit_dist"),
+        F.length(F.trim("p_name")).alias("name_len"),
+    )
+
+
+@query(
+    "q_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since_2024,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate AS DATE) - INTERVAL 1 WEEK AS week_before
+    FROM orders
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic breadth: add/sub intervals, day diffs, month
+    truncation and end-of-month."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long").alias(
+            "days_since_2024"
+        ),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_sub(d, 7).cast("timestamp").alias("week_before"),
+    )
+
+
+@query(
     "q_json_extract",
     """
     SELECT event_type,

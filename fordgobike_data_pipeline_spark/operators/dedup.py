@@ -130,6 +130,13 @@ def minhash_lsh_pairs(
     the verify step removes false positives, so output ⊆ the exact
     result with near-1 recall at the threshold.
     """
+    if n_hashes % n_bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by n_bands ({n_bands}); "
+            "bands would silently drop trailing hash rows otherwise"
+        )
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     rows_per_band = n_hashes // n_bands
     # the shingle table feeds both the signature build and the verify
     # join; recompute beats caching here — the exploded table is much

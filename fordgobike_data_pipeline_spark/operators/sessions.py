@@ -26,6 +26,8 @@ def session_windows(
     ``gap_seconds`` (microsecond-exact comparison so the oracle
     matches bit-for-bit). Deterministic ordering tiebreak on id_col.
     """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
     w_lag = Window.partitionBy(user_col).orderBy(*order)
     w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)

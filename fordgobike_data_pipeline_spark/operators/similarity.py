@@ -164,6 +164,10 @@ def lsh_ann_topk(
     recall boost — the standard way to buy recall without re-hashing.
     Buckets partition the corpus, so probes never duplicate candidates.
     """
+    if not 1 <= n_planes <= 30:
+        raise ValueError(
+            f"n_planes must be in [1, 30] (bucket key packs into an int), got {n_planes}"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     # signature from the raw vector (sign is scale-invariant); cosine
     # becomes a plain dot over the unit-normalized pair

@@ -191,6 +191,22 @@ def test_winnowing_robust_to_local_edits(spark):
     assert len(a & other) / len(a | other) < 0.2
 
 
+def test_operator_argument_validation(spark):
+    import pytest
+
+    from fordgobike_data_pipeline_spark.operators import sessions
+
+    docs = _docs(spark).limit(2)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, n_hashes=64, n_bands=10)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.minhash_lsh_pairs(docs, threshold=1.5)
+    with pytest.raises(ValueError, match="gap_seconds"):
+        sessions.session_windows(docs, gap_seconds=0)
+    with pytest.raises(ValueError, match="n_planes"):
+        similarity.lsh_ann_topk(_emb(spark), _emb(spark).limit(1), n_planes=40)
+
+
 def test_lang_id_shape(spark):
     out = text.lang_id(_docs(spark))
     rows = out.collect()
