@@ -184,7 +184,11 @@ def build_fact_trips(trips: DataFrame, dim_locations: DataFrame) -> DataFrame:
     user_type_id is hashed from the *cleaned* attributes so it lands on
     a dim_user_types row by construction (same formula both sides).
     """
+    # lineage passthrough: the batch id enables incremental gold
+    # maintenance downstream (runner.build_gold_incremental)
+    lineage = [F.col("_batch_id")] if "_batch_id" in trips.columns else []
     cleaned = trips.select(
+        *lineage,
         "trip_id",
         E.round_minutes("duration_sec").alias("duration_min"),
         F.col("start_time").cast("date").alias("start_date_trip"),
@@ -227,6 +231,7 @@ def build_fact_trips(trips: DataFrame, dim_locations: DataFrame) -> DataFrame:
             "left",
         )
         .select(
+            *lineage,
             "trip_id",
             "duration_min",
             "start_location_id",

@@ -176,18 +176,28 @@ def test_incremental_second_batch(spark, wh):
 
 
 def test_incremental_gold_refresh_equals_full(spark, wh):
-    """Splicing only the affected date groups must produce exactly the
-    full-recompute mart (runs after the second batch landed)."""
+    """Splicing only the affected groups must reproduce the full
+    recompute for all four marts (runs after the second batch landed,
+    over marts last published at batch 1)."""
     from fordgobike_data_pipeline_spark.plans import gold as gold_mod
 
-    runner.refresh_daily_summary_incremental(spark, wh, new_batch_min=2)
-    got = wh.read(spark, "gold", "dm_daily_trip_summary")
-    full = gold_mod.dm_daily_trip_summary(
-        wh.read(spark, "silver", "fact_trips"), wh.read(spark, "silver", "dim_date")
-    )
-    g = {tuple(r) for r in got.collect()}
-    f = {tuple(r) for r in full.collect()}
-    assert g == f
+    runner.build_gold_incremental(spark, wh, new_batch_min=2)
+    fact = wh.read(spark, "silver", "fact_trips")
+    dim_loc = wh.read(spark, "silver", "dim_locations")
+    dim_ut = wh.read(spark, "silver", "dim_user_types")
+    dim_date = wh.read(spark, "silver", "dim_date")
+    full = {
+        "dm_daily_trip_summary": gold_mod.dm_daily_trip_summary(fact, dim_date),
+        "dm_station_popularity": gold_mod.dm_station_popularity(fact, dim_loc),
+        "dm_popular_routes": gold_mod.dm_popular_routes(fact, dim_loc),
+        "dm_user_behavior_summary": gold_mod.dm_user_behavior_summary(
+            fact, dim_ut, dim_date
+        ),
+    }
+    for table, want_df in full.items():
+        got = {tuple(r) for r in wh.read(spark, "gold", table).collect()}
+        want = {tuple(r) for r in want_df.collect()}
+        assert got == want, f"{table}: incremental != full"
 
 
 def test_catalog_registration(spark, wh):
