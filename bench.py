@@ -81,6 +81,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # end-to-end medallion pipeline throughput (synthetic 200k trips,
+    # generated Spark-side): bronze→silver→gold including all writes
+    import tempfile
+
+    from fordgobike_data_pipeline_spark.plans import runner as runner_mod
+    from fordgobike_data_pipeline_spark.plans.runner import Warehouse
+    from tools.pipeline_bench import synth_geo, synth_trips
+
+    n_trips = 200_000
+    wh = Warehouse(tempfile.mkdtemp(prefix="bench_wh_"))
+    t0 = time.perf_counter()
+    runner_mod.run_pipeline(spark, wh, synth_trips(spark, n_trips), synth_geo(spark), 1)
+    pipeline_sec = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -92,6 +106,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": 2,
                 "aggregation": "min",
+                "pipeline_e2e": {"n_trips": n_trips, "sec": pipeline_sec},
             }
         )
     )

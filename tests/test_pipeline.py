@@ -234,6 +234,26 @@ def test_publish_failure_leaves_old_table_intact(spark, tmp_path):
     assert spark.read.parquet(path).count() == 7
 
 
+def test_sql_front_door(spark, wh):
+    """A reference user's SQL runs verbatim after registration."""
+    from fordgobike_data_pipeline_spark import sql as engine_sql
+
+    engine_sql.register_warehouse(spark, wh.root)
+    top = engine_sql.sql(
+        spark,
+        """
+        SELECT station_name, total_trips
+        FROM gold.dm_station_popularity
+        ORDER BY total_trips DESC, station_name LIMIT 3
+        """,
+    ).collect()
+    assert len(top) == 3 and top[0].total_trips >= top[-1].total_trips
+
+    engine_sql.register_testdata(spark, "/root/testdata/sf0.001")
+    n = engine_sql.sql(spark, "SELECT count(*) AS n FROM lineitem").first().n
+    assert n > 0
+
+
 def test_metrics_table(spark, wh):
     m = wh.read(spark, "_state", "run_metrics")
     stages = {r.stage for r in m.collect()}
