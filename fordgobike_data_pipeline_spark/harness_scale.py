@@ -244,9 +244,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=5 char grams, window 4) —
-    bit-exact md5-based hashes so the oracle reproduces the selection."""
+    md5-parity hashes here so the oracle reproduces the selection
+    bit-exactly; production default is xxhash64."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return text.winnowing_fingerprints(docs, k=5, window=4)
+    return text.winnowing_fingerprints(docs, k=5, window=4, hash_fn="md5-parity")
 
 
 @query(

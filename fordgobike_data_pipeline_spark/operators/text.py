@@ -108,6 +108,7 @@ def winnowing_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     hash every char k-gram, keep the min hash of each sliding window of
@@ -116,8 +117,10 @@ def winnowing_fingerprints(
     windows) — the plagiarism/near-dup index primitive.
 
     Relational formulation: positions → substring k-grams → signed-64
-    md5 hash (same construction as the surrogate keys, so the oracle
-    reproduces it bit-exactly) → window-min over position → distinct.
+    hash → window-min over position → distinct. ``hash_fn``:
+    'xxhash64' (default — one JVM op per gram, the production path) or
+    'md5-parity' (the surrogate-key construction a SQL oracle can
+    reproduce bit-exactly; ~4× the per-gram cost).
     """
     from pyspark.sql import Window
 
@@ -130,11 +133,13 @@ def winnowing_fingerprints(
     ).select(
         id_col, "pos", F.col("_t").substr(F.col("pos"), F.lit(k)).alias("gram")
     )
-    hashed = grams.select(
-        id_col,
-        "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 16), 16, -10).cast("long").alias("hv"),
-    )
+    if hash_fn == "md5-parity":
+        hv = F.conv(F.substring(F.md5("gram"), 1, 16), 16, -10).cast("long")
+    elif hash_fn == "xxhash64":
+        hv = F.xxhash64("gram")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5-parity', got {hash_fn!r}")
+    hashed = grams.select(id_col, "pos", hv.alias("hv"))
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
