@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .harness import query
 from .io import load_tables
-from .operators import dedup, multimodal, sessions, similarity, text
+from .operators import dedup, multimodal, sessions, similarity, temporal, text
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -365,6 +365,59 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.attach_binary(docs)
     return multimodal.sample_frames(media, every_n_bytes=1024, max_frames=8)
+
+
+@query(
+    "q_asof_join",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.ts, c.click_id, v.view_id
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): for each click, the
+    latest view by the same user at or before it — union +
+    carry-forward window, one shuffle, verified against DuckDB's
+    native ASOF JOIN."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return temporal.asof_join(
+        clicks, views, "user_id", "ts", ["click_id"], ["view_id"]
+    )
+
+
+@query(
+    "q_range_join",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS dt_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: same-user event pairs within 30 minutes,
+    via gap-sized time bins + adjacent-bin equi-join (no quadratic
+    inequality join) — verified against DuckDB's inequality join."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.range_join_pairs(ev, "user_id", "ts", "event_id", 1800)
 
 
 @query(
