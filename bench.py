@@ -50,6 +50,8 @@ HEADLINE = [
     "q_ann_lsh",
     "q_ann_ivf",
     "q_embed_pairs_lsh",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 

@@ -1172,6 +1172,20 @@ def q_window_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping combinations in one pass (completes the
+    rollup/grouping-sets family)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+
+
+@query(
     "q_grouping_sets",
     """
     SELECT event_type, CAST(year(ts) AS INT) AS y, count(*) AS cnt
