@@ -73,6 +73,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, k=3, threshold=0.8)
 
 
+@query("q_dedup_clusters")  # iterative algorithm → rows-only
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs → connected components →
+    (node, component) labels. The transitive-closure step real dedup
+    needs (A~B, B~C ⇒ one survivor for {A,B,C})."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.8)
+    return dedup.connected_components(pairs)
+
+
 @query("q_dedup_simhash")  # hash-family specific → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs (16-bit chunk buckets, hamming

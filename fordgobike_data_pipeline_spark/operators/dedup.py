@@ -199,6 +199,74 @@ def jaccard_for_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a pair list via min-label propagation —
+    the clustering step that turns near-dup PAIRS into dedup GROUPS
+    (transitive closure: A~B, B~C ⇒ {A,B,C} keep one).
+
+    Iterative DataFrame algorithm (legitimately non-SQL-expressible):
+    every node starts labeled with itself; each round takes the min of
+    its own and its neighbors' labels; stops at fixpoint (checked with
+    a counted action per round) or max_iter. Near-dup components are
+    tiny (diameter ≪ rounds); each round is one join + one aggregation,
+    labels cached between rounds.
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor, labels.node == neighbor.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        ).cache()
+        n_changed = updated.filter(F.col("_changed")).count()
+        new_labels = updated.drop("_changed").cache()
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse near-dup clusters: keep the min-id document of each
+    connected component; singleton docs (no pairs) keep themselves."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

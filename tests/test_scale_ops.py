@@ -45,6 +45,27 @@ def test_exact_dedup_on_planted_duplicates(spark):
     assert out.filter((F.col("n_copies") == 2) & (F.col("keep_id") >= 1_000_000)).count() == 0
 
 
+def test_connected_components_transitive(spark):
+    """A~B, B~C, D~E ⇒ components {A,B,C} and {D,E}; chain longer than
+    one propagation round converges via the fixpoint loop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert comp[10] == comp[11] == 10
+
+
+def test_dedup_clusters_keeps_one_per_component(spark):
+    docs = _docs(spark).limit(30).select("doc_id", "text")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a LONG, id_b LONG")
+    kept = {r.doc_id for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert 5 in kept and 6 not in kept
+    assert 7 in kept  # singletons untouched
+    assert len(kept) == 30 - 3
+
+
 def test_simhash_contract(spark):
     """(a) an exact duplicate (hamming 0) is always found — the ≤3
     pigeonhole guarantee; (b) every reported hamming equals the true
