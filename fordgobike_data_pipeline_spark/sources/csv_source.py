@@ -79,7 +79,11 @@ def read_trips_csv(spark: SparkSession, extracted_dir: str) -> DataFrame:
         os.path.join(extracted_dir, "*.csv"),
         header=True,
         schema=StructType(fields),
-        timestampFormat="yyyy-MM-dd HH:mm:ss[.SSSS]",
+        # fraction is width-lenient up to 6 digits: handles the raw
+        # files' 4-digit subseconds ('...39.6540'), full microseconds,
+        # and no fraction at all — 4-digit-only patterns silently NULL
+        # 6-digit inputs under PERMISSIVE mode
+        timestampFormat="yyyy-MM-dd HH:mm:ss[.SSSSSS]",
         mode="PERMISSIVE",
     )
     filename = F.element_at(F.split(F.input_file_name(), "/"), -1)

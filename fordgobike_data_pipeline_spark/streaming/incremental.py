@@ -44,6 +44,7 @@ def stream_ingest_trips(
     stream = (
         spark.readStream.schema(StructType(fields))
         .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .csv(extracted_dir)
     )
     filename = F.element_at(F.split(F.input_file_name(), "/"), -1)

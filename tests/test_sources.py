@@ -47,6 +47,22 @@ def test_read_trips_csv_period_from_filename(spark, tmp_path):
     assert df.filter(F.col("start_time").isNull()).count() == 0
 
 
+def test_read_trips_csv_fraction_widths(spark, tmp_path):
+    """Raw FordGoBike files carry 4-digit subseconds; other exports use
+    6 or none — all must parse (a fixed-width pattern NULLs silently)."""
+    extracted = tmp_path / "ex"
+    extracted.mkdir()
+    rows = fixtures.make_trips(n=3)
+    rows[0]["start_time"] = "2017-12-31 16:57:39.6540"
+    rows[1]["start_time"] = "2018-01-05 06:34:12.654321"
+    rows[2]["start_time"] = "2018-01-05 06:34:12"
+    _write_csv(extracted / "2017-data.csv", rows)
+    df = csv_source.read_trips_csv(spark, str(extracted))
+    got = sorted(r.start_time for r in df.select("start_time").collect())
+    assert all(t is not None for t in got)
+    assert got[0].microsecond == 654000  # 4-digit fraction → 0.654 s
+
+
 def test_discover_and_extract_idempotent(tmp_path):
     raw = tmp_path / "raw"
     raw.mkdir()
