@@ -253,7 +253,8 @@ def upsert_skip_conflict(existing: DataFrame | None, new: DataFrame, keys: list[
     get_locations.py:93-107): existing ∪ (new ⟕̸ existing on keys)."""
     if existing is None:
         return new.dropDuplicates(keys)
-    fresh = new.dropDuplicates(keys).join(
-        F.broadcast(existing.select(*keys)), keys, "left_anti"
-    )
+    # no broadcast hint: the existing side can grow without bound over
+    # the table's lifetime — AQE broadcasts it while it's small and
+    # falls back to a shuffle join when it isn't
+    fresh = new.dropDuplicates(keys).join(existing.select(*keys), keys, "left_anti")
     return existing.unionByName(fresh)

@@ -64,8 +64,14 @@ def candidate_coordinates(trips: DataFrame, enriched: DataFrame | None) -> DataF
         F.col("end_station_longitude").alias("longitude"),
     )
     coords = start.union(end).distinct()
+    # int-cast truncation (toward zero) matches the reference's
+    # ``int(lat) == 0 and int(long) == 0`` exactly — floor() would
+    # differ for negative near-zero coordinates
     coords = coords.filter(
-        ~((F.floor("latitude") == 0) & (F.floor("longitude") == 0))
+        ~(
+            (F.col("latitude").cast("int") == 0)
+            & (F.col("longitude").cast("int") == 0)
+        )
     )
     if enriched is not None:
         coords = coords.join(
