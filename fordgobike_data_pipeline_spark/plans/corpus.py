@@ -61,12 +61,13 @@ def clean_corpus(
     gated = gated.join(survivors, id_col, "left_semi")
     counts.append(("exact_dedup", gated))
 
-    # 4. near-dedup — drop the higher id of every near-dup pair
+    # 4. near-dedup — cluster pairs into connected components and keep
+    # the min-id survivor per component (exact transitive semantics:
+    # a~b~c collapses to one doc even when (a,c) was never a pair)
     pairs = dedup.minhash_lsh_pairs(
         gated, text_col, id_col, k=shingle_k, threshold=jaccard_threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    cleaned = gated.join(losers, id_col, "left_anti")
+    cleaned = dedup.dedup_clusters(gated, pairs, id_col)
     counts.append(("near_dedup", cleaned))
 
     report = None
