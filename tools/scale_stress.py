@@ -1,0 +1,68 @@
+"""Stress the scale operators beyond the provided scale factors by
+replicating the sf0.1 corpus N× (id-offset copies — deliberately
+creates cross-copy exact/near duplicates, which is exactly the dedup
+workload). Prints per-operator wall times.
+
+    python tools/scale_stress.py [replication]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fordgobike_data_pipeline_spark.operators import dedup, similarity, text  # noqa: E402
+from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df, id_col, n):
+    copies = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000)) for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def timed(name, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    print(f"  {name:<24} {time.perf_counter() - t0:>7.2f}s")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = replicate(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text"),
+        "doc_id",
+        n,
+    )
+    emb = replicate(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding"),
+        "vec_id",
+        n,
+    )
+    n_docs, n_vecs = docs.count(), emb.count()
+    print(f"stress at {n}x sf0.1: {n_docs} docs, {n_vecs} vectors")
+    timed("exact_dedup", dedup.exact_dedup(docs, ["text"]))
+    timed("minhash_lsh_pairs", dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    timed("simhash_pairs", dedup.simhash_pairs(docs, max_hamming=3))
+    timed("winnow(xxhash64)", text.winnowing_fingerprints(docs))
+    timed("tfidf_top_terms", text.tf_idf_top_terms(docs))
+    timed("cosine_pairs_lsh", similarity.cosine_pairs_lsh(emb, threshold=0.9, n_planes=10))
+    queries = emb.filter(F.col("vec_id") < 5)
+    timed("lsh_ann_topk(mp=1)", similarity.lsh_ann_topk(emb, queries, n_planes=8, multiprobe=1))
+
+
+if __name__ == "__main__":
+    main()
