@@ -81,6 +81,37 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    join_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with same-user views
+    from the preceding ``join_window``. Both sides carry watermarks and
+    the join condition time-bounds the match, so state for both streams
+    is evicted as the watermark advances — the streaming twin of the
+    batch range join (operators/temporal.range_join_pairs).
+
+    Inputs use disjoint column names (stream-stream joins can't
+    disambiguate shared names): click side (click_user, click_ts,
+    click_id); view side (view_user, view_ts, view_id).
+    """
+    c = clicks.withWatermark("click_ts", watermark)
+    v = views.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"""
+            click_user = view_user AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {join_window}
+            """
+        ),
+        "inner",
+    ).select("click_user", "click_id", "click_ts", "view_id", "view_ts")
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running
     per-user event count + value sum that SURVIVES across micro-batches

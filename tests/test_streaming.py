@@ -86,6 +86,44 @@ def test_streaming_dedup(spark, tmp_path):
     assert spark.sql("SELECT count(*) FROM dedup_out").first()[0] == 50
 
 
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """The watermarked stream-stream join must produce exactly the
+    batch time-bounded join over the same data."""
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c_src, v_src = str(tmp_path / "c"), str(tmp_path / "v")
+    clicks_b.write.parquet(c_src)
+    views_b.write.parquet(v_src)
+    c_stream = spark.readStream.schema(clicks_b.schema).parquet(c_src)
+    v_stream = spark.readStream.schema(views_b.schema).parquet(v_src)
+    q = (
+        incremental.stream_stream_join(c_stream, v_stream)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.click_id, r.view_id) for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    want = {
+        (r.click_id, r.view_id)
+        for r in incremental.stream_stream_join(clicks_b, views_b).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stateful_totals_survive_restart(spark, tmp_path):
     """applyInPandasWithState: per-user totals accumulate across a
     second batch arriving after a full stop/restart — state restored
