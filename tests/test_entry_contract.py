@@ -1,0 +1,48 @@
+"""Driver-contract shape tests: the exact properties the correctness
+harness relies on (beyond the per-query oracle checks)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_queries_and_oracles_align():
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    # every oracle belongs to a declared query
+    assert set(osql) <= set(qs)
+    # every callable takes (spark, sf_dir)
+    for name, fn in qs.items():
+        assert callable(fn), name
+    # substantial coverage: oracle-checked share stays high
+    assert len(qs) >= 70 and len(osql) >= 60
+
+
+def test_oracle_sql_references_only_registered_views():
+    """Oracle SQL may only reference the views the driver registers."""
+    import re
+
+    from fordgobike_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+    allowed = set(TESTDATA_TABLES)
+    for name, sql in entry_mod.oracle_sql().items():
+        froms = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE)
+        for t in froms:
+            # CTE names and derived aliases are fine; only flag unknown
+            # bare names that also aren't defined as CTEs in the query
+            if t in allowed:
+                continue
+            assert re.search(
+                rf"\b{t}\b\s+AS\s*\(", sql, re.IGNORECASE
+            ) or f"{t} AS (" in sql or f"{t}(" in sql or t in ("unnest", "range"), (
+                f"{name}: oracle references unregistered relation {t!r}"
+            )
+
+
+def test_entry_runs_on_vanilla_like_session(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == [
+        "l_returnflag", "l_linestatus", "ship_year", "trip_count",
+        "sum_price", "avg_price", "distinct_suppliers",
+    ]
