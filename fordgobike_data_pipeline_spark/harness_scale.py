@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .harness import query
 from .io import load_tables
-from .operators import dedup, multimodal, sessions, similarity, temporal, text
+from .operators import dedup, multimodal, sampling, sessions, similarity, temporal, text
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -375,6 +375,34 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.attach_binary(docs)
     return multimodal.sample_frames(media, every_n_bytes=1024, max_frames=8)
+
+
+@query(
+    "q_deterministic_sample",
+    """
+    WITH h AS (
+        SELECT event_id, user_id, event_type,
+               CAST(CAST(from_hex(substr(md5(CAST(event_id AS VARCHAR)), 1, 16)) AS BIT) AS BIGINT) AS hv
+        FROM events
+    )
+    SELECT event_id, user_id, event_type FROM h
+    WHERE ((hv % 1000000) + 1000000) % 1000000 <
+          CASE event_type WHEN 'error' THEN 1000000
+                          WHEN 'click' THEN 300000
+                          ELSE 100000 END
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: selection is a pure function
+    of the row key (hash threshold — stable across runs, partitionings
+    and engines; the md5 construction lets the oracle reproduce the
+    exact row set). Keeps all errors, 30% of clicks, 10% of the rest."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sampled = sampling.stratified_deterministic_sample(
+        ev, "event_id", "event_type",
+        rates={"error": 1.0, "click": 0.3}, default_rate=0.1,
+    )
+    return sampled.select("event_id", "user_id", "event_type")
 
 
 @query(

@@ -1,0 +1,46 @@
+"""Deterministic sampling — reproducible dataset subsetting at scale.
+
+``df.sample()`` is seed-dependent per partitioning and not stable
+across runs/cluster layouts; training-data pipelines need samples that
+are a pure function of the ROW, so any engine, any re-run, any
+repartitioning selects the same rows. Hash-threshold sampling gives
+that: keep a row iff hash(key) mod M < rate·M. No shuffle, no state,
+composable with incremental ingest (new rows sample themselves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def _bucket(key: Column) -> Column:
+    """Uniform bucket in [0, M) from the md5-based signed-64 hash (the
+    same construction as the surrogate keys, so a SQL oracle reproduces
+    the selection bit-exactly)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 16), 16, -10).cast("long")
+    return F.pmod(h, F.lit(_M))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float
+) -> DataFrame:
+    """Keep ≈rate of rows, chosen purely by the key's hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_bucket(F.col(key_col)) < int(rate * _M))
+
+
+def stratified_deterministic_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, float], default_rate: float = 0.0
+) -> DataFrame:
+    """Per-stratum rates (the deterministic twin of ``df.sampleBy``):
+    e.g. keep 100% of rare 'error' events but 5% of 'view's."""
+    threshold = F.lit(int(default_rate * _M))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * _M))
+        ).otherwise(threshold)
+    return df.filter(_bucket(F.col(key_col)) < threshold)

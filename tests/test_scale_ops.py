@@ -212,6 +212,30 @@ def test_winnowing_robust_to_local_edits(spark):
     assert len(a & other) / len(a | other) < 0.2
 
 
+def test_deterministic_sample_properties(spark):
+    """Same rows across runs AND across repartitionings; rate ≈
+    requested; stratified keeps 100% strata intact."""
+    from fordgobike_data_pipeline_spark.io import load_tables
+    from fordgobike_data_pipeline_spark.operators import sampling
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    a = {r.event_id for r in sampling.deterministic_sample(ev, "event_id", 0.2).collect()}
+    b = {
+        r.event_id
+        for r in sampling.deterministic_sample(ev.repartition(17), "event_id", 0.2).collect()
+    }
+    assert a == b  # partition-layout independent
+    n = ev.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ≈20%
+    strat = sampling.stratified_deterministic_sample(
+        ev, "event_id", "event_type", {"error": 1.0}, default_rate=0.0
+    )
+    assert strat.count() == ev.filter(F.col("event_type") == "error").count()
+    # rate monotonicity: lower rate is a subset of higher rate
+    small = {r.event_id for r in sampling.deterministic_sample(ev, "event_id", 0.05).collect()}
+    assert small <= a
+
+
 def test_operator_argument_validation(spark):
     import pytest
 
