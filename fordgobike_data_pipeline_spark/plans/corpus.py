@@ -77,3 +77,58 @@ def clean_corpus(
         )
         report = row if report is None else report.unionByName(row)
     return cleaned, report
+
+
+def token_budget_filter(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Stage 5 — cap the corpus at ≈budget_tokens, keeping the
+    highest-quality documents first.
+
+    A global quality-ordered running sum would sort the whole corpus
+    onto one partition; instead quality space is cut into n_buckets,
+    per-bucket token totals (a tiny aggregate) pick the cutoff bucket,
+    and only *that* bucket is trimmed exactly with a window bounded to
+    one bucket's rows. Deterministic: quality desc, then doc id.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    from ..operators import text as text_ops
+
+    q = quality_ranked = (
+        docs.join(text_ops.quality_score(docs, text_col, id_col), id_col)
+        .join(text_ops.token_count_bpe_ish(docs, text_col, id_col), id_col)
+        .withColumn("_bucket", F.least(F.floor(F.col("quality") * n_buckets), F.lit(n_buckets - 1)))
+    )
+    per_bucket = (
+        q.groupBy("_bucket")
+        .agg(F.sum("n_bpe_tokens").alias("_tok"))
+        .orderBy(F.desc("_bucket"))
+        .collect()
+    )  # n_buckets rows — a bounded driver-side cutoff table, not data
+    cum, cutoff = 0, None
+    for r in per_bucket:
+        if cum + r._tok > budget_tokens:
+            cutoff = r._bucket
+            break
+        cum += r._tok
+    if cutoff is None:
+        return docs  # whole corpus fits
+    keep_whole = q.filter(F.col("_bucket") > cutoff)
+    boundary = q.filter(F.col("_bucket") == cutoff)
+    w = (
+        Window.orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_kept = (
+        boundary.withColumn("_cum", F.sum("n_bpe_tokens").over(w))
+        .filter(F.col("_cum") <= budget_tokens - cum)
+    )
+    kept_ids = keep_whole.select(id_col).unionByName(boundary_kept.select(id_col))
+    return docs.join(kept_ids, id_col, "left_semi")

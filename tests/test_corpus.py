@@ -45,6 +45,39 @@ def test_clean_corpus_removes_planted_junk(spark):
     assert cleaned.count() == rep["near_dedup"]
 
 
+def test_token_budget_filter(spark):
+    from fordgobike_data_pipeline_spark.operators import text as text_ops
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    total = (
+        text_ops.token_count_bpe_ish(docs).agg(F.sum("n_bpe_tokens")).first()[0]
+    )
+    budget = total // 3
+    kept = corpus.token_budget_filter(docs, budget)
+    kept_tokens = (
+        text_ops.token_count_bpe_ish(kept).agg(F.sum("n_bpe_tokens")).first()[0]
+    )
+    assert kept_tokens <= budget
+    assert 0 < kept.count() < docs.count()
+    # kept docs skew to higher quality than dropped ones
+    q = text_ops.quality_score(docs)
+    kept_q = q.join(kept.select("doc_id"), "doc_id", "left_semi").agg(
+        F.avg("quality")
+    ).first()[0]
+    dropped_q = q.join(kept.select("doc_id"), "doc_id", "left_anti").agg(
+        F.avg("quality")
+    ).first()[0]
+    assert kept_q > dropped_q
+    # whole corpus fits → untouched
+    assert corpus.token_budget_filter(docs, total + 1).count() == docs.count()
+    # determinism
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in corpus.token_budget_filter(docs, budget).collect()}
+    assert a == b
+
+
 def test_cosine_pairs_lsh_subset_of_bruteforce(spark):
     emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
     twins = emb.filter(F.col("vec_id") < 3).select(
