@@ -319,6 +319,52 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+@query(
+    "q_token_budget",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS tok_chars,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / n_chars) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6) AS quality
+        FROM s
+    ),
+    t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT q.doc_id,
+               sum(t.n) OVER (ORDER BY q.quality DESC, q.doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM q JOIN t USING (doc_id)
+    )
+    SELECT doc_id FROM c WHERE cum <= 10000
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus cap (plans/corpus.token_budget_filter):
+    highest-quality docs first until ~10k BPE-ish tokens. The engine's
+    bucketed cutoff (no global sort) is provably equal to the oracle's
+    global quality-ordered running sum — buckets partition quality space
+    monotonically, so the greedy prefix is identical."""
+    from .plans import corpus
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.token_budget_filter(
+        docs.select("doc_id", "text"), budget_tokens=10000
+    ).select("doc_id")
+
+
 @query("q_lang_id")  # heuristic with engine-specific internals → rows-only
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID (en/es/fr/de/und)."""
