@@ -344,10 +344,14 @@ def simhash_pairs(
         F.col(id_col), "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
     if max_bucket_size is not None:
+        # Anti-join against the OVERSIZED buckets: hot buckets are rare,
+        # so that side stays broadcast-small even when the corpus (and
+        # hence the set of small buckets) is 100 TB.
         sizes = buckets.groupBy("chunk", "ck").agg(F.count("*").alias("_bs"))
         buckets = buckets.join(
-            F.broadcast(sizes.filter(F.col("_bs") <= max_bucket_size)).select("chunk", "ck"),
+            F.broadcast(sizes.filter(F.col("_bs") > max_bucket_size)).select("chunk", "ck"),
             ["chunk", "ck"],
+            "left_anti",
         )
     left = buckets.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "ck"
@@ -359,6 +363,6 @@ def simhash_pairs(
         left.join(right, ["chunk", "ck"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
