@@ -52,6 +52,7 @@ HEADLINE = [
     "q_embed_pairs_lsh",
     "q_asof_join",
     "q_range_join",
+    "q_token_budget",
 ]
 
 
