@@ -567,3 +567,17 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.repartition_for_media(multimodal.attach_binary(docs))
     return multimodal.extract_image_features(media)
+
+
+@query("q_resize_images")  # Python stub decoder → rows-only
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image resize to 64x64 (PIL if present, else the
+    deterministic strided-resample stub) — payload sizes returned so
+    the rows-only check still pins output shape."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.repartition_for_media(multimodal.attach_binary(docs))
+    resized = multimodal.resize_images(media, width=64, height=64)
+    return resized.select(
+        "media_id", "width", "height",
+        F.length("content").cast("long").alias("n_bytes"), "decoder",
+    )

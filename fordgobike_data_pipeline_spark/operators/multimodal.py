@@ -122,6 +122,70 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Batch image resize via Arrow-batched mapInPandas — the standard
+    normalization step before vision-model featurization.
+
+    Tries PIL; without it a deterministic fake emits a payload whose
+    bytes are a strided resample of the input (marked
+    ``decoder='stub'``), so output schema, batch shape and payload
+    determinism are all testable. Output rows carry the requested
+    (width, height) and the re-encoded payload; partition sizing is the
+    caller's job via ``repartition_for_media`` (resized output is
+    usually smaller, never larger, than the input batch)."""
+    import pandas as pd
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            decoder = "pil"
+        except ImportError:
+            decoder = "stub"
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                if decoder == "pil":
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out = buf.getvalue()
+                else:
+                    # deterministic fake: strided byte resample to the
+                    # target pixel count (empty input → zero bytes)
+                    if data:
+                        step = max(1, len(data) // n_out)
+                        out = data[::step][:n_out]
+                    else:
+                        out = b""
+                rows.append([int(mid), width, height, out, decoder])
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content", "decoder"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

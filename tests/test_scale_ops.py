@@ -299,6 +299,24 @@ def test_multimodal_plumbing(spark):
     assert {r.media_id: (r.width, r.height, r.mean_luma) for r in rows} == again
 
 
+def test_resize_images_shape_and_determinism(spark):
+    docs = _docs(spark).limit(20)
+    media = multimodal.attach_binary(docs)
+    resized = multimodal.resize_images(media, width=32, height=32)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r.width == 32 and r.height == 32 for r in rows)
+    assert all(r.decoder in {"stub", "pil"} for r in rows)
+    # stub payload never exceeds the target pixel count
+    assert all(len(bytes(r.content)) <= 32 * 32 for r in rows if r.decoder == "stub")
+    again = {r.media_id: bytes(r.content) for r in resized.collect()}
+    assert {r.media_id: bytes(r.content) for r in rows} == again
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.resize_images(media, width=0, height=32)
+
+
 def test_frame_sample_bounded_fanout(spark):
     docs = _docs(spark)
     media = multimodal.attach_binary(docs)
