@@ -78,9 +78,14 @@ def exact_jaccard_pairs(
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
     sh = shingles
     if max_shingle_freq is not None:
+        # Anti-join the rare HOT shingles (broadcast-small even at
+        # corpus scale) rather than semi-joining the huge rare-shingle
+        # keep-list — same shape as the simhash bucket cap.
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = shingles.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
+            F.broadcast(freq.filter(F.col("df") > max_shingle_freq)).select("shingle"),
+            "shingle",
+            "left_anti",
         )
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

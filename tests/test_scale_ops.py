@@ -34,6 +34,39 @@ def test_minhash_recall_vs_exact(spark):
         assert len(mh) / len(exact) >= 0.9
 
 
+def test_jaccard_stop_shingle_cap(spark):
+    """max_shingle_freq drops only hot shingles: a huge cap changes
+    nothing; cap=1 on a corpus sharing one stop-shingle kills the pairs
+    that relied on it while pairs matching on rare shingles survive."""
+    docs = _docs(spark)
+    sh = dedup.token_shingles(docs, k=3)
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.exact_jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    huge_cap = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.exact_jaccard_pairs(
+            sh, threshold=0.8, max_shingle_freq=10**9
+        ).collect()
+    }
+    assert huge_cap == uncapped
+    # planted: two docs identical except one rare shingle each, plus a
+    # shingle shared by EVERY doc (hot) — capping at 1 removes all
+    # intersection evidence that goes through the hot shingle
+    data = [(1, "a b c x1 y1 z1"), (2, "a b c x1 y1 z1"), (3, "a b c q r s")]
+    planted = spark.createDataFrame(data, ["doc_id", "text"])
+    psh = dedup.token_shingles(planted, k=3)
+    full = {(r.id_a, r.id_b) for r in dedup.exact_jaccard_pairs(psh, threshold=0.5).collect()}
+    assert (1, 2) in full
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.exact_jaccard_pairs(psh, threshold=0.5, max_shingle_freq=2).collect()
+    }
+    assert (1, 2) in capped  # pair survives on its rare shingles
+    assert (1, 3) not in capped and (2, 3) not in capped
+
+
 def test_exact_dedup_on_planted_duplicates(spark):
     docs = _docs(spark)
     dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
