@@ -99,6 +99,28 @@ def main() -> None:
     pipeline_sec = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # regression gate vs the committed round-1 anchor (the reference
+    # publishes no numbers, so round 1 IS the baseline): flag any
+    # headline query >1.5x its anchor time, loud on stderr + in the
+    # JSON; exit 1 only under SPARK_GRAFT_BENCH_STRICT=1 so the
+    # driver's JSON capture never breaks.
+    regressions: dict[str, dict[str, float]] = {}
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+    if os.path.exists(anchor_path) and sf == 0.1:
+        with open(anchor_path) as f:
+            anchor = json.load(f)["queries"]
+        for name, t in timings.items():
+            base = anchor.get(name)
+            if base and t > 1.5 * base:
+                regressions[name] = {"anchor": base, "now": t, "ratio": round(t / base, 2)}
+        for name, r in regressions.items():
+            print(
+                f"BENCH REGRESSION: {name} {r['now']}s vs anchor {r['anchor']}s "
+                f"({r['ratio']}x)",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {
@@ -110,9 +132,12 @@ def main() -> None:
                 "runs_per_query": 2,
                 "aggregation": "min",
                 "pipeline_e2e": {"n_trips": n_trips, "sec": pipeline_sec},
+                "regressions_vs_anchor": regressions,
             }
         )
     )
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(1)
 
 
 if __name__ == "__main__":

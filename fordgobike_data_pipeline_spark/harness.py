@@ -59,14 +59,90 @@ def _ensure_extensions_loaded() -> None:
     from . import harness_scale  # noqa: F401  (registers its queries)
 
 
+# The correctness driver adjudicates queries in dict order and records a
+# bounded window of them per round (round 1: exactly the first 50 of 79,
+# leaving every harness_scale entry unchecked — VERDICT.md "What's
+# missing" #1). Registration order is therefore a verification-coverage
+# knob: names listed here are emitted FIRST, so the driver's window
+# lands on the queries that most need a fresh adjudication row; the
+# rest follow in registration order and rotate into later rounds.
+#
+# Round-2 priority = the 29 never-checked queries (all of harness_scale
+# + q_window_time_bucket), the two queries whose oracles changed this
+# round (q_json_extract type pin, q_approx_sketches tolerance gate),
+# the flagship, and a diverse core-operator refresh (joins / set ops /
+# windows / upsert) — 50 exactly.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-checked in round 1 (29)
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_dedup_simhash",
+    "q_embed_cosine_pairs",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_text_stats",
+    "q_token_count",
+    "q_text_quality",
+    "q_winnow_fingerprint",
+    "q_tfidf",
+    "q_ann_ivf",
+    "q_embed_pairs_lsh",
+    "q_clean_corpus",
+    "q_token_budget",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_deterministic_sample",
+    "q_asof_join",
+    "q_range_join",
+    "q_sessionize",
+    "q_summary_stats",
+    "q_image_features",
+    "q_resize_images",
+    "q_window_time_bucket",
+    # oracles changed this round — need fresh green rows (2)
+    "q_json_extract",
+    "q_approx_sketches",
+    # flagship (1)
+    "q_agg_daily_summary",
+    # core-operator refresh (18)
+    "q_join_left_composite",
+    "q_join_role_playing",
+    "q_join_inner",
+    "q_join_full_outer",
+    "q_cross_join",
+    "q_nearest_neighbor",
+    "q_anti_join",
+    "q_union_distinct",
+    "q_distinct_on",
+    "q_topk_routes",
+    "q_hash_key",
+    "q_agg_routes",
+    "q_agg_expr_key",
+    "q_agg_first",
+    "q_window_rownum",
+    "q_window_lag_cumsum",
+    "q_upsert_skip_conflict",
+    "q_scan_csv_literal",
+)
+
+
+def _priority_order(d: dict) -> dict:
+    head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_extensions_loaded()
-    return dict(_QUERIES)
+    return _priority_order(_QUERIES)
 
 
 def all_oracle_sql() -> dict[str, str]:
     _ensure_extensions_loaded()
-    return dict(_ORACLE)
+    return _priority_order(_ORACLE)
 
 
 # ---------------------------------------------------------------------------
@@ -1022,7 +1098,7 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS cnt,
-           sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY event_type
     """,
@@ -1207,16 +1283,48 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_sketches")  # HLL / t-digest are engine-specific → rows-only
+@query(
+    "q_approx_sketches",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact_users,
+           true AS hll_ok,
+           true AS p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketches that replace exact distinct/percentile at 100 TB:
     approx_count_distinct (HyperLogLog++, mergeable partial state) and
-    approx_percentile (t-digest). Accuracy vs exact is asserted in
-    tests/test_scale_ops.py; the driver records rows-only."""
+    approx_percentile (t-digest).
+
+    Sketch values are engine-specific, so the driver-checkable contract
+    is the ERROR BOUND as data: the Spark side computes the sketches AND
+    their exact twins, then emits per-group booleans — HLL within 15%
+    (3× its 5% default rsd; observed 6.7% at sf0.1) and approx-p50
+    inside the exact p45..p55 band (t-digest rank error ≤1/accuracy).
+    The oracle emits the exact counts plus literal TRUE columns, so a
+    sketch drifting out of bounds is a driver hash mismatch, not an
+    untested claim. Tighter accuracy assertions live in
+    tests/test_scale_ops.py."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users"),
+        F.approx_count_distinct("user_id").alias("_hll"),
+        F.percentile("value", F.lit(0.45)).alias("_p45"),
+        F.percentile("value", F.lit(0.55)).alias("_p55"),
+        F.percentile_approx("value", 0.5, 1000).alias("_ap50"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("n_exact_users"))
+            <= 0.15 * F.col("n_exact_users")
+        ).alias("hll_ok"),
+        (
+            (F.col("_ap50") >= F.col("_p45")) & (F.col("_ap50") <= F.col("_p55"))
+        ).alias("p50_ok"),
     )
 
 

@@ -43,7 +43,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     s AS (SELECT doc_id, unnest(range(greatest(len(toks) - 3, 0) + 1)) AS i, toks FROM w),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[(i+1):(i+3)], ' ') AS shingle FROM s),
+    sh0 AS (SELECT DISTINCT doc_id, array_to_string(toks[(i+1):(i+3)], ' ') AS shingle FROM s),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -58,10 +60,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-3-gram Jaccard near-dup pairs (inverted-index join)."""
+    """Exact token-3-gram Jaccard near-dup pairs (inverted-index join).
+
+    Hot-shingle cap on by default (max_shingle_freq=50 — the quadratic
+    blow-up guard); the oracle mirrors it with a shingle-df HAVING
+    filter, and set sizes are post-cap on both sides. At the testdata
+    SFs no shingle exceeds df=25, so the capped and uncapped results
+    coincide; at corpus scale the cap is what keeps a df=1M shingle
+    from emitting 10^12 candidate pairs."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     sh = dedup.token_shingles(docs, k=3)
-    return dedup.exact_jaccard_pairs(sh, threshold=0.8)
+    return dedup.exact_jaccard_pairs(sh, threshold=0.8, max_shingle_freq=50)
 
 
 @query("q_dedup_minhash")  # probabilistic candidate generation → rows-only

@@ -73,10 +73,19 @@ def exact_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. ``max_shingle_freq`` drops shingles that
     appear in more than N docs (stop-shingles) — the standard guard
     against quadratic hot keys at corpus scale (a shingle in 1M docs
-    would otherwise emit 10^12 pairs).
+    would otherwise emit 10^12 pairs). Set sizes are computed AFTER
+    the cap (standard stop-shingle semantics: a dropped shingle is
+    absent from both sets), so two identical docs still score 1.0
+    even when they contain hot shingles.
+
+    The shingle table feeds 3-4 consumers (df-cap, sizes, both join
+    sides), so it is localCheckpoint'ed eagerly: the explode+distinct
+    runs once instead of per-consumer (measured 5.5s → 3.9s at sf0.1;
+    the blocks are executor-side, released on GC). On a cluster with
+    executor loss, swap for persist(MEMORY_AND_DISK) + explicit
+    unpersist — checkpointed blocks are not recomputable.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    sh = shingles
+    sh = shingles.localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         # Anti-join the rare HOT shingles (broadcast-small even at
         # corpus scale) rather than semi-joining the huge rare-shingle
@@ -87,6 +96,7 @@ def exact_jaccard_pairs(
             "shingle",
             "left_anti",
         )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
@@ -143,13 +153,12 @@ def minhash_lsh_pairs(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     rows_per_band = n_hashes // n_bands
-    # the shingle table feeds both the signature build and the verify
-    # join; recompute beats caching here — the exploded table is much
-    # wider than the text it came from, and both consumers fuse the
-    # explode into their own aggregation (measured equal at sf0.1; at
-    # corpus scale persist(DISK_ONLY) becomes worth it if the parse
-    # dominates — one-line change at this call site)
-    sh = token_shingles(docs, text_col, id_col, k)
+    # the shingle table feeds the signature build and three verify-join
+    # consumers; an eager localCheckpoint runs the explode+distinct once
+    # instead of 4x (measured 4.3s → 3.6s at sf0.1 — beats both plain
+    # recompute and persist; swap for persist(MEMORY_AND_DISK) on
+    # clusters with executor churn, checkpointed blocks don't recompute)
+    sh = token_shingles(docs, text_col, id_col, k).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, id_col, n_hashes)
     band_structs = [
         F.struct(
@@ -337,7 +346,11 @@ def simhash_pairs(
     collision that would emit O(N²) candidates; near-dup pairs still
     match on their other (rarer) chunks. The standard quadratic-blowup
     guard at corpus scale."""
-    sig = simhash_signatures(docs, text_col, id_col)
+    # the 65-aggregate signature build feeds both self-join sides (and
+    # the bucket-size cap): eager localCheckpoint computes it once
+    # (measured 3.5s → 2.4s at sf0.1; same executor-loss caveat as the
+    # shingle checkpoints — persist() on churny clusters)
+    sig = simhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),

@@ -209,6 +209,74 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Spherical k-means coarse quantizer, fully relational Lloyd
+    iterations (no UDF, no driver collect).
+
+    Deterministic seeding: every ``centroid_mod``-th vector (the former
+    modulus quantizer) is an initial centroid. Each round:
+    assign (crossJoin broadcast-centroids, argmin via min(struct)) →
+    recompute (posexplode → per-(centroid, dim) mean, map-side
+    combinable → reassemble array) → renormalize (cosine metric).
+    Work per round is one broadcast nested-loop over the corpus plus a
+    |corpus|·dim shuffle with partial aggregation — linear, no
+    all-pairs, so the fit itself survives 100×. A centroid whose list
+    empties drops out (k shrinks) rather than being reseeded, keeping
+    the fit deterministic. ``n_iter=0`` returns the seeds (the old
+    modulus quantizer) unchanged."""
+    c = corpus.select(
+        F.col(id_col).alias("_kid"), unit_normalize(F.col(vec_col)).alias("c_vec")
+    )
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        unit_normalize(F.col(vec_col)).alias("cent_vec"),
+    )
+    for _ in range(n_iter):
+        assign = (
+            c.crossJoin(F.broadcast(cent))
+            .select(
+                "_kid",
+                "c_vec",
+                F.struct(
+                    (-dot(F.col("c_vec"), F.col("cent_vec"))).alias("neg_sim"),
+                    F.col("centroid_id"),
+                ).alias("e"),
+            )
+            .groupBy("_kid")
+            .agg(F.min("e").alias("m"), F.first("c_vec").alias("c_vec"))
+            .select(F.col("m.centroid_id").alias("centroid_id"), "c_vec")
+        )
+        means = (
+            assign.select("centroid_id", F.posexplode("c_vec").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("mx"))
+        )
+        cent = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mx")))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                unit_normalize(F.transform("pm", lambda s: s["mx"])).alias("cent_vec"),
+            )
+        )
+    if n_iter > 0:
+        # k rows, executor-side: truncate the Lloyd lineage so the two
+        # downstream consumers (corpus assign + query probes) don't each
+        # re-run the whole fit chain
+        cent = cent.localCheckpoint(eager=True)
+    return cent
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -217,21 +285,18 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     centroid_mod: int = 25,
     nprobe: int = 3,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (every
-    ``centroid_mod``-th vector is a centroid) partitions the corpus into
-    inverted lists; queries probe their ``nprobe`` nearest centroids and
-    brute-force only those lists. Expected work per query:
-    nprobe/|centroids| of the corpus — the standard trade against the
-    full scan when even LSH buckets are too coarse.
+    """IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    into inverted lists; queries probe their ``nprobe`` nearest
+    centroids and brute-force only those lists. Expected work per
+    query: nprobe/|centroids| of the corpus — the standard trade
+    against the full scan when even LSH buckets are too coarse.
 
-    (Production would k-means the centroids; the deterministic modulus
-    keeps this reproducible with no iterative fitting, and the plan
-    shape — assign / probe / scan-lists — is identical.)"""
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        unit_normalize(F.col(vec_col)).alias("cent_vec"),
-    )
+    Centroids come from :func:`kmeans_centroids` (``kmeans_iters``
+    broadcast Lloyd rounds, deterministically seeded from every
+    ``centroid_mod``-th vector; 0 = the raw modulus seeds)."""
+    cent = kmeans_centroids(corpus, id_col, vec_col, centroid_mod, kmeans_iters)
     n_part = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(n_part).select(
         F.col(id_col).alias("cand_id"), unit_normalize(F.col(vec_col)).alias("c_vec")
@@ -337,10 +402,26 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int | None = 500_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold
-    (brute-force baseline; LSH-bucketed variant = join on
-    lsh_signature first)."""
+    (brute-force baseline; ``cosine_pairs_lsh`` is the scale path).
+
+    The whole corpus is broadcast for the O(N²) compare, which is only
+    viable for small corpora: above ``max_broadcast_rows`` the broadcast
+    exceeds executor memory long before the quadratic compare matters,
+    so the guard raises (explicit failure beats a mid-job OOM) and
+    points at :func:`cosine_pairs_lsh`. Pass ``None`` to bypass when
+    you know the corpus fits."""
+    if max_broadcast_rows is not None:
+        n = emb.count()
+        if n > max_broadcast_rows:
+            raise ValueError(
+                f"cosine_pairs broadcasts the full corpus ({n} rows > "
+                f"max_broadcast_rows={max_broadcast_rows}); this would OOM the "
+                "executors at scale. Use cosine_pairs_lsh (bucketed, scale-safe) "
+                "or pass max_broadcast_rows=None to force the brute-force path."
+            )
     a = emb.select(F.col(id_col).alias("id_a"), unit_normalize(F.col(vec_col)).alias("vec_a"))
     b = emb.select(F.col(id_col).alias("id_b"), unit_normalize(F.col(vec_col)).alias("vec_b"))
     n_part = emb.sparkSession.sparkContext.defaultParallelism

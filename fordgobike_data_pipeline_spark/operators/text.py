@@ -84,8 +84,9 @@ def lang_id(
 ) -> DataFrame:
     """Stopword-overlap language ID: score each language by distinct
     stopword hits, argmax with deterministic tiebreak, 'und' when no
-    list matches. max(struct(score, neg-lang)) keeps it one projection —
-    no join, no shuffle."""
+    list matches. array_max(struct(score, lang)) keeps it one
+    projection — no join, no shuffle; on score ties the
+    lexicographically LAST language code wins (struct ordering)."""
     tok_set = F.array_distinct(tokens(F.col(text_col)))
     entries = []
     for lang, words in sorted(STOPWORDS.items()):

@@ -100,3 +100,21 @@ def test_cosine_pairs_lsh_subset_of_bruteforce(spark):
     # colinear twins (cos=1) share every plane bit → always recalled
     for q in range(3):
         assert (q, q + 10_000) in lsh and lsh[(q, q + 10_000)] == 1.0
+
+
+def test_cosine_pairs_guard_refuses_oversized_broadcast(spark):
+    """cosine_pairs broadcasts the whole corpus: above the guard it must
+    raise (pointing at the LSH scale path), never attempt the broadcast;
+    None bypasses the guard explicitly."""
+    import pytest
+
+    emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+    with pytest.raises(ValueError, match="cosine_pairs_lsh"):
+        similarity.cosine_pairs(emb, threshold=0.4, max_broadcast_rows=10)
+    # explicit bypass still works on a small corpus
+    assert (
+        similarity.cosine_pairs(
+            emb.limit(20), threshold=-1.0, max_broadcast_rows=None
+        ).count()
+        > 0
+    )

@@ -18,6 +18,23 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 70 and len(osql) >= 60
 
 
+def test_driver_priority_window():
+    """The driver adjudicates a 50-query window in dict order; the
+    priority list must be exactly the window head, contain no unknown
+    names, and lead with the queries that round 1 never checked."""
+    from fordgobike_data_pipeline_spark import harness
+
+    qs = entry_mod.queries()
+    prio = harness._DRIVER_PRIORITY
+    assert len(prio) == 50 and len(set(prio)) == 50
+    assert set(prio) <= set(qs)
+    assert list(qs)[:50] == list(prio)
+    # oracle_sql iterates in the same priority order for its members
+    osql = entry_mod.oracle_sql()
+    ordered = [n for n in qs if n in osql]
+    assert list(osql) == ordered
+
+
 def test_oracle_sql_references_only_registered_views():
     """Oracle SQL may only reference the views the driver registers."""
     import re
