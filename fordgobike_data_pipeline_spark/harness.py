@@ -56,7 +56,7 @@ def query(name: str, oracle: str | None = None):
 
 
 def _ensure_extensions_loaded() -> None:
-    from . import harness_scale  # noqa: F401  (registers its queries)
+    from . import harness_curation, harness_scale  # noqa: F401  (register queries)
 
 
 # The correctness driver adjudicates queries in dict order and records a
@@ -68,10 +68,10 @@ def _ensure_extensions_loaded() -> None:
 # rest follow in registration order and rotate into later rounds.
 #
 # Round-2 priority = the 29 never-checked queries (all of harness_scale
-# + q_window_time_bucket), the two queries whose oracles changed this
-# round (q_json_extract type pin, q_approx_sketches tolerance gate),
-# the flagship, and a diverse core-operator refresh (joins / set ops /
-# windows / upsert) — 50 exactly.
+# + q_window_time_bucket), the 7 new curation queries, the two queries
+# whose oracles changed this round (q_json_extract type pin,
+# q_approx_sketches tolerance gate), the flagship, and a diverse
+# core-operator refresh (joins / windows / upsert) — 50 exactly.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked in round 1 (29)
     "q_dedup_exact",
@@ -103,30 +103,31 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_image_features",
     "q_resize_images",
     "q_window_time_bucket",
+    # new this round: corpus-curation operators (7)
+    "q_normalize_text",
+    "q_pii_redact",
+    "q_repetition_ratio",
+    "q_domain_cap",
+    "q_decontaminate",
+    "q_train_split",
+    "q_pack_sequences",
     # oracles changed this round — need fresh green rows (2)
     "q_json_extract",
     "q_approx_sketches",
     # flagship (1)
     "q_agg_daily_summary",
-    # core-operator refresh (18)
+    # core-operator refresh (11)
     "q_join_left_composite",
     "q_join_role_playing",
-    "q_join_inner",
     "q_join_full_outer",
     "q_cross_join",
     "q_nearest_neighbor",
     "q_anti_join",
-    "q_union_distinct",
     "q_distinct_on",
     "q_topk_routes",
     "q_hash_key",
-    "q_agg_routes",
-    "q_agg_expr_key",
-    "q_agg_first",
-    "q_window_rownum",
     "q_window_lag_cumsum",
     "q_upsert_skip_conflict",
-    "q_scan_csv_literal",
 )
 
 
@@ -1044,7 +1045,7 @@ def q_scan_csv_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
            translate(p_brand, '#', '-') AS brand_dashed,
            CAST(levenshtein(p_brand, substr(p_type, 1, 8)) AS INT) AS edit_dist,
-           length(trim(p_name)) AS name_len
+           CAST(length(trim(p_name)) AS INT) AS name_len
     FROM part
     """,
 )

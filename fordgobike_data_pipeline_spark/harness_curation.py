@@ -1,0 +1,233 @@
+"""Harness entries for the corpus-curation operators
+(operators/curation.py): normalization, PII redaction, repetition
+scoring, domain quotas, benchmark decontamination, deterministic
+splits, and sequence packing — each a `queries()` key over the
+documents table with a DuckDB oracle (all are SQL-expressible).
+
+Type-pinning rule (driver value-hash is type-sensitive): every integer
+column is cast to BIGINT on both sides; Spark `size`/`length` (INT)
+are widened with .cast("long"), DuckDB `len()` is already BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import query
+from .io import load_tables
+from .operators import curation
+
+# The md5 hash-bucket in DuckDB terms (same construction as
+# q_deterministic_sample / q_hash_key — bit-exact vs Spark's
+# conv(substring(md5(x),1,16),16,-10) pmod M).
+_DUCK_BUCKET = (
+    "((CAST(CAST(from_hex(substr(md5(CAST({key} AS VARCHAR)), 1, 16)) AS BIT)"
+    " AS BIGINT) % {m}) + {m}) % {m}"
+)
+
+
+@query(
+    "q_normalize_text",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                    ELSE text || '   padded  tail ' END AS messy
+        FROM documents
+    )
+    SELECT doc_id, trim(regexp_replace(lower(messy), '\\s+', ' ', 'g')) AS norm_text
+    FROM raw
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase + whitespace collapse +
+    trim). The testdata is already clean, so the query deterministically
+    mangles half the rows first to prove the normalization acts."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    messy = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("text"))
+    ).otherwise(F.concat(F.col("text"), F.lit("   padded  tail ")))
+    return docs.select(
+        "doc_id", curation.normalize_text(messy).alias("norm_text")
+    )
+
+
+@query(
+    "q_pii_redact",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 tel +1 415 555 01' || CAST(doc_id % 10 AS VARCHAR)
+                    || CAST(doc_id % 10 AS VARCHAR) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g'),
+               '\\+\\d[\\d -]{7,}\\d', '[PHONE]', 'g') AS redacted
+    FROM raw
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails / IPv4 / intl phone → typed tokens). The
+    corpus has no real PII, so each row gets a deterministic synthetic
+    contact line appended — the redaction must strip all of it."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 415 555 01"),
+        (F.col("doc_id") % 10).cast("string"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    return docs.select("doc_id", curation.pii_redact(t).alias("redacted"))
+
+
+@query(
+    "q_repetition_ratio",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')
+               ) AS grams
+        FROM tok
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           round(1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+               AS repetition_ratio
+    FROM g
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc duplicated-trigram fraction — the boilerplate/spam
+    quality signal. Pure array expressions, zero shuffles."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rep = curation.repetition_ratio(docs, n=3)
+    return rep.select(
+        "doc_id", F.col("n_grams").cast("long").alias("n_grams"), "repetition_ratio"
+    )
+
+
+@query(
+    "q_domain_cap",
+    """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: top-10 docs per source by length — corpus-mix
+    control so no crawl domain dominates. One window on the domain key."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    capped = curation.per_domain_cap(docs, cap=10)
+    return capped.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_decontaminate",
+    """
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, source, array_to_string(w[i:i+3], ' ') AS g
+        FROM tok, unnest(generate_series(1, greatest(len(w) - 3, 1))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+    bad AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any token
+    4-gram with the held-out set (source src0 stands in for the eval
+    suite). Semi-join on the gram key + anti-join on contaminated ids —
+    no all-pairs product."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    clean = curation.ngram_decontaminate(corpus, bench, n=4)
+    return clean.select("doc_id", "source")
+
+
+@query(
+    "q_train_split",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               {_DUCK_BUCKET.format(key="doc_id", m=1000000)} AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b < 100000 THEN 'test'
+                WHEN b < 200000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split — label is a pure
+    function of the id hash, so any engine/partitioning reproduces it
+    and incremental docs self-assign."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.train_split(docs, val_frac=0.1, test_frac=0.1).select(
+        "doc_id", "split"
+    )
+
+
+@query(
+    "q_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               {_DUCK_BUCKET.format(key="doc_id", m=8)} AS pack_bucket
+        FROM documents
+    ),
+    o AS (
+        SELECT *,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY pack_bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_offset
+        FROM t
+    )
+    SELECT doc_id, pack_bucket, n_tok,
+           CAST(floor(start_offset / 256.0) AS BIGINT) AS seq_idx,
+           CAST(start_offset % 256 AS BIGINT) AS seq_pos
+    FROM o
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk sequence packing (seq_len=256, 8 hash
+    streams): each doc's start offset within its stream → sequence
+    index + position, docs straddling boundaries GPT-style. One window
+    per hash bucket, no global sort."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    packed = curation.pack_sequences(docs, seq_len=256, n_buckets=8)
+    return packed.select(
+        "doc_id",
+        "pack_bucket",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "seq_idx",
+        "seq_pos",
+    )

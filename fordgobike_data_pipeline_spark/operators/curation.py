@@ -1,0 +1,224 @@
+"""Corpus-curation operators — the document-level cleanup / selection
+steps a large-scale training-data pipeline runs between raw scrape and
+tokenization (BASELINE.json north star; complements operators/dedup.py
+and operators/text.py).
+
+All pure Catalyst column expressions and window/join compositions — no
+Python in the hot path, every step either shuffle-free (per-row
+normalization, hash splits) or a single hash-partitioned shuffle on a
+bounded key (domain, n-gram, hash bucket). Every operator is a pure
+function of row content, so re-runs, repartitioning, and engine swaps
+reproduce the same output (the same property the oracle SQL relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def _hash_bucket(key: Column, modulus: int = _M) -> Column:
+    """md5-based uniform bucket (same construction as sampling._bucket /
+    the surrogate keys, so DuckDB reproduces the selection bit-exactly:
+    CAST(CAST(from_hex(substr(md5(x),1,16)) AS BIT) AS BIGINT) pmod M)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 16), 16, -10).cast("long")
+    return F.pmod(h, F.lit(modulus))
+
+
+# ---------------------------------------------------------------------------
+# Text normalization & PII redaction — per-row, shuffle-free, codegen'd
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form: lowercase, collapse whitespace runs, trim.
+    The standard pre-dedup normalization (exact dedup over normalized
+    text catches case/spacing-only dups)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# Deliberately simple, auditable patterns: the operator contract is
+# "replace every match of pattern_i with token_i, in order" — the
+# pattern inventory is config, the chained-global-replace shape is
+# what scales (still one projection, no shuffle).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+    (r"\+\d[\d -]{7,}\d", "[PHONE]"),
+)
+
+
+def pii_redact(text: Column) -> Column:
+    """Mask emails / IPv4s / international phone numbers with typed
+    placeholder tokens. Order matters (emails contain dots that the IP
+    pattern must not see first), so patterns apply in inventory order."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition — the boilerplate / spam quality signal
+# ---------------------------------------------------------------------------
+
+
+def repetition_ratio(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fraction of duplicated token n-grams inside each doc
+    (1 − distinct/total): near 0 for natural text, near 1 for
+    template/boilerplate spam. Pure array expressions — zero shuffles,
+    embarrassingly parallel at any scale."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return docs.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.round(
+            1 - F.size(F.array_distinct(grams)) / F.size(grams), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota — corpus-mix control
+# ---------------------------------------------------------------------------
+
+
+def per_domain_cap(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top-``cap`` docs per domain (by ``order_col`` desc,
+    id asc tiebreak) — the standard guard against one crawl domain
+    dominating the training mix. One hash-partitioned window on the
+    domain key; per-domain groups are bounded by the crawl frontier so
+    no global sort. For pathologically hot domains pre-filter with an
+    approximate per-domain count and salt, same as the top-k harness."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap removal
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every corpus doc sharing at least one token n-gram with the
+    benchmark set (the eval-leakage guard every LLM pretraining corpus
+    runs). Returns the surviving corpus rows.
+
+    Shape at 100 TB: benchmark n-grams are distinct'd (eval suites are
+    tiny relative to the corpus — low millions of grams), then the
+    corpus's exploded grams LEFT SEMI join them on the gram key to find
+    contaminated ids, and the corpus anti-joins those ids. Both joins
+    hash-partition on bounded keys; with a small benchmark Spark's AQE
+    broadcasts the gram table and the scan stays one pass. No
+    all-pairs product anywhere.
+    """
+    from .dedup import token_shingles
+
+    bench_grams = (
+        token_shingles(benchmark, text_col=text_col, id_col=id_col, k=n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_grams = token_shingles(corpus, text_col=text_col, id_col=id_col, k=n)
+    contaminated = (
+        corpus_grams.join(bench_grams, "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def train_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Assign each doc a split label as a pure function of its id hash:
+    stable across runs, engines and partitionings, and new docs assign
+    themselves on incremental ingest. Shuffle-free projection."""
+    if val_frac + test_frac >= 1.0:
+        raise ValueError("val_frac + test_frac must be < 1")
+    b = _hash_bucket(F.col(id_col))
+    test_hi = int(test_frac * _M)
+    val_hi = test_hi + int(val_frac * _M)
+    return docs.withColumn(
+        "split",
+        F.when(b < test_hi, F.lit("test"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concatenate-then-chunk token layout
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-then-chunk packing: the layout step that turns a doc
+    corpus into fixed-length training sequences. Docs are hash-assigned
+    to ``n_buckets`` independent streams; within a stream (ordered by
+    id) each doc starts at the running token offset, so sequence index
+    = offset // seq_len and position = offset % seq_len. Docs straddle
+    sequence boundaries exactly as GPT-style pretraining packs them.
+
+    Scale: one window per hash bucket — ``n_buckets`` independent
+    partitions, each a linear scan; no global sort, no driver state.
+    Size n_buckets ≈ cluster cores × a few so streams stay cache-sized.
+    Deterministic: bucket and order are pure functions of the id.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    bucket = _hash_bucket(F.col(id_col), n_buckets)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("n_tok"), bucket.alias("pack_bucket"))
+        .withColumn("start_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "pack_bucket",
+            "n_tok",
+            F.floor(F.col("start_offset") / seq_len).cast("long").alias("seq_idx"),
+            F.pmod(F.col("start_offset"), F.lit(seq_len)).cast("long").alias("seq_pos"),
+        )
+    )

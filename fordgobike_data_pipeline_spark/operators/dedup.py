@@ -90,8 +90,8 @@ def exact_jaccard_pairs(
         # Anti-join the rare HOT shingles (broadcast-small even at
         # corpus scale) rather than semi-joining the huge rare-shingle
         # keep-list — same shape as the simhash bucket cap.
-        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = shingles.join(
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
             F.broadcast(freq.filter(F.col("df") > max_shingle_freq)).select("shingle"),
             "shingle",
             "left_anti",

@@ -1,0 +1,105 @@
+"""Semantic tests for operators/curation.py — planted-input invariants
+that the DuckDB oracle parity can't express (determinism under
+repartitioning, packing contiguity, redaction on crafted PII)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fordgobike_data_pipeline_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_pii_redact_masks_all_types(spark):
+    df = _docs(
+        spark,
+        [(1, "mail a.b-c%d@sub.example.org now, host 192.168.001.7, "
+             "call +44 20 7946 0958 ok", "s")],
+    )
+    out = df.select(curation.pii_redact(F.col("text")).alias("t")).first().t
+    assert "[EMAIL]" in out and "[IP]" in out and "[PHONE]" in out
+    assert "example" not in out and "192" not in out and "7946" not in out
+
+
+def test_normalize_text_idempotent(spark):
+    df = _docs(spark, [(1, "  A   B\tC  ", "s")])
+    once = df.select(curation.normalize_text(F.col("text")).alias("t"))
+    twice = once.select(curation.normalize_text(F.col("t")).alias("t"))
+    assert once.first().t == "a b c"
+    assert twice.first().t == once.first().t
+
+
+def test_repetition_ratio_extremes(spark):
+    df = _docs(
+        spark,
+        [(1, "spam spam spam spam spam spam spam spam", "s"),
+         (2, "one two three four five six seven eight", "s")],
+    )
+    rows = {r.doc_id: r for r in curation.repetition_ratio(df, n=3).collect()}
+    assert rows[1].repetition_ratio > 0.8  # 6 identical trigrams
+    assert rows[2].repetition_ratio == 0.0  # all trigrams distinct
+
+
+def test_per_domain_cap_bounds_and_order(spark):
+    rows = [(i, "x " * (i % 7 + 1), f"src{i % 3}") for i in range(60)]
+    df = _docs(spark, rows).withColumn("n_chars", F.length("text"))
+    capped = curation.per_domain_cap(df, cap=5)
+    counts = capped.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+    # kept docs are the longest per domain (desc by n_chars)
+    kept_min = capped.groupBy("source").agg(F.min("n_chars").alias("m"))
+    dropped = df.join(capped.select("doc_id"), "doc_id", "left_anti")
+    worst_kept = {r.source: r.m for r in kept_min.collect()}
+    for r in dropped.collect():
+        assert r.n_chars <= worst_kept[r.source]
+
+
+def test_decontaminate_removes_planted_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon", "bench")])
+    corpus = _docs(
+        spark,
+        [(1, "xx alpha beta gamma delta yy", "c"),     # shares a 4-gram
+         (2, "totally unrelated words here now", "c")],
+    )
+    clean = curation.ngram_decontaminate(corpus, bench, n=4)
+    ids = {r.doc_id for r in clean.collect()}
+    assert ids == {2}
+
+
+def test_train_split_fractions_and_repartition_stability(spark):
+    df = _docs(spark, [(i, "t", "s") for i in range(5000)])
+    split = curation.train_split(df, val_frac=0.1, test_frac=0.1)
+    frac = {
+        r.split: r["count"] / 5000
+        for r in split.groupBy("split").count().collect()
+    }
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13 and 0.07 < frac["test"] < 0.13
+    a = set(map(tuple, split.select("doc_id", "split").collect()))
+    b = set(
+        map(
+            tuple,
+            curation.train_split(df.repartition(13), val_frac=0.1, test_frac=0.1)
+            .select("doc_id", "split")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_sequences_contiguous_streams(spark):
+    df = _docs(spark, [(i, "w " * (i % 9 + 1), "s") for i in range(300)])
+    packed = curation.pack_sequences(df, seq_len=32, n_buckets=4).collect()
+    assert all(0 <= r.seq_pos < 32 for r in packed)
+    by_bucket: dict[int, list] = {}
+    for r in packed:
+        by_bucket.setdefault(r.pack_bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rows:
+            assert r.seq_idx == offset // 32 and r.seq_pos == offset % 32
+            offset += r.n_tok
