@@ -71,12 +71,21 @@ def repetition_ratio(
     """Fraction of duplicated token n-grams inside each doc
     (1 − distinct/total): near 0 for natural text, near 1 for
     template/boilerplate spam. Pure array expressions — zero shuffles,
-    embarrassingly parallel at any scale."""
-    toks = F.split(F.col(text_col), " ")
-    n_tok = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return docs.select(
+    embarrassingly parallel at any scale. Tokens are materialized in
+    their own projection first (same O(n²)-inlining trap as
+    dedup.token_shingles — a split() inside the lambda re-runs per
+    gram)."""
+    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    gramd = tokd.select(
+        F.col(id_col),
+        F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        ).alias("_grams"),
+    )
+    grams = F.col("_grams")
+    return gramd.select(
         F.col(id_col),
         F.size(grams).alias("n_grams"),
         F.round(
