@@ -68,10 +68,11 @@ def _ensure_extensions_loaded() -> None:
 # rest follow in registration order and rotate into later rounds.
 #
 # Round-2 priority = the 29 never-checked queries (all of harness_scale
-# + q_window_time_bucket), the 7 new curation queries, the two queries
-# whose oracles changed this round (q_json_extract type pin,
-# q_approx_sketches tolerance gate), the flagship, and a diverse
-# core-operator refresh (joins / windows / upsert) — 50 exactly.
+# + q_window_time_bucket), the 10 queries new this round (7 curation +
+# BPE + incremental dedup + quantization), the two queries whose
+# oracles changed this round (q_json_extract type pin,
+# q_approx_sketches tolerance gate), the flagship, and a core-operator
+# refresh (joins / windows / upsert) — 50 exactly.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked in round 1 (29)
     "q_dedup_exact",
@@ -103,7 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_image_features",
     "q_resize_images",
     "q_window_time_bucket",
-    # new this round: corpus-curation operators (7)
+    # new this round (10): curation, BPE, incremental dedup, quantization
     "q_normalize_text",
     "q_pii_redact",
     "q_repetition_ratio",
@@ -111,22 +112,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_decontaminate",
     "q_train_split",
     "q_pack_sequences",
+    "q_bpe_token_count",
+    "q_dedup_incremental",
+    "q_quantize_embed",
     # oracles changed this round — need fresh green rows (2)
     "q_json_extract",
     "q_approx_sketches",
     # flagship (1)
     "q_agg_daily_summary",
-    # core-operator refresh (11)
+    # core-operator refresh (8)
     "q_join_left_composite",
     "q_join_role_playing",
     "q_join_full_outer",
-    "q_cross_join",
     "q_nearest_neighbor",
     "q_anti_join",
     "q_distinct_on",
     "q_topk_routes",
-    "q_hash_key",
-    "q_window_lag_cumsum",
     "q_upsert_skip_conflict",
 )
 

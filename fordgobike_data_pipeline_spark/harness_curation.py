@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .harness import query
 from .io import load_tables
-from .operators import curation
+from .operators import bpe, curation
 
 # The md5 hash-bucket in DuckDB terms (same construction as
 # q_deterministic_sample / q_hash_key — bit-exact vs Spark's
@@ -231,3 +231,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_idx",
         "seq_pos",
     )
+
+
+@query("q_bpe_token_count")  # BPE is not SQL-expressible → rows-only
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token budgeting: fit 100 merges on the corpus's own
+    word-frequency table (distributed count → bounded driver head →
+    Python merge loop), then count each doc's exact BPE tokens via the
+    memoized Arrow-batched encoder. Deterministic end-to-end (ordered
+    top-N vocab, rank/lexicographic merge tiebreaks), so re-runs hash
+    identically; exactness vs an independent reference implementation
+    is pinned in tests/test_bpe.py."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = bpe.train_bpe(docs, n_merges=100, max_vocab_words=5000)
+    return bpe.bpe_token_count(docs, merges)

@@ -590,3 +590,65 @@ def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height",
         F.length("content").cast("long").alias("n_bytes"), "decoder",
     )
+
+
+@query(
+    "q_dedup_incremental",
+    """
+    WITH arch AS (SELECT * FROM documents WHERE source = 'src0'),
+    batch AS (SELECT * FROM documents WHERE source <> 'src0'),
+    idx AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM arch GROUP BY 1
+    ),
+    h AS (
+        SELECT doc_id, source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM batch
+    ),
+    keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM h GROUP BY fingerprint)
+    SELECT doc_id, source
+    FROM h
+    SEMI JOIN keep USING (doc_id, fingerprint)
+    ANTI JOIN idx USING (fingerprint)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) exact dedup: the archive (source src0)
+    contributes only its persisted fingerprint INDEX; the new batch
+    (every other source) dedups within itself then anti-joins the
+    index. The archive text is never re-scanned — the production shape
+    where daily batches stay O(batch) however big the corpus grows."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    archive = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+    index = dedup.fingerprint_index(archive)
+    out = dedup.incremental_exact_dedup(batch, index)
+    return out.select("doc_id", "source")
+
+
+@query(
+    "q_quantize_embed",
+    """
+    WITH d AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    s AS (SELECT pos, max(abs(CAST(x AS DOUBLE))) AS mx FROM d GROUP BY pos)
+    SELECT vec_id,
+           list(CASE WHEN mx = 0 THEN 0
+                     ELSE CAST(round(CAST(x AS DOUBLE) / mx * 127) AS INT)
+                END ORDER BY pos) AS qvec
+    FROM d JOIN s USING (pos)
+    GROUP BY vec_id
+    """,
+)
+def q_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    column (4× smaller storage/shuffle for every downstream ANN op).
+    Calibration = one posexplode + per-dim max (bounded control data,
+    broadcast); quantize = one shuffle-free zip_with projection."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.quantize_embeddings(emb)

@@ -1,1 +1,1 @@
-from . import dedup, multimodal, quality, sessions, similarity, temporal, text  # noqa: F401
+from . import bpe, curation, dedup, multimodal, quality, sampling, sessions, similarity, temporal, text  # noqa: F401

@@ -167,18 +167,7 @@ def minhash_lsh_pairs(
     # clusters with executor churn, checkpointed blocks don't recompute)
     sh = token_shingles(docs, text_col, id_col, k).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, id_col, n_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = band_buckets(sig, n_bands, rows_per_band, id_col)
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
@@ -190,6 +179,123 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification bounded to the candidate pairs only —
     # the full inverted-index join would defeat the point of LSH at scale
     return jaccard_for_pairs(sh, candidates, id_col, threshold)
+
+
+def band_buckets(
+    sig: DataFrame, n_bands: int, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH band buckets from a MinHash signature table: (id, band,
+    bucket) where bucket = hash of the band's signature rows. This is
+    the persisted INDEX artifact for incremental dedup — new batches
+    join their buckets against it without touching the old corpus."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) dedup — new crawl batch vs persisted corpus
+# index, without re-scanning the historical corpus
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The persisted exact-dedup index: one (fingerprint, keep_id) row
+    per distinct normalized content hash. Append each accepted batch's
+    rows; the index grows with DISTINCT content, not corpus size."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select(F.md5(normalized).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of the new batch whose content hash is unseen: dedup WITHIN
+    the batch (min-id survivor per hash), then anti-join the historical
+    index on the hash key. Cost is O(|batch| + index probe) — the old
+    corpus is never scanned, which is the whole point at 100 TB: daily
+    batches stay cheap no matter how big the archive gets."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    hashed = new_docs.withColumn("fingerprint", F.md5(normalized))
+    keep = hashed.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    survivors = hashed.join(keep, [id_col, "fingerprint"], "left_semi")
+    return survivors.join(index, "fingerprint", "left_anti").drop("fingerprint")
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """The persisted near-dup index: LSH band buckets for every doc in
+    the accepted corpus. At scale this is written bucketed by (band,
+    bucket) so incremental probes are zero-exchange joins."""
+    sh = token_shingles(docs, text_col, id_col, k)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    return band_buckets(sig, n_bands, n_hashes // n_bands, id_col)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs between a new batch and the historical corpus:
+    (new_id, old_id, jaccard ≥ threshold).
+
+    Candidate generation touches only the new batch and the band-bucket
+    INDEX (shingle → signature → bucket probe — no old-corpus scan).
+    Exact-Jaccard verification then re-shingles just the matched old
+    docs: a left-semi join pushes the candidate id set into the
+    old-corpus scan, so verification cost is O(|candidates| × doc), not
+    O(|archive|). ``old_docs`` is the lookup table for that step (in
+    production, a point-lookup-friendly store keyed by id). Ids must be
+    globally unique across batch and archive (the verify step unions
+    both shingle tables keyed by id)."""
+    new_sh = token_shingles(new_docs, text_col, id_col, k).localCheckpoint(eager=True)
+    new_sig = minhash_signatures(new_sh, id_col, n_hashes)
+    new_buckets = band_buckets(new_sig, n_bands, n_hashes // n_bands, id_col)
+    candidates = (
+        new_buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        .join(
+            index.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    matched_old = old_docs.join(
+        candidates.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    old_sh = token_shingles(matched_old, text_col, id_col, k)
+    return jaccard_for_pairs(new_sh.unionByName(old_sh), candidates, id_col, threshold)
 
 
 def jaccard_for_pairs(
