@@ -638,17 +638,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (SELECT pos, max(abs(CAST(x AS DOUBLE))) AS mx FROM d GROUP BY pos)
     SELECT vec_id,
-           list(CASE WHEN mx = 0 THEN 0
-                     ELSE CAST(round(CAST(x AS DOUBLE) / mx * 127) AS INT)
-                END ORDER BY pos) AS qvec
+           pos - 1 AS pos,
+           CASE WHEN mx = 0 THEN 0
+                ELSE CAST(round(CAST(x AS DOUBLE) / mx * 127) AS INT)
+           END AS q
     FROM d JOIN s USING (pos)
-    GROUP BY vec_id
     """,
 )
 def q_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-dimension int8 quantization of the embedding
     column (4× smaller storage/shuffle for every downstream ANN op).
     Calibration = one posexplode + per-dim max (bounded control data,
-    broadcast); quantize = one shuffle-free zip_with projection."""
+    broadcast); quantize = one shuffle-free zip_with projection.
+
+    The harness posexplodes the quantized vector to scalar (vec_id,
+    pos, q) rows: the driver's canonicalizer value-hashes via pandas,
+    which cannot sort/factorize array cells (r02 `unhashable type:
+    'list'`), and typed int comparison beats string-serializing the
+    array anyway. The production API (quantize_embeddings) still
+    returns the packed array column."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.quantize_embeddings(emb)
+    q = similarity.quantize_embeddings(emb)
+    return q.select("vec_id", F.posexplode("qvec").alias("pos", "q"))

@@ -42,20 +42,39 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in names:
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-            # natively; read nanos as long and convert to a microsecond
-            # timestamp (integer div — exact, floor matches DuckDB's ns→µs
-            # truncation).
+            # Older testdata generations wrote events.ts as parquet
+            # TIMESTAMP(NANOS), which Spark cannot read natively; with
+            # nanosAsLong it surfaces as a long we convert ourselves.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = _normalize_event_ts(df)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Pin ``events.ts`` to TimestampType whatever the parquet wrote.
+
+    The driver's testdata generator has shipped ``ts`` as both
+    TIMESTAMP(NANOS) (read as long under nanosAsLong — convert with an
+    exact integer div, floor matching DuckDB's ns→µs truncation) and
+    TIMESTAMP(MICROS) (read natively as NTZ or local-tz timestamp).
+    Normalizing here keeps every downstream query and oracle type-stable
+    across regenerations; the NTZ→timestamp cast is value-preserving
+    because the session timezone is pinned to UTC (session.py).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,23 @@ def test_oracle_sql_references_only_registered_views():
             )
 
 
+def test_oracle_checked_queries_return_atomic_columns(spark):
+    """The driver's canonicalizer value-hashes via pandas, which cannot
+    sort/factorize array/map/struct cells (r02: q_quantize_embed died
+    with `unhashable type: 'list'`). Any oracle-eligible query must
+    therefore project only atomic columns; nested data gets exploded or
+    serialized in the harness entry. Schema-only — nothing is executed."""
+    from pyspark.sql import types as T
+
+    qs = entry_mod.queries()
+    for name in entry_mod.oracle_sql():
+        schema = qs[name](spark, "/root/testdata/sf0.001").schema
+        for field in schema.fields:
+            assert not isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+            ), f"{name}.{field.name} is {field.dataType} — driver cannot hash it"
+
+
 def test_entry_runs_on_vanilla_like_session(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
