@@ -67,68 +67,68 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-2 priority = the 29 never-checked queries (all of harness_scale
-# + q_window_time_bucket), the 10 queries new this round (7 curation +
-# BPE + incremental dedup + quantization), the two queries whose
-# oracles changed this round (q_json_extract type pin,
-# q_approx_sketches tolerance gate), the flagship, and a core-operator
-# refresh (joins / windows / upsert) — 50 exactly.
+# Round-3 priority. r02 adjudicated the previous 50-query window; this
+# round's window = the 9 queries whose r02 rows were errors (the
+# events.ts dtype break + the quantize array-hash break, both fixed),
+# q_lang_id (upgraded rows-only → full oracle this round), the
+# flagship, and the 39 core queries that were green in r01 but rotated
+# out of the r02 window — refreshed so the latest CORRECTNESS file has
+# a current green row for every oracle-eligible query across r02+r03.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked in round 1 (29)
-    "q_dedup_exact",
-    "q_ngram_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_dedup_simhash",
-    "q_embed_cosine_pairs",
-    "q_ann_topk",
-    "q_ann_lsh",
-    "q_text_stats",
-    "q_token_count",
-    "q_text_quality",
-    "q_winnow_fingerprint",
-    "q_tfidf",
-    "q_ann_ivf",
-    "q_embed_pairs_lsh",
-    "q_clean_corpus",
-    "q_token_budget",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_multimodal_meta",
-    "q_frame_sample",
+    # r02 error rows, now fixed (9)
     "q_deterministic_sample",
     "q_asof_join",
     "q_range_join",
     "q_sessionize",
     "q_summary_stats",
-    "q_image_features",
-    "q_resize_images",
     "q_window_time_bucket",
-    # new this round (10): curation, BPE, incremental dedup, quantization
-    "q_normalize_text",
-    "q_pii_redact",
-    "q_repetition_ratio",
-    "q_domain_cap",
-    "q_decontaminate",
-    "q_train_split",
-    "q_pack_sequences",
-    "q_bpe_token_count",
-    "q_dedup_incremental",
-    "q_quantize_embed",
-    # oracles changed this round — need fresh green rows (2)
     "q_json_extract",
     "q_approx_sketches",
+    "q_quantize_embed",
+    # rows-only → oracle upgrade this round (1)
+    "q_lang_id",
     # flagship (1)
     "q_agg_daily_summary",
-    # core-operator refresh (8)
-    "q_join_left_composite",
-    "q_join_role_playing",
-    "q_join_full_outer",
-    "q_nearest_neighbor",
-    "q_anti_join",
-    "q_distinct_on",
-    "q_topk_routes",
-    "q_upsert_skip_conflict",
+    # green in r01, not in the r02 window — refresh (39)
+    "q_project_rename",
+    "q_filter_eq",
+    "q_filter_flag",
+    "q_filter_notnull",
+    "q_filter_compound",
+    "q_join_inner",
+    "q_cross_join",
+    "q_union_distinct",
+    "q_union_all_null",
+    "q_agg_max_dedup",
+    "q_agg_routes",
+    "q_agg_expr_key",
+    "q_agg_minmax_bounds",
+    "q_agg_null_audit",
+    "q_agg_first",
+    "q_hash_key",
+    "q_string_concat",
+    "q_coalesce_defaults",
+    "q_nullif_sentinel",
+    "q_case_age_clean",
+    "q_weekend_flag",
+    "q_date_parts",
+    "q_date_names",
+    "q_smart_date_key",
+    "q_key_to_date",
+    "q_generate_series",
+    "q_round_minutes",
+    "q_window_rownum",
+    "q_scan_csv_literal",
+    "q_string_funcs",
+    "q_date_arith",
+    "q_pivot",
+    "q_percentiles",
+    "q_rollup",
+    "q_set_ops",
+    "q_having",
+    "q_window_lag_cumsum",
+    "q_cube",
+    "q_grouping_sets",
 )
 
 

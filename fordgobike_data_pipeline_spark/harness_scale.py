@@ -374,9 +374,42 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
-@query("q_lang_id")  # heuristic with engine-specific internals → rows-only
+@query(
+    "q_lang_id",
+    """
+    WITH langs AS (
+        SELECT * FROM (VALUES
+            ('de', ['der','die','und','in','den','von','zu','das','mit','sich','des','auf']),
+            ('en', ['the','a','and','of','to','in','is','it','that','for','on','with']),
+            ('es', ['el','la','de','que','y','en','los','del','se','las','por','un']),
+            ('fr', ['le','la','de','et','les','des','en','un','du','une','que','est'])
+        ) AS t(lang, words)
+    ),
+    tok AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, CAST(len(list_intersect(ts, words)) AS INT) AS score
+        FROM tok CROSS JOIN langs
+    ),
+    best AS (
+        SELECT doc_id, max(struct_pack(score := score, lang := lang)) AS b
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_guess,
+           b.score AS stopword_hits
+    FROM best
+    """,
+)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID (en/es/fr/de/und)."""
+    """Stopword-overlap language ID (en/es/fr/de/und).
+
+    Oracle mirrors the exact heuristic: distinct space-split tokens
+    intersected with each language's stopword list, argmax by
+    (score, lang) struct ordering — lexicographically LAST language
+    wins score ties in both engines (Spark struct comparison and
+    DuckDB struct comparison are field-order lexicographic)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.lang_id(docs)
 
