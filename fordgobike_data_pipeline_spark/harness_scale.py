@@ -73,6 +73,38 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_jaccard_pairs(sh, threshold=0.8, max_shingle_freq=50)
 
 
+@query(
+    "q_containment_pairs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, unnest(range(greatest(len(toks) - 3, 0) + 1)) AS i, toks FROM w),
+    sh0 AS (SELECT DISTINCT doc_id, array_to_string(toks[(i+1):(i+3)], ' ') AS shingle FROM s),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(c / least(sa.n, sb.n), 6) AS containment
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE round(c / least(sa.n, sb.n), 6) >= 0.9
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B|/min(|A|,|B|) —
+    catches a short doc quoted verbatim inside a longer one, where
+    Jaccard ≈ |A|/|B| stays far below any dedup threshold. Same
+    inverted-index candidate generation and hot-shingle cap as
+    q_ngram_jaccard; only the scoring projection differs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = dedup.token_shingles(docs, k=3)
+    return dedup.containment_pairs(sh, threshold=0.9, max_shingle_freq=50)
+
+
 @query("q_dedup_minhash")  # probabilistic candidate generation → rows-only
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (64 hashes, 16 bands), exact-Jaccard
@@ -296,6 +328,28 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tf_idf_top_terms(docs, k=5)
 
 
+@query(
+    "q_top_ngrams",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT unnest(range(greatest(len(toks) - 2, 0) + 1)) AS i, toks FROM w),
+    g AS (SELECT array_to_string(toks[(i+1):(i+2)], ' ') AS ngram FROM s)
+    SELECT ngram, count(*) AS n_occurrences
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 20
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token bigrams (heavy hitters — the
+    boilerplate-detection primitive). Physically a
+    TakeOrderedAndProject: per-partition top-k heaps merged on the
+    driver, no global sort. Tiebreak (count desc, ngram asc) pinned on
+    both sides."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.top_ngrams(docs, n=2, k=20)
+
+
 @query("q_ann_ivf")  # approximate (probed lists) → rows-only
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic coarse quantizer, nprobe=3 inverted
@@ -303,6 +357,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_ann_topk(emb, queries, k=10, centroid_mod=25, nprobe=3)
+
+
+@query("q_semantic_dedup")  # k-means clustering (iterative) → rows-only
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means clusters the
+    embedding space, pairwise cosine runs within-cluster only (with a
+    deterministic sub-shard cap on oversized clusters). Rows-only
+    check — k-means is iterative; tests/test_scale_ops.py pins recall
+    against the brute-force pairs on the same threshold."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.semantic_dedup_pairs(emb, threshold=0.4, centroid_mod=200)
 
 
 @query("q_embed_pairs_lsh")  # bucketed approximation → rows-only

@@ -92,6 +92,19 @@ def exact_jaccard_pairs(
     executor loss, swap for persist(MEMORY_AND_DISK) + explicit
     unpersist — checkpointed blocks are not recomputable.
     """
+    stats = _pair_overlap_stats(shingles, id_col, max_shingle_freq)
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return stats.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _pair_overlap_stats(
+    shingles: DataFrame, id_col: str, max_shingle_freq: int | None
+) -> DataFrame:
+    """(id_a < id_b, n_common, size_a, size_b) for every doc pair
+    sharing ≥1 (post-cap) shingle — the shared candidate-generation
+    core of the Jaccard and containment metrics."""
     sh = shingles.localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         # Anti-join the rare HOT shingles (broadcast-small even at
@@ -114,12 +127,30 @@ def exact_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Shingle-set containment C(A,B) = |A∩B| / min(|A|,|B|) for every
+    pair sharing ≥1 shingle (Broder's containment coefficient on the
+    smaller set).
+
+    Catches the asymmetric near-dups Jaccard structurally misses: a
+    short doc fully quoted inside a much longer one has
+    J = |A|/|B| ≈ 0 but C = 1.0 — the boilerplate-inclusion /
+    quotation pattern that dominates web-scraped training corpora.
+    Same inverted-index candidate generation (and hot-shingle cap) as
+    :func:`exact_jaccard_pairs`; only the final scoring projection
+    differs, so the scale properties are identical."""
+    stats = _pair_overlap_stats(shingles, id_col, max_shingle_freq)
+    cont = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
+    return stats.select("id_a", "id_b", F.round(cont, 6).alias("containment")).filter(
+        F.col("containment") >= threshold
     )
 
 

@@ -432,6 +432,89 @@ def cosine_pairs_lsh(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    kmeans_iters: int = 2,
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then compare
+    pairwise cosine ONLY within a cluster — semantically-duplicate
+    documents land in the same cluster, so the pair space shrinks from
+    |C|²/2 to Σ_cluster |c|²/2 while recall at dedup thresholds stays
+    near 1 (a 0.95-cosine pair that straddles a cluster boundary is
+    rare because both points sit closer to each other than to either
+    centroid).
+
+    Complements the hyperplane variant (:func:`cosine_pairs_lsh`):
+    learned k-means cells track the data distribution, so clusters stay
+    balanced where random hyperplanes over-fill buckets in dense
+    regions. Skew guard: a cluster larger than ``max_cluster_size`` is
+    deterministically sub-sharded by xxhash64(id) into ceil(size/cap)
+    shards and pairs form within a shard only — bounds the worst
+    cluster's quadratic cost at an explicit, documented recall cost on
+    pathological clusters (mirrors the hot-shingle / hot-bucket caps in
+    the dedup family). Cluster sizes are bounded control data
+    (≤ |C|/centroid_mod rows) and broadcast."""
+    cent = kmeans_centroids(emb, id_col, vec_col, centroid_mod, kmeans_iters)
+    ids, m = _collect_centers(cent)
+    nearest = _nearest_centroid_udf(ids, m)
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    assign = emb.repartition(n_part).select(
+        F.col(id_col),
+        nearest(F.col(vec_col)).alias("cluster_id"),
+        unit_normalize(F.col(vec_col)).alias("nv"),
+    )
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("c_size"))
+    n_shards = F.ceil(F.col("c_size") / F.lit(max_cluster_size)).cast("long")
+    sharded = (
+        assign.join(F.broadcast(sizes), "cluster_id")
+        .withColumn(
+            "shard",
+            F.when(F.col("c_size") <= max_cluster_size, F.lit(0).cast("long"))
+            .otherwise(F.pmod(F.xxhash64(F.col(id_col)), n_shards)),
+        )
+        .select(id_col, "cluster_id", "shard", "nv")
+    )
+    a = sharded.select(
+        F.col(id_col).alias("id_a"), "cluster_id", "shard", F.col("nv").alias("vec_a")
+    )
+    b = sharded.select(
+        F.col(id_col).alias("id_b"), "cluster_id", "shard", F.col("nv").alias("vec_b")
+    )
+    return (
+        a.join(b, ["cluster_id", "shard"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(dot(F.col("vec_a"), F.col("vec_b")), 6) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus semantic near-dups: drop any vector that has a
+    smaller-id neighbor above ``threshold`` (min-id survivor — the same
+    deterministic convention as the exact/minhash dedups). One
+    broadcast-able anti-join against the bounded dropped-id set."""
+    pairs = semantic_dedup_pairs(emb, threshold, id_col=id_col, **kwargs)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(dropped, id_col, "left_anti")
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -187,6 +187,35 @@ def tf_idf_top_terms(
     )
 
 
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k most frequent token n-grams — the heavy-hitter
+    primitive behind boilerplate detection (the same n-grams repeated
+    across millions of scraped pages) and contamination screening.
+
+    Shape: explode per-doc n-grams (token array materialized once, see
+    token_shingles for the higher-order-function re-evaluation trap) →
+    one map-side-combinable count agg → global top-k. The final
+    ordering is (count desc, ngram asc) through ``orderBy().limit(k)``,
+    which Spark physically executes as TakeOrderedAndProject: each
+    partition keeps only its local top-k heap and the driver merges
+    k·n_partitions rows — no global sort at 100 TB. Docs shorter than
+    ``n`` tokens contribute their full token span as one gram, matching
+    the shingle convention."""
+    tokd = docs.select(F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        tokd.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def fingerprint(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -186,6 +186,99 @@ def test_lsh_multiprobe_improves_recall(spark):
     assert len(multi) >= len(single)  # more candidates reached
 
 
+def test_containment_catches_doc_inclusion(spark):
+    """The asymmetric case Jaccard misses: a short doc embedded verbatim
+    in a much longer one scores containment 1.0 but Jaccard ≪ threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id bigint, text string"
+    )
+    sh = dedup.token_shingles(docs, k=3)
+    cont = dedup.containment_pairs(sh, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in cont] == [(1, 2, 1.0)]
+    jac = dedup.exact_jaccard_pairs(sh, threshold=0.5).collect()
+    assert jac == []  # symmetric metric blind to the same pair
+
+
+def test_containment_respects_hot_shingle_cap(spark):
+    """The quadratic guard carries over: a shingle planted in every doc
+    must not create all-pairs candidates once capped."""
+    base = [(i, f"unique{i}a unique{i}b HOT KEY PHRASE") for i in range(20)]
+    docs = spark.createDataFrame(base, "doc_id bigint, text string")
+    sh = dedup.token_shingles(docs, k=3)
+    capped = dedup.containment_pairs(sh, threshold=0.01, max_shingle_freq=10)
+    assert capped.count() == 0  # the only shared shingles were hot → dropped
+
+
+def test_top_ngrams_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")], "doc_id bigint, text string"
+    )
+    got = {(r.ngram, r.n_occurrences) for r in text.top_ngrams(docs, n=2, k=10).collect()}
+    assert got == {("a b", 3), ("b a", 1), ("b c", 1), ("z", 1)}
+    # k bound + deterministic ordering at ties (count desc, ngram asc)
+    top2 = [r.ngram for r in text.top_ngrams(docs, n=2, k=2).collect()]
+    assert top2 == ["a b", "b a"]
+
+
+def test_semantic_dedup_recalls_planted_near_dups(spark):
+    """SemDeDup's contract: a near-identical twin (cos≈1) lands in the
+    same k-means cell as its original, so the pair is always emitted at
+    dedup thresholds; and every emitted sim is a true cosine (subset of
+    the brute-force result)."""
+    emb = _emb(spark)
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(twins)
+    pairs = similarity.semantic_dedup_pairs(corpus, threshold=0.95, centroid_mod=40)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for qid in range(8):
+        assert (qid, qid + 10_000) in found, f"twin pair for {qid} missed"
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.cosine_pairs(corpus, threshold=0.95).collect()
+    }
+    for r in pairs.collect():
+        assert (r.id_a, r.id_b) in exact
+        assert abs(exact[(r.id_a, r.id_b)] - r.cos_sim) < 1e-9
+
+
+def test_semantic_dedup_shard_cap_bounds_pairs(spark):
+    """With max_cluster_size forcing sub-shards, the result stays a
+    deterministic subset of the uncapped within-cluster pairs."""
+    emb = _emb(spark)
+    capped = similarity.semantic_dedup_pairs(
+        emb, threshold=0.3, centroid_mod=500, max_cluster_size=20
+    )
+    uncapped = similarity.semantic_dedup_pairs(
+        emb, threshold=0.3, centroid_mod=500, max_cluster_size=10**9
+    )
+    c = {(r.id_a, r.id_b) for r in capped.collect()}
+    u = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert c <= u
+    c2 = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert c == c2  # deterministic across runs
+
+
+def test_semantic_dedup_keep_drops_min_id_survivors(spark):
+    emb = _emb(spark)
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.col("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(twins)
+    kept = similarity.semantic_dedup_keep(corpus, threshold=0.999, centroid_mod=40)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    for qid in range(5):
+        assert qid in kept_ids  # min-id survives
+        assert qid + 10_000 not in kept_ids  # twin dropped
+
+
 def test_topk_two_phase_matches_window(spark):
     """The salted two-phase top-k must equal the naive window top-k."""
     from pyspark.sql import Window
