@@ -158,12 +158,29 @@ def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature: per doc, min over shingles of ``n_hashes``
-    seeded xxhash64 values. One aggregation pass computes every hash
-    column (map-side combinable)."""
+    derived hash values. One aggregation pass computes every column
+    (map-side combinable).
+
+    Double hashing (Kirsch–Mitzenmacher): instead of ``n_hashes``
+    independent seeded xxhash64 passes over the shingle STRING, hash it
+    twice and derive the family as h_i = h1 + i·h2 — string hashing
+    drops 32× and the derived ops are integer multiply-adds inside the
+    same codegen stage. The bases are folded to 32 bits (h2 forced odd
+    so every step is a bijection) so h1 + 63·h2 < 2^39 — no bigint
+    overflow under Spark's default ANSI mode. Per-shingle-pair
+    collision odds are 2^-32 per hash, noise at dedup scales; the
+    estimator quality matches the independent family in practice (the
+    standard production minhash construction)."""
+    h1 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+    h2 = F.pmod(F.xxhash64("shingle", F.lit(0x9E3779B9)), F.lit(1 << 32)).bitwiseOR(
+        F.lit(1)
+    )
+    sh = shingles.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(h))).alias(f"mh_{h}") for h in range(n_hashes)
+        F.min(F.col("_h1") + F.lit(h) * F.col("_h2")).alias(f"mh_{h}")
+        for h in range(n_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
