@@ -514,6 +514,29 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+           (octet_length(encode(text)) // 2) / 16000.0 AS duration_sec,
+           'stub' AS decoder
+    FROM documents
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-leg plumbing: Arrow-batched mapInPandas decode with
+    loudness features. The deterministic stub treats the payload as
+    16-bit PCM, so sample count / duration / decoder tag are
+    SQL-expressible and oracle-checked; the numpy loudness math
+    (rms/peak) is covered by tests/test_scale_ops.py (known-sine WAV
+    through the real ``wave`` branch + stub determinism)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.attach_binary(docs)
+    feats = multimodal.extract_audio_features(media)
+    return feats.select("media_id", "n_samples", "duration_sec", "decoder")
+
+
+@query(
     "q_frame_sample",
     """
     SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
