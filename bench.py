@@ -53,6 +53,10 @@ HEADLINE = [
     "q_asof_join",
     "q_range_join",
     "q_token_budget",
+    # round-3 additions
+    "q_containment_pairs",
+    "q_top_ngrams",
+    "q_semantic_dedup",
 ]
 
 

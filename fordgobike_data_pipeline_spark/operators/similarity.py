@@ -464,10 +464,19 @@ def semantic_dedup_pairs(
     ids, m = _collect_centers(cent)
     nearest = _nearest_centroid_udf(ids, m)
     n_part = emb.sparkSession.sparkContext.defaultParallelism
-    assign = emb.repartition(n_part).select(
-        F.col(id_col),
-        nearest(F.col(vec_col)).alias("cluster_id"),
-        unit_normalize(F.col(vec_col)).alias("nv"),
+    # the assignment feeds three consumers (cluster sizes + both self-join
+    # sides); an eager localCheckpoint runs the scan + Arrow assignment
+    # UDF once instead of 3x (same trade as the shingle table in
+    # dedup.exact_jaccard_pairs — swap for persist(MEMORY_AND_DISK) on
+    # clusters with executor churn)
+    assign = (
+        emb.repartition(n_part)
+        .select(
+            F.col(id_col),
+            nearest(F.col(vec_col)).alias("cluster_id"),
+            unit_normalize(F.col(vec_col)).alias("nv"),
+        )
+        .localCheckpoint(eager=True)
     )
     sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("c_size"))
     n_shards = F.ceil(F.col("c_size") / F.lit(max_cluster_size)).cast("long")
