@@ -86,6 +86,10 @@ def main() -> None:
         best = float("inf")
         for _ in range(runs):
             spark.catalog.clearCache()  # isolate queries from leftover state
+            # settle the JVM: garbage from heavy predecessors otherwise
+            # taxes small queries 2-4x late in the suite (measured —
+            # sub-second queries regressed vs their isolated times)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             materialize(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
