@@ -59,3 +59,63 @@ def test_bucketed_aggregation_skips_exchange(spark, no_broadcast):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in plan, plan
+
+
+def test_zorder_publish_tightens_file_bounding_boxes(spark, tmp_path):
+    """Z-order clustering must (a) preserve the data exactly and
+    (b) give each written file a materially tighter (user_id × ts)
+    bounding box than a naive write — parquet footer min/max stats are
+    what scans prune on, so the summed normalized box area is a direct
+    proxy for skippability on BOTH dimensions."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fordgobike_data_pipeline_spark.io import publish_overwrite, publish_zordered
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    naive_dir, z_dir = str(tmp_path / "naive"), str(tmp_path / "zorder")
+    publish_overwrite(ev.repartition(8), naive_dir)
+    publish_zordered(ev, z_dir, ["user_id", "ts"], n_files=8)
+
+    # (a) same multiset of rows
+    back = spark.read.parquet(z_dir)
+    assert back.count() == ev.count()
+    chk = lambda df: df.agg(  # noqa: E731
+        F.bit_xor(F.xxhash64("event_id", "user_id", "event_type")).alias("h")
+    ).first()["h"]
+    assert chk(back) == chk(ev)
+
+    def boxes_area(d: str) -> float:
+        spans = {"user_id": [], "ts": []}
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            schema_names = md.schema.to_arrow_schema().names
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in spans and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = min(mins.get(name, st.min), st.min)
+                        maxs[name] = max(maxs.get(name, st.max), st.max)
+            if mins:
+                spans["user_id"].append((mins["user_id"], maxs["user_id"]))
+                spans["ts"].append((mins["ts"], maxs["ts"]))
+        glo = {
+            k: (min(a for a, _ in v), max(b for _, b in v)) for k, v in spans.items()
+        }
+        total = 0.0
+        for (ua, ub), (ta, tb) in zip(spans["user_id"], spans["ts"]):
+            du = (ub - ua) / max(1, glo["user_id"][1] - glo["user_id"][0])
+            dt = (tb - ta).total_seconds() / max(
+                1e-9, (glo["ts"][1] - glo["ts"][0]).total_seconds()
+            )
+            total += du * dt
+        return total
+
+    naive_area, z_area = boxes_area(naive_dir), boxes_area(z_dir)
+    # naive random placement → every file spans ~the full space (area≈1
+    # each); z-order must cut the summed area by at least 2x
+    assert z_area < naive_area / 2, (naive_area, z_area)
