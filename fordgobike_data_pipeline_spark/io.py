@@ -213,6 +213,39 @@ def publish_zordered(
     publish_overwrite(clustered, path)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files,
+    atomically. Returns the new file count.
+
+    Streaming/incremental appends accumulate small files (every
+    micro-batch writes at least one per partition); at 100 TB the
+    resulting footer-read storm dominates scan setup and kills
+    data-skipping locality. Compaction = size-aware repartition +
+    temp-dir-and-swap publish, so readers never see a half-compacted
+    table. Sizing comes from the filesystem listing (driver-side
+    control metadata, no data read). With ``zorder_cols`` the rewrite
+    also re-clusters along the Z-order curve (:func:`publish_zordered`)
+    — compaction is the natural moment to restore clustering that
+    appends have degraded."""
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if zorder_cols:
+        publish_zordered(df, path, zorder_cols, n_files=n_files)
+    else:
+        publish_overwrite(df.repartition(n_files), path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
 # ---------------------------------------------------------------------------
 # High-water mark (replaces the loaded_to_silver boolean flag, D3)
 # ---------------------------------------------------------------------------

@@ -90,7 +90,6 @@ def test_zorder_publish_tightens_file_bounding_boxes(spark, tmp_path):
         spans = {"user_id": [], "ts": []}
         for f in glob.glob(f"{d}/*.parquet"):
             md = pq.ParquetFile(f).metadata
-            schema_names = md.schema.to_arrow_schema().names
             mins, maxs = {}, {}
             for rg in range(md.num_row_groups):
                 for ci in range(md.row_group(rg).num_columns):
@@ -119,3 +118,35 @@ def test_zorder_publish_tightens_file_bounding_boxes(spark, tmp_path):
     # naive random placement → every file spans ~the full space (area≈1
     # each); z-order must cut the summed area by at least 2x
     assert z_area < naive_area / 2, (naive_area, z_area)
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Streaming appends leave a small-file mess; compaction must cut
+    the file count to the size-derived target, keep every row, and stay
+    atomic (output readable afterwards)."""
+    import glob
+
+    from fordgobike_data_pipeline_spark.io import compact_table, publish_overwrite
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    d = str(tmp_path / "messy")
+    publish_overwrite(ev.repartition(64), d)  # 64 tiny files
+    n_before = len(glob.glob(f"{d}/*.parquet"))
+    assert n_before >= 64
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+    )
+    n_after = compact_table(spark, d, target_file_bytes=max(1, total // 2))
+    assert n_after == len(glob.glob(f"{d}/*.parquet")) <= 3
+
+    back = spark.read.parquet(d)
+    assert back.count() == ev.count()
+    chk = lambda df: df.agg(  # noqa: E731
+        F.bit_xor(F.xxhash64("event_id", "user_id", "event_type")).alias("h")
+    ).first()["h"]
+    assert chk(back) == chk(ev)
+
+    # z-order variant restores clustering during the rewrite
+    n_z = compact_table(spark, d, target_file_bytes=max(1, total // 4), zorder_cols=["user_id", "ts"])
+    assert n_z >= 1 and spark.read.parquet(d).count() == ev.count()
