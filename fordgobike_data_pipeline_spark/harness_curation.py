@@ -195,6 +195,32 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_chunk_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(CAST(ceil(greatest(len(toks) - 128, 0) / 64.0) AS BIGINT) + 1)) AS i
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * 64 AS BIGINT) AS start_tok,
+           CAST(least(128, n - i * 64) AS BIGINT) AS n_tok,
+           array_to_string(toks[(i*64 + 1):(i*64 + 128)], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (128-token chunks, stride 64)
+    — the RAG/embedding pre-vectorization step. Zero shuffles: split
+    once per doc, one posexplode over the window starts; every token
+    lands in ≥1 chunk, the tail chunk is short."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.chunk_documents(docs, chunk_tokens=128, stride=64)
+
+
+@query(
     "q_pack_sequences",
     f"""
     WITH t AS (

@@ -194,6 +194,51 @@ def train_split(
 # ---------------------------------------------------------------------------
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each doc into overlapping fixed-size token windows — the
+    retrieval/embedding chunking step (RAG indexing, long-doc
+    embedding) that precedes vectorization.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens); windows
+    start while any token remains, so the tail is a short final chunk
+    and every token appears in ≥1 chunk. Pure per-row array work
+    (split once, sequence of starts, slice per start) — zero shuffles,
+    embarrassingly parallel, linear in corpus size; output fan-out is
+    ≈ n_tokens/stride rows per doc. The token array is materialized in
+    its own projection first (higher-order-function re-evaluation trap,
+    see token_shingles)."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError(
+            f"chunk_tokens and stride must be positive, got {chunk_tokens}, {stride}"
+        )
+    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    n_chunks = F.ceil(F.greatest(F.size(toks) - chunk_tokens, F.lit(0)) / stride) + 1
+    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int") * stride, F.lit(stride))
+    return tokd.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        F.size(toks).alias("_n"),
+        toks.alias("_t"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tok"),
+        F.concat_ws(" ", F.slice(F.col("_t"), F.col("start_tok") + 1, chunk_tokens)).alias(
+            "chunk_text"
+        ),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,

@@ -103,3 +103,40 @@ def test_pack_sequences_contiguous_streams(spark):
         for r in rows:
             assert r.seq_idx == offset // 32 and r.seq_pos == offset % 32
             offset += r.n_tok
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Coverage + overlap invariants: chunk i starts at i*stride, all
+    chunks except the tail hold exactly chunk_tokens tokens, every
+    token index lands in >=1 chunk, and reassembling stride-aligned
+    prefixes reproduces the doc."""
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "solo")], "doc_id bigint, text string"
+    )
+    rows = curation.chunk_documents(docs, chunk_tokens=4, stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.start_tok for r in c1] == [0, 2, 4, 6]
+    assert [r.n_tok for r in c1] == [4, 4, 4, 4]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[-1].chunk_text == "t6 t7 t8 t9"
+    covered = set()
+    for r in c1:
+        covered |= set(range(r.start_tok, r.start_tok + r.n_tok))
+    assert covered == set(range(10))
+    # short docs -> exactly one (short) chunk
+    assert [(r.chunk_idx, r.n_tok, r.chunk_text) for r in by_doc[2]] == [(0, 2, "a b")]
+    assert [(r.chunk_idx, r.n_tok, r.chunk_text) for r in by_doc[3]] == [(0, 1, "solo")]
+
+
+def test_chunk_documents_validates_args(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, stride=-1)
