@@ -195,6 +195,40 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_negative_samples",
+    f"""
+    WITH cand AS (
+        SELECT doc_id AS cand_id,
+               {_DUCK_BUCKET.format(key="doc_id", m=64)} AS bucket
+        FROM documents
+    ),
+    probes AS (
+        SELECT doc_id AS anchor_id, i AS probe,
+               {_DUCK_BUCKET.format(key="concat(doc_id, ':', i)", m=64)} AS bucket
+        FROM documents, unnest(range(4)) AS t(i)
+    ),
+    j AS (
+        SELECT anchor_id, probe, cand_id,
+               md5(concat(anchor_id, '#', probe, '#', cand_id)) AS pick
+        FROM probes JOIN cand USING (bucket)
+        WHERE cand_id <> anchor_id
+    )
+    SELECT anchor_id, CAST(probe AS INT) AS probe,
+           arg_min(cand_id, pick) AS negative_id
+    FROM j GROUP BY anchor_id, probe
+    """,
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative mining: 4 pseudo-random
+    negatives per anchor via md5 bucket probes + md5-argmin pick — a
+    pure function of ids (no rand()), so the oracle reproduces the
+    selection bit-exactly and the probe join stays bucket-bounded
+    (|docs|/64 candidates per probe, never all-pairs)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.negative_samples(docs, k=4, n_buckets=64)
+
+
+@query(
     "q_chunk_docs",
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -194,6 +194,64 @@ def train_split(
 # ---------------------------------------------------------------------------
 
 
+def negative_samples(
+    docs: DataFrame,
+    k: int = 4,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling: for each anchor
+    doc, ``k`` other docs drawn without replacement-by-construction —
+    the contrastive-training pair-mining step (one negative per probe).
+
+    Construction: every doc hashes to one of ``n_buckets`` candidate
+    buckets; probe i of anchor a targets bucket md5(a‖':'‖i) mod B and
+    takes the candidate minimizing md5(a‖'#'‖i‖'#'‖cand) — a pure
+    function of ids, so re-runs, repartitioning, and the SQL oracle
+    reproduce the selection bit-exactly (no rand(), which is
+    seed+partitioning dependent). Scale: the probe join fans out to
+    |docs|/B rows per probe (candidates bucket-partitioned, never
+    all-pairs); anchors with an empty target bucket (or only
+    themselves in it) emit no row for that probe — at production B ≪
+    |docs| every bucket is populated.
+    """
+    if k <= 0 or n_buckets <= 0:
+        raise ValueError(f"k and n_buckets must be positive, got {k}, {n_buckets}")
+    cand = docs.select(
+        F.col(id_col).alias("cand_id"),
+        _hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
+    )
+    probes = docs.select(
+        F.col(id_col).alias("anchor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe"),
+    ).withColumn(
+        "bucket",
+        _hash_bucket(
+            F.concat_ws(
+                ":", F.col("anchor_id").cast("string"), F.col("probe").cast("string")
+            ),
+            n_buckets,
+        ),
+    )
+    pick = F.md5(
+        F.concat_ws(
+            "#",
+            F.col("anchor_id").cast("string"),
+            F.col("probe").cast("string"),
+            F.col("cand_id").cast("string"),
+        )
+    )
+    return (
+        probes.join(cand, "bucket")
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", "probe")
+        .agg(F.min_by("cand_id", pick).alias("negative_id"))
+        .select(
+            "anchor_id", F.col("probe").cast("int").alias("probe"), "negative_id"
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

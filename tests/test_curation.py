@@ -140,3 +140,29 @@ def test_chunk_documents_validates_args(spark):
         curation.chunk_documents(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         curation.chunk_documents(docs, stride=-1)
+
+
+def test_negative_samples_deterministic_and_valid(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    neg = curation.negative_samples(docs, k=3, n_buckets=4)
+    rows = {(r.anchor_id, r.probe): r.negative_id for r in neg.collect()}
+    # no self-negatives, negative ids are real docs
+    for (a, _p), n in rows.items():
+        assert n != a and 0 <= n < 40
+    # with B=4 buckets over 40 docs every bucket is populated -> k rows/anchor
+    assert len(rows) == 40 * 3
+    # pure function of ids: repartitioned rerun picks identical negatives
+    again = {
+        (r.anchor_id, r.probe): r.negative_id
+        for r in curation.negative_samples(docs.repartition(7), k=3, n_buckets=4).collect()
+    }
+    assert again == rows
+    # probes actually diversify: most anchors see >1 distinct negative
+    from collections import defaultdict
+
+    per_anchor = defaultdict(set)
+    for (a, _p), n in rows.items():
+        per_anchor[a].add(n)
+    assert sum(1 for s in per_anchor.values() if len(s) > 1) > 20
