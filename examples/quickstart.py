@@ -58,6 +58,34 @@ def main() -> None:
     print("== nearest neighbours of vector 0 (exact cosine top-5) ==")
     similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).show()
 
+    # 4. round-3 additions: curation, chunking, semantic dedup, layout
+    from fordgobike_data_pipeline_spark.io import publish_zordered  # noqa: E402
+    from fordgobike_data_pipeline_spark.operators import curation, text  # noqa: E402
+
+    print("== corpus-wide top-10 bigrams (boilerplate heavy hitters) ==")
+    text.top_ngrams(docs, n=2, k=10).show(truncate=False)
+
+    print("== RAG chunking: 32-token windows, stride 16 (first doc) ==")
+    curation.chunk_documents(docs, chunk_tokens=32, stride=16).filter(
+        F.col("doc_id") == 0
+    ).show(truncate=60)
+
+    print("== contrastive negatives (2 per anchor, first 5 anchors) ==")
+    curation.negative_samples(docs, k=2, n_buckets=8).filter(
+        F.col("anchor_id") < 5
+    ).show()
+
+    print("== SemDeDup pairs (k-means cells, within-cluster cosine) ==")
+    similarity.semantic_dedup_pairs(emb, threshold=0.3, centroid_mod=50).show(5)
+
+    # Z-order clustered publish: tight per-file (user_id, ts) bounding
+    # boxes → parquet footer pruning on either predicate
+    ev = load_tables(spark, sf, ("events",))["events"]
+    zdir = tempfile.mkdtemp(prefix="quickstart_z_") + "/events_z"
+    publish_zordered(ev, zdir, ["user_id", "ts"], n_files=4)
+    print(f"== z-ordered publish: {zdir} ==")
+    spark.read.parquet(zdir).filter(F.col("user_id") == 3).count()
+
 
 if __name__ == "__main__":
     main()
