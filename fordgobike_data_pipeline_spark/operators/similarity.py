@@ -25,6 +25,8 @@ projection, and the gap widens with k.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -376,6 +378,92 @@ def ivf_ann_topk(
     )
     pairs = (
         assign.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.round(dot(F.col("q_vec"), F.col("c_vec")), 6) + F.lit(0.0)).alias("sim"),
+        )
+    )
+    entry = _topk_struct(F.col("sim"), F.col("cand_id").alias("cand_id"))
+    final = pairs.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top")
+    )
+    return final.select("query_id", F.posexplode("top").alias("pos", "e")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        (-F.col("e.neg_sim")).alias("sim"),
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    kmeans_iters: int = 2,
+) -> None:
+    """Persist an IVF index: fit the k-means quantizer once, write the
+    centroids (bounded control table) and the normalized corpus
+    assignments PARTITIONED BY inverted list.
+
+    This is the production ANN shape — :func:`ivf_ann_topk` refits and
+    rescans per call, which is right for one-shot analytics but wrong
+    for serve-many: here the corpus is embedded/assigned once, and
+    every query batch reads ONLY its probed list partitions (directory-
+    level partition pruning — at 100 TB a nprobe=3 probe touches
+    3/|centroids| of the index files, not the corpus). Writes go
+    through the atomic temp-dir-and-swap publish."""
+    from ..io import publish_overwrite
+
+    cent = kmeans_centroids(emb, id_col, vec_col, centroid_mod, kmeans_iters)
+    ids, m = _collect_centers(cent)
+    nearest1 = _nearest_centroid_udf(ids, m)
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    assign = emb.repartition(n_part).select(
+        F.col(id_col).alias("cand_id"),
+        nearest1(F.col(vec_col)).alias("list_id"),
+        unit_normalize(F.col(vec_col)).alias("c_vec"),
+    )
+    publish_overwrite(cent, os.path.join(path, "centroids"))
+    publish_overwrite(assign, os.path.join(path, "lists"), partition_by=["list_id"])
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (:func:`build_ivf_index`).
+
+    The centroid table is bounded (k rows) and drives probe selection;
+    the distinct probed list ids are ≤ |centroids| — control data — so
+    collecting them into an IN-filter turns the index read into a
+    partition-pruned scan of only the probed directories. Scoring and
+    the salted top-k merge are identical to :func:`ivf_ann_topk`."""
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    ids, m = _collect_centers(cent)
+    nearest_n = _nearest_centroid_udf(ids, m, nprobe=nprobe)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
+        F.explode(nearest_n(F.col(vec_col))).alias("list_id"),
+    )
+    probe_lists = [
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    ]  # ≤ |centroids| values — bounded control data, enables pruning
+    lists = spark.read.parquet(os.path.join(path, "lists")).filter(
+        F.col("list_id").cast("long").isin(probe_lists)
+    )
+    pairs = (
+        lists.withColumn("list_id", F.col("list_id").cast("long"))
+        .join(F.broadcast(probes), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",

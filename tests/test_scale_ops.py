@@ -574,3 +574,36 @@ def test_frame_sample_bounded_fanout(spark):
     assert per_doc <= 4
     offs = frames.filter(F.col("media_id") == 0).orderBy("frame_idx").collect()
     assert [o.byte_offset for o in offs] == [i * 64 for i in range(len(offs))]
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """Build-once/query-many must return exactly what the inline IVF
+    computes (same deterministic quantizer fit), and the index read
+    must be partition-pruned to the probed lists."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, centroid_mod=25, kmeans_iters=2)
+    got = similarity.query_ivf_index(spark, idx, queries, k=10, nprobe=3)
+    want = similarity.ivf_ann_topk(
+        emb, queries, k=10, centroid_mod=25, nprobe=3, kmeans_iters=2
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.rank, r.cand_id, r.sim) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    # partition pruning: the lists scan carries a partition filter
+    cent = spark.read.parquet(f"{idx}/centroids")
+    ids, m = similarity._collect_centers(cent)
+    probes = queries.select(
+        similarity._nearest_centroid_udf(ids, m, nprobe=3)("embedding").alias("ls")
+    )
+    probe_lists = {l for r in probes.collect() for l in r.ls}
+    lists = spark.read.parquet(f"{idx}/lists").filter(
+        F.col("list_id").cast("long").isin(sorted(probe_lists))
+    )
+    plan = lists._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
