@@ -4,7 +4,16 @@ creates cross-copy exact/near duplicates, which is exactly the dedup
 workload). Prints per-operator wall times.
 
     python tools/scale_stress.py [replication]
-"""
+
+Interpretation note: on this workload every doc has N-1 identical
+copies, so EXACT pairwise metrics (containment_pairs, and
+exact_jaccard at lower thresholds) emit Θ(docs·N²) true pairs — their
+wall time tracks output mass, not wasted candidates (measured: 250k
+true pairs at 10×). That output-size blowup, not candidate
+generation, is why the sketch paths (minhash/simhash/LSH/SemDeDup)
+are the 100 TB route: they return the same duplicate structure in
+candidate-bounded time, and dedup_clusters collapses it to one
+survivor per group without materializing all pairs."""
 
 from __future__ import annotations
 
@@ -62,6 +71,18 @@ def main() -> None:
     timed("cosine_pairs_lsh", similarity.cosine_pairs_lsh(emb, threshold=0.9, n_planes=10))
     queries = emb.filter(F.col("vec_id") < 5)
     timed("lsh_ann_topk(mp=1)", similarity.lsh_ann_topk(emb, queries, n_planes=8, multiprobe=1))
+    # round-3 operators
+    from fordgobike_data_pipeline_spark.operators import curation  # noqa: E402
+
+    sh = dedup.token_shingles(docs, k=3)
+    timed("containment_pairs", dedup.containment_pairs(sh, threshold=0.9, max_shingle_freq=50 * n))
+    timed("top_ngrams", text.top_ngrams(docs, n=2, k=20))
+    timed(
+        "semantic_dedup_pairs",
+        similarity.semantic_dedup_pairs(emb, threshold=0.95, centroid_mod=200),
+    )
+    timed("chunk_documents", curation.chunk_documents(docs, chunk_tokens=128, stride=64))
+    timed("negative_samples", curation.negative_samples(docs, k=4, n_buckets=256))
 
 
 if __name__ == "__main__":
