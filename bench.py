@@ -57,6 +57,8 @@ HEADLINE = [
     "q_containment_pairs",
     "q_top_ngrams",
     "q_semantic_dedup",
+    "q_chunk_docs",
+    "q_negative_samples",
 ]
 
 

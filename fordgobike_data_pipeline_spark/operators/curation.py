@@ -209,11 +209,15 @@ def negative_samples(
     takes the candidate minimizing md5(a‖'#'‖i‖'#'‖cand) — a pure
     function of ids, so re-runs, repartitioning, and the SQL oracle
     reproduce the selection bit-exactly (no rand(), which is
-    seed+partitioning dependent). Scale: the probe join fans out to
-    |docs|/B rows per probe (candidates bucket-partitioned, never
-    all-pairs); anchors with an empty target bucket (or only
-    themselves in it) emit no row for that probe — at production B ≪
-    |docs| every bucket is populated.
+    seed+partitioning dependent).
+
+    Scale: the probe join materializes |docs|·k·(|docs|/B) candidate
+    rows, so ``n_buckets`` MUST scale with the corpus — size
+    B ≈ |docs|/1000 to hold ~1000 candidates per bucket and the
+    intermediate stays linear (|docs|·k·1000) with B-way parallelism.
+    The default 64 suits test-sized corpora only. Anchors whose target
+    bucket is empty (or holds only themselves) emit no row for that
+    probe — with properly sized B every bucket is populated.
     """
     if k <= 0 or n_buckets <= 0:
         raise ValueError(f"k and n_buckets must be positive, got {k}, {n_buckets}")
