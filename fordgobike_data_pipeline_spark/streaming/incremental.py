@@ -112,6 +112,64 @@ def stream_stream_join(
     ).select("click_user", "click_id", "click_ts", "view_id", "view_ts")
 
 
+def stream_curate_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    accepted_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+    min_quality: float = 0.3,
+) -> None:
+    """Streaming corpus ingestion with inline curation — the
+    training-data ingest loop: each micro-batch of raw documents is
+    normalized, quality-gated, deduped within the batch AND against
+    the persisted cross-batch fingerprint index, then appended to the
+    accepted corpus; the index grows by exactly the accepted batch.
+
+    foreachBatch is the right tool (not a pure streaming plan) because
+    the cross-batch anti-join reads state the stream itself writes —
+    the index — and appends to two sinks atomically-per-batch; the
+    checkpoint makes every batch exactly-once, so a crash between
+    micro-batches re-processes only the unconsumed files. Per-batch
+    cost is O(|batch| + index probe) however large the accepted corpus
+    grows (operators/dedup.incremental_exact_dedup) — the same
+    contract as the batch-mode q_dedup_incremental, now restart-safe
+    and file-driven."""
+    import os
+
+    from ..operators import curation, dedup, text
+
+    if schema is None:
+        schema = StructType.fromDDL("doc_id BIGINT, source STRING, text STRING")
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        cleaned = batch.withColumn("text", curation.normalize_text(F.col("text")))
+        scored = (
+            text.quality_score(cleaned.select("doc_id", "text"))
+            .filter(F.col("quality") >= min_quality)
+            .select("doc_id")
+        )
+        kept = cleaned.join(scored, "doc_id", "left_semi")
+        if os.path.exists(index_path):
+            index = batch.sparkSession.read.parquet(index_path)
+        else:
+            index = dedup.fingerprint_index(kept).limit(0)
+        fresh = dedup.incremental_exact_dedup(kept, index)
+        fresh = fresh.localCheckpoint(eager=True)  # one pass, two sinks
+        fresh.write.mode("append").parquet(accepted_path)
+        dedup.fingerprint_index(fresh).write.mode("append").parquet(index_path)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running
     per-user event count + value sum that SURVIVES across micro-batches

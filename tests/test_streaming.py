@@ -197,3 +197,48 @@ def test_session_window_native_agrees_on_counts(spark):
     assert (
         a.agg(F.sum("n_events")).first()[0] == b.agg(F.sum("n_events")).first()[0]
     )
+
+
+def test_stream_curate_documents_cross_batch_dedup(spark, tmp_path):
+    """Two micro-batch waves through the curation ingest: junk is
+    quality-gated out, an exact duplicate arriving in a LATER batch is
+    rejected by the persisted fingerprint index, and the checkpoint
+    keeps re-runs exactly-once (no re-processing, no index growth)."""
+    import json
+    import os
+
+    landing = str(tmp_path / "landing")
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    good = "the quick brown fox jumps over the lazy dog again and again " * 5
+    junk = "!!! ??? !!! ??? !!!"
+    with open(f"{landing}/b1.json", "w") as f:
+        for d in (
+            {"doc_id": 1, "source": "s1", "text": good},
+            {"doc_id": 2, "source": "s1", "text": junk},
+            {"doc_id": 3, "source": "s1", "text": good + " tail one"},
+        ):
+            f.write(json.dumps(d) + "\n")
+    incremental.stream_curate_documents(spark, landing, accepted, index, ckpt)
+    first = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert first == {1, 3}  # junk gated out
+
+    # wave 2: one duplicate of doc 1's content, one genuinely new doc
+    with open(f"{landing}/b2.json", "w") as f:
+        for d in (
+            {"doc_id": 10, "source": "s2", "text": good},
+            {"doc_id": 11, "source": "s2", "text": good + " fresh content here"},
+        ):
+            f.write(json.dumps(d) + "\n")
+    incremental.stream_curate_documents(spark, landing, accepted, index, ckpt)
+    second = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert second == {1, 3, 11}  # 10 rejected by the cross-batch index
+
+    # exactly-once: a third drain with nothing new changes nothing
+    n_index = spark.read.parquet(index).count()
+    incremental.stream_curate_documents(spark, landing, accepted, index, ckpt)
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == second
+    assert spark.read.parquet(index).count() == n_index
