@@ -329,6 +329,23 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_char_entropy",
+    """
+    SELECT doc_id, round(entropy(ch), 6) AS entropy
+    FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (bits) — the
+    gibberish/encoding-junk detector. DuckDB's native entropy()
+    aggregate is log2-based, matching the Spark-side
+    log2(n) − Σ c·log2(c)/n formulation exactly (6dp rounded)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.char_entropy(docs)
+
+
+@query(
     "q_top_ngrams",
     """
     WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),

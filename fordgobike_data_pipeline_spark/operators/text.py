@@ -187,6 +187,31 @@ def tf_idf_top_terms(
     )
 
 
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (bits) of each doc's character distribution —
+    the cheap gibberish/encoding-junk detector: natural prose sits
+    ~4-4.5 bits, base64 blobs and key-mash rise toward log2(alphabet),
+    single-char runs fall to 0.
+
+    One explode + two map-side-combinable aggs, no join: from the
+    per-(doc, char) counts c and doc length n,
+    H = log2(n) − Σ c·log2(c) / n — algebraically −Σ (c/n)·log2(c/n)
+    without needing n inside the per-char term. Empty docs produce no
+    output row (no character mass; mirrored by the oracle's unnest of
+    an empty split)."""
+    chars = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    cnt = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    return cnt.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("entropy")
+    )
+
+
 def top_ngrams(
     docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

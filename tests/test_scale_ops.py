@@ -607,3 +607,20 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_char_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.entropy for r in text.char_entropy(docs).collect()}
+    assert rows[1] == 1.0 and rows[2] == 2.0 and rows[3] == 0.0
+    assert 4 not in rows  # empty doc: no character mass, no row
+    # prose scores well below random over its alphabet
+    prose = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    h = text.char_entropy(prose).collect()[0].entropy
+    assert 3.5 < h < 4.8
