@@ -59,6 +59,7 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_chunk_docs",
     "q_negative_samples",
+    "q_char_entropy",
 ]
 
 
