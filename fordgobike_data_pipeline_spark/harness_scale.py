@@ -272,6 +272,42 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_quality_percentile",
+    r"""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS tok_chars,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / n_chars) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6) AS quality
+        FROM s
+    )
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality, doc_id), 6) AS quality_pctile
+    FROM q
+    """,
+)
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality percentile (percent_rank within source) —
+    domain-balanced filtering calibration: 'keep each domain's top X%'
+    instead of a global cutoff one strong domain would monopolize.
+    Ties broken by doc_id so ranks are engine-portable."""
+    from .operators import curation
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = text.quality_score(docs)
+    return curation.quality_percentile_by_domain(docs, q)
+
+
+@query(
     "q_winnow_fingerprint",
     """
     WITH g AS (

@@ -194,6 +194,34 @@ def train_split(
 # ---------------------------------------------------------------------------
 
 
+def quality_percentile_by_domain(
+    docs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain quality percentile: percent_rank of each doc's
+    quality score WITHIN its domain — the calibration step behind
+    domain-balanced filtering ("keep every domain's top 30%" instead of
+    a global cutoff that one high-scoring domain would monopolize; the
+    same failure mode per_domain_cap guards by count, handled here by
+    score distribution).
+
+    One window per domain partition (domains are the natural shuffle
+    key and are bounded); ordering ties broken by id so ranks are
+    deterministic and engine-portable."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("quality").asc(), F.col(id_col).asc()
+    )
+    joined = docs.select(id_col, domain_col).join(quality, id_col)
+    return joined.select(
+        id_col,
+        domain_col,
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("quality_pctile"),
+    )
+
+
 def negative_samples(
     docs: DataFrame,
     k: int = 4,

@@ -166,3 +166,34 @@ def test_negative_samples_deterministic_and_valid(spark):
     for (a, _p), n in rows.items():
         per_anchor[a].add(n)
     assert sum(1 for s in per_anchor.values() if len(s) > 1) > 20
+
+
+def test_quality_percentile_is_domain_relative(spark):
+    """A mediocre doc in a weak domain must outrank (in percentile) a
+    better doc stuck in a strong domain — the property a global cutoff
+    lacks; and percentiles span [0, 1] within every domain."""
+    from fordgobike_data_pipeline_spark.operators import text
+
+    rows = [
+        # strong domain: qualities cluster high
+        (1, "a", "one two three four five six seven eight nine ten " * 8),
+        (2, "a", "alpha beta gamma delta epsilon zeta eta theta " * 9),
+        (3, "a", "long form prose with many reasonable tokens here " * 10),
+        # weak domain: short/junky docs, one mediocre standout
+        (4, "b", "!!!"),
+        (5, "b", "?? ?? ??"),
+        (6, "b", "a plain middling sentence of ordinary words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    q = text.quality_score(docs)
+    out = {
+        r.doc_id: r
+        for r in curation.quality_percentile_by_domain(docs, q).collect()
+    }
+    quals = {i: out[i].quality for i in out}
+    # doc 6 is globally mediocre but tops its weak domain
+    assert quals[6] < max(quals[1], quals[2], quals[3])
+    assert out[6].quality_pctile == 1.0
+    for dom in ("a", "b"):
+        ps = [r.quality_pctile for r in out.values() if r.source == dom]
+        assert min(ps) == 0.0 and max(ps) == 1.0
