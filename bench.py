@@ -60,6 +60,7 @@ HEADLINE = [
     "q_chunk_docs",
     "q_negative_samples",
     "q_char_entropy",
+    "q_quality_percentile",
 ]
 
 
