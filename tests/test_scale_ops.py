@@ -624,3 +624,30 @@ def test_char_entropy_known_values(spark):
     )
     h = text.char_entropy(prose).collect()[0].entropy
     assert 3.5 < h < 4.8
+
+
+def test_new_operator_plan_shapes(spark):
+    """Physical-plan contracts for the round-3 operators: top-k n-grams
+    must be a TakeOrderedAndProject (per-partition heaps, no global
+    sort); chunking must be shuffle-free (no Exchange); entropy must
+    keep partial aggregation (two-phase, map-side combine)."""
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    from fordgobike_data_pipeline_spark.operators import curation
+
+    docs = _docs(spark)
+    p = plan_of(text.top_ngrams(docs, n=2, k=20))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort operator
+
+    p = plan_of(curation.chunk_documents(docs, chunk_tokens=64, stride=32))
+    assert "Exchange" not in p  # embarrassingly parallel
+
+    p = plan_of(text.char_entropy(docs))
+    assert "partial_count" in p or "partial_" in p  # map-side combine
