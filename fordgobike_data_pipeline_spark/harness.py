@@ -70,8 +70,8 @@ def _ensure_extensions_loaded() -> None:
 # Round-3 priority. r02 adjudicated the previous 50-query window; this
 # round's window = the 9 queries whose r02 rows were errors (the
 # events.ts dtype break + the quantize array-hash break, both fixed),
-# q_lang_id (upgraded rows-only → full oracle this round), the 8
-# queries new this round, the flagship, and 31 of the 39 core queries
+# q_lang_id (upgraded rows-only → full oracle this round), the 9
+# queries new this round, the flagship, and 30 of the 39 core queries
 # that were green in r01 but rotated out of the r02 window — refreshed
 # so that across r02+r03 every oracle-eligible query has a recent
 # green row.
@@ -88,11 +88,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quantize_embed",
     # rows-only → oracle upgrade this round (1)
     "q_lang_id",
-    # new this round (8): containment dedup, heavy-hitter n-grams,
+    # new this round (9): containment dedup, heavy-hitter n-grams,
     # SemDeDup semantic dedup (rows-only — k-means is iterative),
     # audio-leg multimodal plumbing, RAG token-window chunking,
     # contrastive negative mining, char-entropy gibberish detection,
-    # per-domain quality percentile calibration
+    # per-domain quality percentile calibration, C4-style boilerplate
+    # line removal
     "q_containment_pairs",
     "q_top_ngrams",
     "q_semantic_dedup",
@@ -101,6 +102,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_negative_samples",
     "q_char_entropy",
     "q_quality_percentile",
+    "q_remove_boilerplate",
     # flagship (1)
     "q_agg_daily_summary",
     # green in r01, not in the r02 window — refresh (39)
@@ -134,11 +136,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_rownum",
     "q_scan_csv_literal",
     "q_string_funcs",
-    "q_date_arith",
-    # (q_pivot / q_percentiles / q_rollup / q_set_ops / q_having /
-    # q_window_lag_cumsum / q_cube / q_grouping_sets rotated out to
-    # make room for the eight new queries — green in r01, unchanged
-    # since)
+    # (q_date_arith / q_pivot / q_percentiles / q_rollup / q_set_ops /
+    # q_having / q_window_lag_cumsum / q_cube / q_grouping_sets
+    # rotated out to make room for the nine new queries — green in
+    # r01, unchanged since)
 )
 
 

@@ -195,6 +195,33 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_remove_boilerplate",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, '. ') AS ls FROM documents),
+    lines AS (
+        SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS ln
+        FROM w
+    ),
+    hot AS (
+        SELECT ln FROM lines GROUP BY ln HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (SELECT * FROM lines ANTI JOIN hot USING (ln))
+    SELECT doc_id,
+           string_agg(ln, '. ' ORDER BY pos) AS clean_text,
+           count(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal: drop sentences occurring in
+    >2 docs corpus-wide (broadcast anti-join of the hot-line set),
+    rebuild docs in original order. Docs whose every line is
+    boilerplate vanish from the output on both sides."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.remove_boilerplate_lines(docs, max_line_freq=2)
+
+
+@query(
     "q_negative_samples",
     f"""
     WITH cand AS (

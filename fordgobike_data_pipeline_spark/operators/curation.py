@@ -194,6 +194,48 @@ def train_split(
 # ---------------------------------------------------------------------------
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_line_freq: int = 2,
+    sep: str = ". ",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line/sentence that
+    occurs in more than ``max_line_freq`` documents corpus-wide (cookie
+    banners, nav text, legal footers — the highest-frequency lines are
+    almost never content), then reconstruct each doc from its surviving
+    lines in original order.
+
+    Shape: posexplode the line split → line document-frequency (one
+    map-side-combinable agg) → broadcast ANTI-join of the hot lines
+    (the >freq set is the boilerplate — small by construction, exactly
+    the hot-shingle/hot-bucket cap pattern) → groupBy doc, array_sort
+    on (pos, line), concat back. Two shuffles total (line df + doc
+    rebuild); the corpus text is scanned once."""
+    import re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias("pos", "line"),
+    )
+    df_ = lines.groupBy("line").agg(F.countDistinct(id_col).alias("df"))
+    hot = df_.filter(F.col("df") > max_line_freq).select("line")
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("pl")
+        )
+        .select(
+            id_col,
+            F.concat_ws(sep, F.transform("pl", lambda s: s["line"])).alias("clean_text"),
+            F.size("pl").cast("long").alias("n_lines_kept"),
+        )
+    )
+    return rebuilt
+
+
 def quality_percentile_by_domain(
     docs: DataFrame,
     quality: DataFrame,

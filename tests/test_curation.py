@@ -197,3 +197,28 @@ def test_quality_percentile_is_domain_relative(spark):
     for dom in ("a", "b"):
         ps = [r.quality_pctile for r in out.values() if r.source == dom]
         assert min(ps) == 0.0 and max(ps) == 1.0
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    """The cookie-banner line planted in every doc is stripped; unique
+    content survives in original order; an all-boilerplate doc vanishes."""
+    banner = "accept all cookies to continue"
+    rows = [
+        (1, f"{banner}. real content one. more real text"),
+        (2, f"unique opener. {banner}. real content two"),
+        (3, f"{banner}"),
+        (4, f"standalone doc with its own words. {banner}. closing thought"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in curation.remove_boilerplate_lines(docs, max_line_freq=2).collect()}
+    assert out[1].clean_text == "real content one. more real text"
+    assert out[2].clean_text == "unique opener. real content two"
+    assert 3 not in out  # all lines were boilerplate
+    assert out[4].clean_text == "standalone doc with its own words. closing thought"
+    assert out[4].n_lines_kept == 2
+    # below the frequency bar nothing is touched
+    untouched = {
+        r.doc_id: r.clean_text
+        for r in curation.remove_boilerplate_lines(docs, max_line_freq=10).collect()
+    }
+    assert untouched[1] == rows[0][1]
