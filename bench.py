@@ -61,6 +61,8 @@ HEADLINE = [
     "q_negative_samples",
     "q_char_entropy",
     "q_quality_percentile",
+    "q_remove_boilerplate",
+    "q_window_hopping",
 ]
 
 

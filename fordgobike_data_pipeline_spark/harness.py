@@ -70,8 +70,8 @@ def _ensure_extensions_loaded() -> None:
 # Round-3 priority. r02 adjudicated the previous 50-query window; this
 # round's window = the 9 queries whose r02 rows were errors (the
 # events.ts dtype break + the quantize array-hash break, both fixed),
-# q_lang_id (upgraded rows-only → full oracle this round), the 9
-# queries new this round, the flagship, and 30 of the 39 core queries
+# q_lang_id (upgraded rows-only → full oracle this round), the 10
+# queries new this round, the flagship, and 29 of the 39 core queries
 # that were green in r01 but rotated out of the r02 window — refreshed
 # so that across r02+r03 every oracle-eligible query has a recent
 # green row.
@@ -88,12 +88,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quantize_embed",
     # rows-only → oracle upgrade this round (1)
     "q_lang_id",
-    # new this round (9): containment dedup, heavy-hitter n-grams,
+    # new this round (10): containment dedup, heavy-hitter n-grams,
     # SemDeDup semantic dedup (rows-only — k-means is iterative),
     # audio-leg multimodal plumbing, RAG token-window chunking,
     # contrastive negative mining, char-entropy gibberish detection,
     # per-domain quality percentile calibration, C4-style boilerplate
-    # line removal
+    # line removal, hopping event-time windows
     "q_containment_pairs",
     "q_top_ngrams",
     "q_semantic_dedup",
@@ -103,6 +103,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_char_entropy",
     "q_quality_percentile",
     "q_remove_boilerplate",
+    "q_window_hopping",
     # flagship (1)
     "q_agg_daily_summary",
     # green in r01, not in the r02 window — refresh (39)
@@ -135,11 +136,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_round_minutes",
     "q_window_rownum",
     "q_scan_csv_literal",
-    "q_string_funcs",
-    # (q_date_arith / q_pivot / q_percentiles / q_rollup / q_set_ops /
-    # q_having / q_window_lag_cumsum / q_cube / q_grouping_sets
-    # rotated out to make room for the nine new queries — green in
-    # r01, unchanged since)
+    # (q_string_funcs / q_date_arith / q_pivot / q_percentiles /
+    # q_rollup / q_set_ops / q_having / q_window_lag_cumsum / q_cube /
+    # q_grouping_sets rotated out to make room for the ten new
+    # queries — green in r01, unchanged since)
 )
 
 
@@ -1358,4 +1358,36 @@ def q_window_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("bucket_start"), "cnt", "sum_value")
+    )
+
+
+@query(
+    "q_window_hopping",
+    """
+    SELECT CAST(floor(epoch(ts) / 1800) * 1800 - i * 1800 AS BIGINT) AS bucket_epoch,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events, unnest(range(2)) AS t(i)
+    WHERE epoch(ts) >= floor(epoch(ts) / 1800) * 1800 - i * 1800
+      AND epoch(ts) <  floor(epoch(ts) / 1800) * 1800 - i * 1800 + 3600
+    GROUP BY bucket_epoch
+    """,
+)
+def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes — each event lands in size/slide = 2 windows. F.window's
+    third arg is the slide; physically one Expand (2 rows per event)
+    feeding a partial-aggregated groupBy, the same shape the oracle
+    mirrors with a 2-element range join. Output key is the window
+    start as epoch seconds (engine-neutral — avoids tz-typed
+    timestamp comparison)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_epoch"),
+            "cnt",
+            "sum_value",
+        )
     )
