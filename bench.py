@@ -63,6 +63,7 @@ HEADLINE = [
     "q_quality_percentile",
     "q_remove_boilerplate",
     "q_window_hopping",
+    "q_random_projection",
 ]
 
 

@@ -412,6 +412,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, queries, k=10, centroid_mod=25, nprobe=3)
 
 
+@query("q_random_projection", similarity.random_projection_oracle_sql())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64 → 16 dims, exploded to
+    scalar (vec_id, pos, component) rows for the driver hash. Plane
+    matrix is the deterministic splitmix generator on both sides; the
+    fold order of the dot product matches DuckDB's list_sum exactly."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    proj = similarity.random_projection(emb)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "component")
+    )
+
+
 @query("q_semantic_dedup")  # k-means clustering (iterative) → rows-only
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: k-means clusters the

@@ -397,6 +397,62 @@ def ivf_ann_topk(
     )
 
 
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dim → out_dim via a
+    deterministic pseudo-random plane matrix (the :func:`_hyperplanes`
+    splitmix generator — no numpy in the plan, same planes every run
+    and on every engine). JL preserves pairwise distances within
+    ~(1±ε) at out_dim = O(log n / ε²), so downstream ANN / clustering
+    runs on vectors 4× smaller — the cheap companion to int8
+    quantization (which shrinks the cells; this shrinks the count).
+
+    One projection per row: out_dim sequential-fold dot products
+    against literal plane arrays, all inside one codegen stage —
+    zero shuffles, scan-bound at any scale."""
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    planes = _hyperplanes(dim, out_dim, seed)
+    comps = F.array(
+        *[
+            F.round(dot(F.col(vec_col), F.array(*[F.lit(x) for x in row])), 6)
+            for row in planes
+        ]
+    )
+    return emb.select(F.col(id_col), comps.alias("proj"))
+
+
+def random_projection_oracle_sql(
+    out_dim: int = 16, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of :func:`random_projection` (exploded to scalar
+    rows): the SAME splitmix-generated plane matrix is embedded as
+    repr-formatted literals (repr round-trips float64 exactly), and
+    list_sum(list_transform(...)) is a sequential left fold in double —
+    bit-identical to Spark's aggregate(zip_with(...)) fold."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    rows = ",\n            ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(planes)
+    )
+    return f"""
+    WITH planes(pos, pl) AS (
+        VALUES
+            {rows}
+    )
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           round(list_sum(list_transform(range({dim}),
+                 i -> CAST(embedding[i+1] AS DOUBLE) * pl[i+1])), 6) AS component
+    FROM embeddings, planes
+    """
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,

@@ -651,3 +651,44 @@ def test_new_operator_plan_shapes(spark):
 
     p = plan_of(text.char_entropy(docs))
     assert "partial_count" in p or "partial_" in p  # map-side combine
+
+
+def test_random_projection_jl_properties(spark):
+    """Sharp JL properties on isotropic data: (a) linearity — a scaled
+    twin projects to an exactly-colinear vector (cos=1 under the
+    projection); (b) pairwise cosines correlate with the originals at
+    the theory rate (signal std 1/sqrt(64) vs noise std 1/sqrt(16)
+    gives Pearson ~0.45; assert > 0.3); (c) deterministic re-runs."""
+    import numpy as np
+
+    emb = _emb(spark)
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(twins)
+    proj = {
+        r.vec_id: np.array(r.proj, dtype=float)
+        for r in similarity.random_projection(corpus, out_dim=16).collect()
+    }
+    assert len(next(iter(proj.values()))) == 16
+    cos = lambda u, v: float(  # noqa: E731
+        (u / np.linalg.norm(u)) @ (v / np.linalg.norm(v))
+    )
+    for q in range(5):
+        assert abs(cos(proj[q], proj[q + 10_000]) - 1.0) < 1e-9  # linearity
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    ids = sorted(orig)[:60]
+    xs, ys = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            xs.append(cos(orig[a], orig[b]))
+            ys.append(cos(proj[a], proj[b]))
+    assert np.corrcoef(xs, ys)[0, 1] > 0.3
+    again = {
+        r.vec_id: np.array(r.proj, dtype=float)
+        for r in similarity.random_projection(corpus, out_dim=16).collect()
+    }
+    assert all((again[k] == proj[k]).all() for k in proj)
