@@ -213,6 +213,45 @@ def publish_zordered(
     publish_overwrite(clustered, path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    rows_per_shard: int = 100_000,
+    n_shards: int | None = None,
+) -> int:
+    """Export a dataset as deterministic, ordered training shards —
+    the final-mile layout step: data loaders stream shard files
+    sequentially, so rows must land in a stable global order with
+    bounded, uniform file sizes. Returns the shard count.
+
+    repartitionByRange on ``order_cols`` gives contiguous, sorted,
+    size-balanced ranges (range partitioning samples the key
+    distribution, so skewed keys still split evenly);
+    sortWithinPartitions fixes intra-shard order;
+    ``maxRecordsPerFile`` caps any residual oversized range. The write
+    is the atomic temp-dir-and-swap publish, so a half-written shard
+    set is never visible."""
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    if n_shards is None:
+        n_shards = max(1, int(df.count() // rows_per_shard) + 1)
+    clustered = (
+        df.repartitionByRange(n_shards, *order_cols)
+        .sortWithinPartitions(*order_cols)
+    )
+    tmp = f"{path}._tmp_{int(time.time() * 1000)}"
+    (
+        clustered.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(tmp)
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

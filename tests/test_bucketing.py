@@ -150,3 +150,36 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     # z-order variant restores clustering during the rewrite
     n_z = compact_table(spark, d, target_file_bytes=max(1, total // 4), zorder_cols=["user_id", "ts"])
     assert n_z >= 1 and spark.read.parquet(d).count() == ev.count()
+
+
+def test_training_shard_export_is_ordered_and_bounded(spark, tmp_path):
+    """Shards must partition the key space contiguously (every file's
+    key range disjoint from every other), each file internally sorted,
+    no file above the row cap, and the full multiset preserved."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fordgobike_data_pipeline_spark.io import write_training_shards
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_id", "user_id", "value"
+    )
+    d = str(tmp_path / "shards")
+    n = write_training_shards(ev, d, ["event_id"], rows_per_shard=150)
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    assert n == len(files) and n >= 5
+
+    total, ranges = 0, []
+    for f in files:
+        t = pq.read_table(f, columns=["event_id"])
+        ids = t["event_id"].to_pylist()
+        assert len(ids) <= 150
+        assert ids == sorted(ids)  # intra-shard order
+        ranges.append((min(ids), max(ids)))
+        total += len(ids)
+    assert total == ev.count()
+    # contiguous, non-overlapping key ranges across shards
+    ranges.sort()
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2
