@@ -63,14 +63,20 @@ def stream_ingest_trips(
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling window counts with late-data watermark.
-    Works on both streaming and batch inputs (same plan shape as the
-    oracle-checked q_window_time_bucket)."""
+    """Event-time window counts with late-data watermark: tumbling by
+    default, hopping when ``slide`` is given (each event lands in
+    size/slide windows — the streaming twin of the oracle-checked
+    q_window_time_bucket / q_window_hopping; identical results on
+    bounded input)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"))
+        .groupBy(w.alias("w"))
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("bucket_start"), "cnt", "sum_value")
     )

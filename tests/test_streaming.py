@@ -242,3 +242,35 @@ def test_stream_curate_documents_cross_batch_dedup(spark, tmp_path):
     incremental.stream_curate_documents(spark, landing, accepted, index, ckpt)
     assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == second
     assert spark.read.parquet(index).count() == n_index
+
+
+def test_hopping_windows_stream_matches_batch(spark, tmp_path):
+    """Hopping (slide < size) streaming aggregation equals the batch
+    computation, and every event lands in size/slide = 2 windows."""
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    src = str(tmp_path / "hop_src")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = incremental.windowed_event_counts(stream, "1 hour", slide="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hop_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.bucket_start, r.cnt, r.sum_value)
+        for r in spark.sql("SELECT * FROM hop_counts").collect()
+    }
+    want = {
+        (r.bucket_start, r.cnt, r.sum_value)
+        for r in incremental.windowed_event_counts(
+            ev, "1 hour", slide="30 minutes"
+        ).collect()
+    }
+    assert got == want and got
+    # double-counting contract: window memberships sum to 2x the events
+    assert sum(c for _, c, _ in got) == 2 * ev.count()
