@@ -349,6 +349,14 @@ def chunk_documents(
         raise ValueError(
             f"chunk_tokens and stride must be positive, got {chunk_tokens}, {stride}"
         )
+    if stride > chunk_tokens:
+        # stride beyond the window skips tokens entirely and emits
+        # empty trailing chunks — it contradicts the every-token-covered
+        # contract (found by the hypothesis coverage property)
+        raise ValueError(
+            f"stride ({stride}) must not exceed chunk_tokens ({chunk_tokens}); "
+            "a larger stride leaves tokens uncovered"
+        )
     tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     toks = F.col("_toks")
     n_chunks = F.ceil(F.greatest(F.size(toks) - chunk_tokens, F.lit(0)) / stride) + 1

@@ -140,6 +140,8 @@ def test_chunk_documents_validates_args(spark):
         curation.chunk_documents(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         curation.chunk_documents(docs, stride=-1)
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, chunk_tokens=4, stride=8)
 
 
 def test_negative_samples_deterministic_and_valid(spark):

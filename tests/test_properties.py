@@ -92,3 +92,39 @@ def test_salted_join_equals_plain_join(spark):
     }
     want = {(r.k, r.payload, r.tag) for r in big.join(small, "k").collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.data(),
+)
+def test_chunk_documents_total_coverage_property(spark, texts, chunk, data):
+    stride = data.draw(st.integers(min_value=1, max_value=chunk))
+    """For arbitrary docs and window geometry: every token index is
+    covered by ≥1 chunk, chunk 0 starts at 0, starts advance by exactly
+    `stride`, and no chunk exceeds `chunk` tokens."""
+    from fordgobike_data_pipeline_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        n = len(t.split(" "))  # split semantics incl. empty tokens
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert chunks[0].start_tok == 0
+        assert all(
+            b.start_tok - a.start_tok == stride for a, b in zip(chunks, chunks[1:])
+        )
+        covered = set()
+        for r in chunks:
+            assert 1 <= r.n_tok <= chunk
+            covered |= set(range(r.start_tok, r.start_tok + r.n_tok))
+        assert covered == set(range(n))
