@@ -282,12 +282,14 @@ def negative_samples(
     seed+partitioning dependent).
 
     Scale: the probe join materializes |docs|·k·(|docs|/B) candidate
-    rows, so ``n_buckets`` MUST scale with the corpus — size
-    B ≈ |docs|/1000 to hold ~1000 candidates per bucket and the
-    intermediate stays linear (|docs|·k·1000) with B-way parallelism.
-    The default 64 suits test-sized corpora only. Anchors whose target
-    bucket is empty (or holds only themselves) emit no row for that
-    probe — with properly sized B every bucket is populated.
+    rows, so ``n_buckets`` MUST scale with the corpus: pick a constant
+    per-bucket size s (≈100 is ample — empty-bucket odds are already
+    negligible at s≈20) and set B = |docs|/s, making the intermediate
+    |docs|·k·s — linear, with B-way parallelism (verified: the 20×
+    stress with FIXED B went superlinear exactly as this predicts;
+    scaled B restores linearity). The default 64 suits test-sized
+    corpora only. Anchors whose target bucket is empty (or holds only
+    themselves) emit no row for that probe.
     """
     if k <= 0 or n_buckets <= 0:
         raise ValueError(f"k and n_buckets must be positive, got {k}, {n_buckets}")

@@ -82,7 +82,9 @@ def main() -> None:
         similarity.semantic_dedup_pairs(emb, threshold=0.95, centroid_mod=200),
     )
     timed("chunk_documents", curation.chunk_documents(docs, chunk_tokens=128, stride=64))
-    timed("negative_samples", curation.negative_samples(docs, k=4, n_buckets=256))
+    # scale B with the corpus (constant per-bucket size) — the sizing
+    # rule negative_samples documents; fixed B goes quadratic
+    timed("negative_samples", curation.negative_samples(docs, k=4, n_buckets=256 * n))
 
 
 if __name__ == "__main__":
