@@ -436,6 +436,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_pairs(emb, threshold=0.4, centroid_mod=200)
 
 
+@query("q_semantic_keep")  # k-means clustering (iterative) → rows-only
+def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set of SemDeDup: corpus minus semantic near-dups
+    (min-id survivor per pair, broadcast anti-join of the bounded
+    dropped set). tests/test_scale_ops.py pins the survivor
+    convention on planted twins."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    kept = similarity.semantic_dedup_keep(emb, threshold=0.4, centroid_mod=200)
+    return kept.select("vec_id", "label")
+
+
 @query("q_embed_pairs_lsh")  # bucketed approximation → rows-only
 def q_embed_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: LSH-bucketed pair search
