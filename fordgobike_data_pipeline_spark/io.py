@@ -147,11 +147,23 @@ def zorder_value(cols: list, bits: int = 12):
     """Z-order (Morton) curve value from already-normalized integer
     columns in [0, 2^bits): interleaves the bits of every column into
     one long. Pure codegen bit arithmetic — bits·|cols| shift/or ops,
-    no UDF."""
+    no UDF.
+
+    ``bits * len(cols)`` must fit in the 63 value bits of a long: the
+    JVM wraps shift amounts mod 64, so an oversized product would
+    silently interleave bits into wrong positions (corrupting the curve
+    with no error). Raise instead; callers with many columns lower
+    ``bits`` (publish_zordered auto-reduces)."""
     from pyspark.sql import functions as F
 
-    z = F.lit(0).cast("long")
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits * len(cols) = {bits * n} exceeds 63: the interleaved value "
+            f"must fit a long (JVM shifts wrap mod 64, which would silently "
+            f"corrupt the curve). Use bits <= {63 // n} for {n} columns."
+        )
+    z = F.lit(0).cast("long")
     for b in range(bits):  # bit b of each column → output bit b*n + i
         for i, c in enumerate(cols):
             z = z.bitwiseOR(
@@ -181,15 +193,29 @@ def publish_zordered(
 
     Normalization: each column is min/max-scaled to [0, 2^bits) using a
     single bounded agg (2·|cols| scalars broadcast into the plan —
-    control data, no collect of row data). Timestamps/dates are ranked
-    via their epoch value. The curve column is dropped before the
-    write; the write itself is the same temp-dir-then-swap as
+    control data, no collect of row data). Timestamps are ranked via
+    their (fractional-second) epoch cast, dates via ``unix_date`` (a
+    DateType has no direct double cast in Spark — it would fail at
+    analysis time). With many cluster columns ``bits`` auto-reduces to
+    63 // len(cols) so the interleaved value still fits a long (fewer
+    bits per dimension = coarser boxes, still far better than no
+    clustering). The curve column is dropped before the write; the
+    write itself is the same temp-dir-then-swap as
     :func:`publish_overwrite`."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    bits = min(bits, 63 // max(1, len(cols)))
+
+    def _numeric(c: str):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        return F.col(c).cast("double")
 
     lo_hi = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
+        *[F.min(_numeric(c)).alias(f"_lo_{c}") for c in cols],
+        *[F.max(_numeric(c)).alias(f"_hi_{c}") for c in cols],
     ).first()
     scale = (1 << bits) - 1
     norm_cols = []
@@ -199,9 +225,7 @@ def publish_zordered(
         norm_cols.append(
             F.least(
                 F.lit(scale),
-                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * scale).cast(
-                    "long"
-                ),
+                ((_numeric(c) - F.lit(lo)) / F.lit(span) * scale).cast("long"),
             )
         )
     zed = df.withColumn("_z", zorder_value(norm_cols, bits))
@@ -266,23 +290,73 @@ def compact_table(
     resulting footer-read storm dominates scan setup and kills
     data-skipping locality. Compaction = size-aware repartition +
     temp-dir-and-swap publish, so readers never see a half-compacted
-    table. Sizing comes from the filesystem listing (driver-side
-    control metadata, no data read). With ``zorder_cols`` the rewrite
-    also re-clusters along the Z-order curve (:func:`publish_zordered`)
-    — compaction is the natural moment to restore clustering that
-    appends have degraded."""
-    total = sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
+    table. Sizing comes from a recursive filesystem walk (driver-side
+    control metadata, no data read) so Hive-partitioned layouts size
+    correctly. A ``key=value``-partitioned table keeps its layout: the
+    rewrite repartitions ON the partition keys (each key lands in one
+    task → one file per partition directory) and republishes with the
+    same ``partition_by`` — the directory-level pruning downstream
+    readers depend on (e.g. the IVF ``lists`` table) survives
+    compaction. With ``zorder_cols`` the rewrite also re-clusters along
+    the Z-order curve (:func:`publish_zordered`) — compaction is the
+    natural moment to restore clustering that appends have degraded;
+    Z-ordering a partitioned table is refused (the two layouts
+    prescribe conflicting file placement)."""
+    total = _tree_parquet_bytes(path)
     n_files = max(1, round(total / target_file_bytes))
+    part_keys = _partition_keys(path)
     df = spark.read.parquet(path)
     if zorder_cols:
+        if part_keys:
+            raise ValueError(
+                f"compact_table: {path} is Hive-partitioned on {part_keys}; "
+                "Z-order clustering and directory partitioning prescribe "
+                "conflicting layouts — compact without zorder_cols, or "
+                "publish_zordered to an unpartitioned copy."
+            )
         publish_zordered(df, path, zorder_cols, n_files=n_files)
+    elif part_keys:
+        publish_overwrite(
+            df.repartition(n_files, *part_keys), path, partition_by=part_keys
+        )
     else:
         publish_overwrite(df.repartition(n_files), path)
-    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return _tree_parquet_count(path)
+
+
+def _tree_parquet_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _tree_parquet_count(path: str) -> int:
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _partition_keys(path: str) -> list[str]:
+    """Hive partition columns of a parquet directory, from its top-level
+    ``key=value`` subdirectory names (nested keys walk one spine)."""
+    keys: list[str] = []
+    cur = path
+    while True:
+        subs = [
+            d
+            for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subs:
+            return keys
+        keys.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
 
 
 # ---------------------------------------------------------------------------

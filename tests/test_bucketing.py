@@ -183,3 +183,68 @@ def test_training_shard_export_is_ordered_and_bounded(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi < lo2
+
+
+def test_compact_preserves_hive_partition_layout(spark, tmp_path):
+    """Compacting a key=value-partitioned table (e.g. the IVF lists
+    index) must size from a RECURSIVE walk, keep the partition
+    directories (downstream directory pruning depends on them), and
+    keep every row."""
+    import glob
+    import os
+
+    from fordgobike_data_pipeline_spark.io import compact_table, publish_overwrite
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].withColumn(
+        "part", F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    )
+    d = str(tmp_path / "parted")
+    # many small files per partition dir
+    publish_overwrite(ev.repartition(16), d, partition_by=["part"])
+    before = glob.glob(f"{d}/part=*/*.parquet")
+    assert len(before) > 4
+
+    n_after = compact_table(spark, d, target_file_bytes=1 << 30)
+    after = glob.glob(f"{d}/part=*/*.parquet")
+    # layout preserved: all files still under part= dirs, fewer of them
+    assert sorted(os.listdir(d))[0].startswith("part=") or "_SUCCESS" in os.listdir(d)
+    assert {p.split("part=")[1].split("/")[0] for p in after} == {"0", "1", "2", "3"}
+    assert n_after == len(after) < len(before)
+
+    back = spark.read.parquet(d)
+    assert back.count() == ev.count()
+    # partition pruning still works: a part filter reads one directory
+    pruned = back.filter(F.col("part") == 2)
+    assert pruned.count() == ev.filter(F.col("part") == 2).count()
+
+    # z-order + partitioned input is a contract violation, not silent corruption
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_table(spark, d, zorder_cols=["user_id"])
+
+
+def test_zorder_bit_budget_and_date_columns(spark, tmp_path):
+    """zorder_value must refuse a bit budget that overflows a long
+    (JVM shifts wrap mod 64 → silent curve corruption), and
+    publish_zordered must handle DateType cluster columns (no direct
+    date→double cast in Spark) plus auto-reduce bits for wide keys."""
+    from fordgobike_data_pipeline_spark.io import publish_zordered, zorder_value
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.lit(1)] * 6, bits=12)  # 72 bits > 63
+
+    ev = (
+        load_tables(spark, SF_SMOKE, ("events",))["events"]
+        .withColumn("d", F.to_date("ts"))
+        .select("event_id", "user_id", "d")
+    )
+    d6 = str(tmp_path / "zdate")
+    publish_zordered(ev, d6, ["user_id", "d"], n_files=4)
+    back = spark.read.parquet(d6)
+    assert back.count() == ev.count()
+    # six columns auto-reduce to 63//6 = 10 bits instead of raising
+    wide = ev.select(
+        "event_id", *[F.col("user_id").alias(f"k{i}") for i in range(6)]
+    )
+    d7 = str(tmp_path / "zwide")
+    publish_zordered(wide, d7, [f"k{i}" for i in range(6)], n_files=2)
+    assert spark.read.parquet(d7).count() == ev.count()
