@@ -135,13 +135,22 @@ def stream_curate_documents(
 
     foreachBatch is the right tool (not a pure streaming plan) because
     the cross-batch anti-join reads state the stream itself writes —
-    the index — and appends to two sinks atomically-per-batch; the
-    checkpoint makes every batch exactly-once, so a crash between
-    micro-batches re-processes only the unconsumed files. Per-batch
-    cost is O(|batch| + index probe) however large the accepted corpus
-    grows (operators/dedup.incremental_exact_dedup) — the same
-    contract as the batch-mode q_dedup_incremental, now restart-safe
-    and file-driven."""
+    the index — and feeds two sinks; the checkpoint replays a batch
+    that crashed mid-write, so BOTH sinks are written idempotently:
+    each batch OVERWRITES its own ``batch_id=N`` partition directory
+    (plain appends would double the docs on replay — or, with the
+    write order flipped, silently lose them). A replayed batch also
+    excludes its own partition from the index it dedups against
+    (first-attempt fingerprints would otherwise reject the whole
+    batch and overwrite its data with nothing). Both sinks therefore
+    converge to the same state however many times a batch replays —
+    exactly-once output from at-least-once execution, the standard
+    idempotent-foreachBatch contract. Per-batch cost is
+    O(|batch| + index probe) however large the accepted corpus grows
+    (operators/dedup.incremental_exact_dedup) — the same contract as
+    the batch-mode q_dedup_incremental, now restart-safe and
+    file-driven. Readers see ``batch_id`` as a discovered partition
+    column on both tables."""
     import os
 
     from ..operators import curation, dedup, text
@@ -151,21 +160,7 @@ def stream_curate_documents(
     stream = spark.readStream.schema(schema).json(landing_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        cleaned = batch.withColumn("text", curation.normalize_text(F.col("text")))
-        scored = (
-            text.quality_score(cleaned.select("doc_id", "text"))
-            .filter(F.col("quality") >= min_quality)
-            .select("doc_id")
-        )
-        kept = cleaned.join(scored, "doc_id", "left_semi")
-        if os.path.exists(index_path):
-            index = batch.sparkSession.read.parquet(index_path)
-        else:
-            index = dedup.fingerprint_index(kept).limit(0)
-        fresh = dedup.incremental_exact_dedup(kept, index)
-        fresh = fresh.localCheckpoint(eager=True)  # one pass, two sinks
-        fresh.write.mode("append").parquet(accepted_path)
-        dedup.fingerprint_index(fresh).write.mode("append").parquet(index_path)
+        _curate_batch(batch, batch_id, accepted_path, index_path, min_quality)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -174,6 +169,56 @@ def stream_curate_documents(
         .start()
     )
     q.awaitTermination()
+
+
+def _curate_batch(
+    batch: DataFrame,
+    batch_id: int,
+    accepted_path: str,
+    index_path: str,
+    min_quality: float,
+) -> None:
+    """One idempotent curation micro-batch (the foreachBatch body of
+    :func:`stream_curate_documents`, module-level so replay semantics
+    are directly testable). Re-invoking with the same (batch, batch_id)
+    converges to the same sink state from ANY intermediate crash
+    point, because both writes overwrite the batch's own partition and
+    the dedup index read excludes it."""
+    import os
+
+    from ..operators import curation, dedup, text
+
+    cleaned = batch.withColumn("text", curation.normalize_text(F.col("text")))
+    scored = (
+        text.quality_score(cleaned.select("doc_id", "text"))
+        .filter(F.col("quality") >= min_quality)
+        .select("doc_id")
+    )
+    kept = cleaned.join(scored, "doc_id", "left_semi")
+    has_index = any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(index_path)
+        for f in files
+    )
+    if has_index:
+        index = (
+            batch.sparkSession.read.parquet(index_path)
+            # replay: the first attempt may have written this batch's
+            # fingerprints already — dedup against OTHER batches only,
+            # or the replay would reject its own docs and overwrite
+            # their partition with an empty one
+            .filter(F.col("batch_id") != batch_id)
+        )
+    else:
+        index = dedup.fingerprint_index(kept).limit(0)
+    fresh = dedup.incremental_exact_dedup(kept, index)
+    fresh = fresh.localCheckpoint(eager=True)  # one pass, two sinks
+    fresh.write.mode("overwrite").parquet(
+        os.path.join(accepted_path, f"batch_id={batch_id}")
+    )
+    dedup.fingerprint_index(fresh).write.mode("overwrite").parquet(
+        os.path.join(index_path, f"batch_id={batch_id}")
+    )
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:

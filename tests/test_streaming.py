@@ -274,3 +274,46 @@ def test_hopping_windows_stream_matches_batch(spark, tmp_path):
     assert got == want and got
     # double-counting contract: window memberships sum to 2x the events
     assert sum(c for _, c, _ in got) == 2 * ev.count()
+
+
+def test_curate_batch_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint replay semantics of the curation ingest: re-running a
+    micro-batch with the same batch_id — from a clean state OR from a
+    crash between the two sink writes — must converge to the same
+    accepted corpus and index, with no duplicated and no lost docs."""
+    import shutil
+
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "index")
+    good = "the quick brown fox jumps over the lazy dog again and again " * 5
+
+    b0 = spark.createDataFrame(
+        [(1, "s1", good), (3, "s1", good + " tail one")],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "s2", good), (11, "s2", good + " fresh content here")],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    incremental._curate_batch(b0, 0, accepted, index, 0.3)
+    incremental._curate_batch(b1, 1, accepted, index, 0.3)
+    want = {1, 3, 11}  # 10 is a cross-batch dup of 1
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
+    n_index = spark.read.parquet(index).count()
+
+    # clean replay of batch 1 (crash after both writes, before commit)
+    incremental._curate_batch(b1, 1, accepted, index, 0.3)
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
+    assert spark.read.parquet(index).count() == n_index
+
+    # crash BETWEEN the sinks: accepted written, index write lost
+    shutil.rmtree(f"{index}/batch_id=1")
+    incremental._curate_batch(b1, 1, accepted, index, 0.3)
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
+    assert spark.read.parquet(index).count() == n_index
+
+    # crash the other way: index written, accepted write lost
+    shutil.rmtree(f"{accepted}/batch_id=1")
+    incremental._curate_batch(b1, 1, accepted, index, 0.3)
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
+    assert spark.read.parquet(index).count() == n_index
