@@ -224,14 +224,15 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_negative_samples",
     f"""
-    WITH cand AS (
+    WITH params AS (SELECT greatest(64, count(*) // 20) AS b FROM documents),
+    cand AS (
         SELECT doc_id AS cand_id,
-               {_DUCK_BUCKET.format(key="doc_id", m=64)} AS bucket
+               {_DUCK_BUCKET.format(key="doc_id", m="(SELECT b FROM params)")} AS bucket
         FROM documents
     ),
     probes AS (
         SELECT doc_id AS anchor_id, i AS probe,
-               {_DUCK_BUCKET.format(key="concat(doc_id, ':', i)", m=64)} AS bucket
+               {_DUCK_BUCKET.format(key="concat(doc_id, ':', i)", m="(SELECT b FROM params)")} AS bucket
         FROM documents, unnest(range(4)) AS t(i)
     ),
     j AS (
@@ -249,10 +250,17 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative mining: 4 pseudo-random
     negatives per anchor via md5 bucket probes + md5-argmin pick — a
     pure function of ids (no rand()), so the oracle reproduces the
-    selection bit-exactly and the probe join stays bucket-bounded
-    (|docs|/64 candidates per probe, never all-pairs)."""
+    selection bit-exactly and the probe join stays bucket-bounded.
+
+    The bucket count follows the operator's own scaling rule
+    (B = |docs|/s with per-bucket size s=20, floored at 64): a fixed B
+    makes the probe join's intermediate |docs|·k·(|docs|/B) —
+    quadratic, the anti-pattern the docstring warns about. One cheap
+    count() sizes it; the oracle derives the SAME B from count(*), so
+    both engines select identically at every sf."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return curation.negative_samples(docs, k=4, n_buckets=64)
+    n = docs.count()
+    return curation.negative_samples(docs, k=4, n_buckets=max(64, n // 20))
 
 
 @query(

@@ -291,15 +291,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, quality,
            round(percent_rank() OVER (
-               PARTITION BY source ORDER BY quality, doc_id), 6) AS quality_pctile
+               PARTITION BY source ORDER BY quality), 6) AS quality_pctile
     FROM q
     """,
 )
 def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain quality percentile (percent_rank within source) —
-    domain-balanced filtering calibration: 'keep each domain's top X%'
-    instead of a global cutoff one strong domain would monopolize.
-    Ties broken by doc_id so ranks are engine-portable."""
+    """Per-domain quality percentile — domain-balanced filtering
+    calibration: 'keep each domain's top X%' instead of a global cutoff
+    one strong domain would monopolize. Standard tie-sharing
+    percent_rank semantics (ties get equal percentiles), which is both
+    deterministic without a tiebreak AND what lets the engine compute
+    it from per-(domain, value) counts instead of a single-task
+    per-domain window sort (operators/curation.py docstring)."""
     from .operators import curation
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

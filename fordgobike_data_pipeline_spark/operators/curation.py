@@ -207,21 +207,27 @@ def remove_boilerplate_lines(
     almost never content), then reconstruct each doc from its surviving
     lines in original order.
 
-    Shape: posexplode the line split → line document-frequency (one
-    map-side-combinable agg) → broadcast ANTI-join of the hot lines
-    (the >freq set is the boilerplate — small by construction, exactly
-    the hot-shingle/hot-bucket cap pattern) → groupBy doc, array_sort
-    on (pos, line), concat back. Two shuffles total (line df + doc
+    Shape: posexplode the line split → line document-frequency on
+    xxhash64(line) (one map-side-combinable agg over 8-byte keys, not
+    line text) → ANTI-join the hot hashes. NO broadcast hint: unlike
+    the hot-shingle cap (df>50 — genuinely rare keys), the df>2 line
+    set GROWS with the corpus (billions of near-boilerplate lines at
+    web scale), so forcing a broadcast OOMs at 100×; a shuffle
+    anti-join on the 8-byte hash is scale-safe and AQE still picks
+    broadcast whenever the hot set actually fits. Hashing costs a
+    2^-64/pair collision false-drop — noise against the df-threshold
+    heuristic itself. Then groupBy doc, array_sort on (pos, line),
+    concat back. Three shuffles total (line df + anti-join + doc
     rebuild); the corpus text is scanned once."""
     import re
 
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias("pos", "line"),
-    )
-    df_ = lines.groupBy("line").agg(F.countDistinct(id_col).alias("df"))
-    hot = df_.filter(F.col("df") > max_line_freq).select("line")
-    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    ).withColumn("_lh", F.xxhash64("line"))
+    df_ = lines.groupBy("_lh").agg(F.countDistinct(id_col).alias("df"))
+    hot = df_.filter(F.col("df") > max_line_freq).select("_lh")
+    kept = lines.join(hot, "_lh", "left_anti")
     rebuilt = (
         kept.groupBy(id_col)
         .agg(
@@ -249,18 +255,41 @@ def quality_percentile_by_domain(
     same failure mode per_domain_cap guards by count, handled here by
     score distribution).
 
-    One window per domain partition (domains are the natural shuffle
-    key and are bounded); ordering ties broken by id so ranks are
-    deterministic and engine-portable."""
-    w = Window.partitionBy(domain_col).orderBy(
-        F.col("quality").asc(), F.col(id_col).asc()
-    )
+    NOT a per-domain window over the corpus rows: a window partition is
+    one task, and real corpora routinely put 30-50% of rows in one
+    domain — that sort serializes onto a single executor and spills.
+    Standard SQL percent_rank ties share a rank (rank−1 = count of
+    STRICTLY smaller values), so the whole computation decomposes into
+    per-(domain, quality-value) counts: one map-side-combinable agg, a
+    running sum over each domain's distinct VALUE rows (quality is
+    rounded to 6dp in [0,1], so ≤1e6+1 rows per domain — bounded by the
+    value space, not the corpus), and a hash-join of the cutpoint table
+    back to the rows. Deterministic by construction (no tiebreak
+    needed — ties get equal percentiles), exact, and every stage is
+    partition-parallel at any skew."""
     joined = docs.select(id_col, domain_col).join(quality, id_col)
-    return joined.select(
+    vc = joined.groupBy(domain_col, "quality").agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("quality").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = (
+        vc.withColumn("_less", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+        .withColumn("_n", F.sum("_c").over(Window.partitionBy(domain_col)))
+        .select(
+            domain_col,
+            "quality",
+            F.when(F.col("_n") == 1, F.lit(0.0))
+            .otherwise(F.col("_less") / (F.col("_n") - 1))
+            .alias("_pr"),
+        )
+    )
+    return joined.join(cut, [domain_col, "quality"]).select(
         id_col,
         domain_col,
         "quality",
-        F.round(F.percent_rank().over(w), 6).alias("quality_pctile"),
+        F.round("_pr", 6).alias("quality_pctile"),
     )
 
 

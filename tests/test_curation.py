@@ -224,3 +224,66 @@ def test_remove_boilerplate_lines_planted(spark):
         for r in curation.remove_boilerplate_lines(docs, max_line_freq=10).collect()
     }
     assert untouched[1] == rows[0][1]
+
+
+def test_quality_percentile_matches_sql_semantics_and_avoids_window_sort(spark):
+    """(a) Tie-sharing percent_rank parity: the count-decomposed
+    computation must equal percent_rank() OVER (PARTITION BY domain
+    ORDER BY quality) computed independently; ties share a percentile.
+    (b) Plan shape: no percent_rank / no corpus-row window sort — the
+    only Window sits above the per-(domain, quality) aggregate, so a
+    domain holding 50% of the corpus never serializes onto one task."""
+    from fordgobike_data_pipeline_spark.operators import text
+
+    rows = [
+        (i, "big" if i % 10 else "small", f"some words repeated here {'x ' * (i % 7)}")
+        for i in range(1, 101)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    q = text.quality_score(docs)
+    out = curation.quality_percentile_by_domain(docs, q)
+    got = {r.doc_id: (r.source, r.quality, r.quality_pctile) for r in out.collect()}
+
+    # independent reference: python percent_rank with tie-sharing
+    from collections import defaultdict
+
+    by_dom = defaultdict(list)
+    for _id, (dom, qual, _p) in got.items():
+        by_dom[dom].append(qual)
+    for _id, (dom, qual, p) in got.items():
+        vals = by_dom[dom]
+        n = len(vals)
+        want = 0.0 if n == 1 else sum(1 for v in vals if v < qual) / (n - 1)
+        assert abs(p - round(want, 6)) < 1e-9, (_id, p, want)
+    # ties share the percentile
+    tied = defaultdict(set)
+    for _id, (dom, qual, p) in got.items():
+        tied[(dom, qual)].add(p)
+    assert all(len(ps) == 1 for ps in tied.values())
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan, plan
+    # the Window operator consumes the aggregate, not corpus rows:
+    # its subtree must contain the (domain, quality) HashAggregate
+    win_at = plan.find("Window")
+    assert win_at != -1 and "HashAggregate" in plan[win_at:], plan
+
+
+def test_remove_boilerplate_joins_on_hash_without_forced_broadcast(spark):
+    """The hot-line anti-join must key on xxhash64(line) (8-byte keys,
+    no line text through the shuffle) and must NOT carry a broadcast
+    hint — the df>threshold line set grows with the corpus, so the
+    plan has to let AQE decide (forced broadcast OOMs at 100x)."""
+    docs = spark.createDataFrame(
+        [(i, f"shared banner. unique line {i}") for i in range(1, 30)],
+        "doc_id bigint, text string",
+    )
+    out = curation.remove_boilerplate_lines(docs, max_line_freq=2)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, optimized
+    assert "xxhash64" in optimized
+    # the anti join's condition is on the hash column, not the line text
+    import re
+
+    anti = [ln for ln in optimized.splitlines() if "LeftAnti" in ln]
+    assert anti and all(re.search(r"_lh#\d+L? = ", ln) for ln in anti), anti
