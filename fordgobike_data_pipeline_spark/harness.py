@@ -67,80 +67,72 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-3 priority. r02 adjudicated the previous 50-query window; this
-# round's window = the 9 queries whose r02 rows were errors (the
-# events.ts dtype break + the quantize array-hash break, both fixed),
-# q_lang_id (upgraded rows-only → full oracle this round), the 11
-# queries new this round, the flagship, and 28 of the 39 core queries
-# that were green in r01 but rotated out of the r02 window — refreshed
-# so that across r02+r03 every oracle-eligible query has a recent
-# green row.
+# Round-4 priority. The window (first 50) = every query whose oracle or
+# implementation CHANGED this round (the newly-oracled dedup/semantic/
+# LSH/IVF/clean-corpus family — r3's entire no_oracle set minus the
+# genuinely non-SQL media/BPE ops — plus the three reworked curation
+# queries and the hash-cap-reworked jaccard pair), the flagship, the 11
+# queries whose only green row is r01 (rotated out since), and the
+# stalest r02-green queries. Deferred to r5: eight unchanged r02-green
+# entries (trivial projections + rows-only media/BPE) listed at the
+# tail comment.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r02 error rows, now fixed (9)
-    "q_deterministic_sample",
-    "q_asof_join",
-    "q_range_join",
-    "q_sessionize",
-    "q_summary_stats",
-    "q_window_time_bucket",
-    "q_json_extract",
-    "q_approx_sketches",
-    "q_quantize_embed",
-    # rows-only → oracle upgrade this round (1)
-    "q_lang_id",
-    # new this round (11): containment dedup, heavy-hitter n-grams,
-    # SemDeDup semantic dedup (rows-only — k-means is iterative),
-    # audio-leg multimodal plumbing, RAG token-window chunking,
-    # contrastive negative mining, char-entropy gibberish detection,
-    # per-domain quality percentile calibration, C4-style boilerplate
-    # line removal, hopping event-time windows, JL random projection
-    "q_containment_pairs",
-    "q_top_ngrams",
+    # changed/newly-oracled this round (16)
     "q_semantic_dedup",
-    "q_audio_features",
-    "q_chunk_docs",
-    "q_negative_samples",
-    "q_char_entropy",
+    "q_semantic_keep",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_dedup_simhash",
+    "q_clean_corpus",
+    "q_ann_lsh",
+    "q_embed_pairs_lsh",
+    "q_ann_ivf_seeded",
+    "q_ann_ivf",
     "q_quality_percentile",
     "q_remove_boilerplate",
-    "q_window_hopping",
-    "q_random_projection",
-    # flagship (1)
+    "q_negative_samples",
+    "q_ngram_jaccard",
+    "q_containment_pairs",
     "q_agg_daily_summary",
-    # green in r01, not in the r02 window — refresh (39)
-    "q_project_rename",
-    "q_filter_eq",
-    "q_filter_flag",
-    "q_filter_notnull",
-    "q_filter_compound",
-    "q_join_inner",
-    "q_cross_join",
-    "q_union_distinct",
-    "q_union_all_null",
-    "q_agg_max_dedup",
-    "q_agg_routes",
-    "q_agg_expr_key",
-    "q_agg_minmax_bounds",
-    "q_agg_null_audit",
-    "q_agg_first",
-    "q_hash_key",
-    "q_string_concat",
-    "q_coalesce_defaults",
-    "q_nullif_sentinel",
-    "q_case_age_clean",
-    "q_weekend_flag",
-    "q_date_parts",
-    "q_date_names",
-    "q_smart_date_key",
-    "q_key_to_date",
-    "q_generate_series",
-    "q_round_minutes",
-    "q_window_rownum",
-    # (q_scan_csv_literal / q_string_funcs / q_date_arith / q_pivot /
-    # q_percentiles / q_rollup / q_set_ops / q_having /
-    # q_window_lag_cumsum / q_cube / q_grouping_sets rotated out to
-    # make room for the eleven new queries — green in r01, unchanged
-    # since)
+    # green only in r01 — two rounds stale (11)
+    "q_scan_csv_literal",
+    "q_string_funcs",
+    "q_date_arith",
+    "q_pivot",
+    "q_percentiles",
+    "q_rollup",
+    "q_set_ops",
+    "q_having",
+    "q_window_lag_cumsum",
+    "q_cube",
+    "q_grouping_sets",
+    # green in r02, rotated out of the r03 window — refresh (23)
+    "q_join_left_composite",
+    "q_join_role_playing",
+    "q_join_full_outer",
+    "q_nearest_neighbor",
+    "q_anti_join",
+    "q_distinct_on",
+    "q_topk_routes",
+    "q_upsert_skip_conflict",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_dedup_exact",
+    "q_embed_cosine_pairs",
+    "q_ann_topk",
+    "q_text_stats",
+    "q_token_count",
+    "q_text_quality",
+    "q_winnow_fingerprint",
+    "q_tfidf",
+    "q_token_budget",
+    "q_doc_fingerprint",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_dedup_incremental",
+    # (deferred to r5, unchanged since their r02 green/row: q_normalize_text,
+    # q_pii_redact, q_repetition_ratio, q_domain_cap, q_train_split,
+    # q_bpe_token_count, q_image_features, q_resize_images)
 )
 
 

@@ -107,15 +107,21 @@ def _pair_overlap_stats(
     core of the Jaccard and containment metrics."""
     sh = shingles.localCheckpoint(eager=True)
     if max_shingle_freq is not None:
-        # Anti-join the rare HOT shingles (broadcast-small even at
-        # corpus scale) rather than semi-joining the huge rare-shingle
-        # keep-list — same shape as the simhash bucket cap.
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("df") > max_shingle_freq)).select("shingle"),
-            "shingle",
+        # Anti-join the HOT shingles rather than semi-joining the huge
+        # rare-shingle keep-list. Keyed on xxhash64(shingle): the df agg
+        # and the anti-join then move 8-byte hashes, not shingle text,
+        # and there is NO forced broadcast — the >threshold set is far
+        # smaller than the corpus but still grows with it, so AQE
+        # decides (broadcast when it fits, shuffle anti-join when not).
+        # Collision odds 2^-64 per shingle pair — noise against the
+        # df-threshold heuristic itself.
+        keyed = sh.withColumn("_shh", F.xxhash64("shingle"))
+        freq = keyed.groupBy("_shh").agg(F.count("*").alias("df"))
+        sh = keyed.join(
+            freq.filter(F.col("df") > max_shingle_freq).select("_shh"),
+            "_shh",
             "left_anti",
-        )
+        ).drop("_shh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -155,14 +161,17 @@ def containment_pairs(
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature: per doc, min over shingles of ``n_hashes``
     derived hash values. One aggregation pass computes every column
     (map-side combinable).
 
     Double hashing (Kirsch–Mitzenmacher): instead of ``n_hashes``
-    independent seeded xxhash64 passes over the shingle STRING, hash it
+    independent seeded hash passes over the shingle STRING, hash it
     twice and derive the family as h_i = h1 + i·h2 — string hashing
     drops 32× and the derived ops are integer multiply-adds inside the
     same codegen stage. The bases are folded to 32 bits (h2 forced odd
@@ -170,11 +179,26 @@ def minhash_signatures(
     overflow under Spark's default ANSI mode. Per-shingle-pair
     collision odds are 2^-32 per hash, noise at dedup scales; the
     estimator quality matches the independent family in practice (the
-    standard production minhash construction)."""
-    h1 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
-    h2 = F.pmod(F.xxhash64("shingle", F.lit(0x9E3779B9)), F.lit(1 << 32)).bitwiseOR(
-        F.lit(1)
-    )
+    standard production minhash construction).
+
+    ``hash_fn``: 'xxhash64' (default — fastest, JVM-only) or
+    'md5-parity' (h1/h2 = the two 64-bit halves of one md5, the same
+    cross-engine trick as text.winnowing_fingerprints): signatures,
+    bands, and candidate pairs become bit-reproducible in any SQL
+    engine, which is what lets the DuckDB oracle adjudicate the whole
+    LSH pipeline instead of a rows-only check."""
+    if hash_fn == "md5-parity":
+        md = F.md5(F.col("shingle"))
+        half = lambda s: F.conv(F.substring(md, s, 16), 16, -10).cast("long")  # noqa: E731
+        h1 = F.pmod(half(1), F.lit(1 << 32))
+        h2 = F.pmod(half(17), F.lit(1 << 32)).bitwiseOR(F.lit(1))
+    elif hash_fn == "xxhash64":
+        h1 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+        h2 = F.pmod(F.xxhash64("shingle", F.lit(0x9E3779B9)), F.lit(1 << 32)).bitwiseOR(
+            F.lit(1)
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5-parity', got {hash_fn!r}")
     sh = shingles.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
         F.min(F.col("_h1") + F.lit(h) * F.col("_h2")).alias(f"mh_{h}")
@@ -191,6 +215,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     n_bands: int = 16,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
 
@@ -198,7 +223,9 @@ def minhash_lsh_pairs(
     exact-Jaccard verification of candidates only. With 64 hashes in 16
     bands of 4 rows, P(candidate | jaccard=0.8) ≈ 1−(1−0.8⁴)¹⁶ ≈ 0.9997;
     the verify step removes false positives, so output ⊆ the exact
-    result with near-1 recall at the threshold.
+    result with near-1 recall at the threshold. ``hash_fn='md5-parity'``
+    makes the whole candidate pipeline reproducible in SQL engines
+    (see minhash_signatures) at md5-vs-xxhash cost — the oracle mode.
     """
     if n_hashes % n_bands != 0:
         raise ValueError(
@@ -214,8 +241,8 @@ def minhash_lsh_pairs(
     # recompute and persist; swap for persist(MEMORY_AND_DISK) on
     # clusters with executor churn, checkpointed blocks don't recompute)
     sh = token_shingles(docs, text_col, id_col, k).localCheckpoint(eager=True)
-    sig = minhash_signatures(sh, id_col, n_hashes)
-    buckets = band_buckets(sig, n_bands, rows_per_band, id_col)
+    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
+    buckets = band_buckets(sig, n_bands, rows_per_band, id_col, hash_fn)
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
@@ -230,19 +257,31 @@ def minhash_lsh_pairs(
 
 
 def band_buckets(
-    sig: DataFrame, n_bands: int, rows_per_band: int, id_col: str = "doc_id"
+    sig: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH band buckets from a MinHash signature table: (id, band,
     bucket) where bucket = hash of the band's signature rows. This is
     the persisted INDEX artifact for incremental dedup — new batches
-    join their buckets against it without touching the old corpus."""
+    join their buckets against it without touching the old corpus.
+
+    'md5-parity' buckets are md5 over the comma-joined decimal values
+    (engine-portable: DuckDB's string_agg ORDER BY h builds the same
+    string); candidates match iff the band's signature rows match, up
+    to a 2^-64 md5 collision the exact-Jaccard verify step then
+    filters anyway."""
+
+    def _bucket(b: int):
+        cols = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        if hash_fn == "md5-parity":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols).cast("string")
+
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(n_bands)
     ]
     return sig.select(
@@ -455,21 +494,36 @@ def dedup_clusters(
 
 
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc, fully relational (no UDF).
 
-    token → xxhash64, then ONE aggregation computes all 64 bit-vote
+    token → 64-bit hash, then ONE aggregation computes all 64 bit-vote
     sums as columnar expressions (``sum((th >> b) & 1)`` per bit) —
     no 64× row explosion, map-side combinable like the MinHash
     signature build. Bit b is set when votes ``2·Σbit_b > n_tokens``
     (i.e. Σ(±1) > 0); the signature reassembles as a signed long with
     bit 63 contributing Long.MIN_VALUE (two's complement).
+
+    ``hash_fn='md5-parity'`` hashes tokens with the first 64 bits of
+    md5 instead of xxhash64: arithmetic-shift bit extraction and two's
+    complement behave identically in DuckDB, so signatures / chunk
+    buckets / hamming pairs become SQL-reproducible (the oracle mode,
+    same convention as minhash_signatures).
     """
+    if hash_fn == "md5-parity":
+        th = F.conv(F.substring(F.md5(F.col("token")), 1, 16), 16, -10).cast("long")
+    elif hash_fn == "xxhash64":
+        th = F.xxhash64("token")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5-parity', got {hash_fn!r}")
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
+    ).withColumn("th", th)
     votes = toks.groupBy(id_col).agg(
         F.count("*").alias("n"),
         *[F.sum(F.expr(f"(th >> {b}) & 1")).alias(f"s{b}") for b in range(64)],
@@ -491,6 +545,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = 2000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket on each of the four 16-bit chunks,
     verify with bit_count(a XOR b) ≤ max_hamming.
@@ -511,7 +566,7 @@ def simhash_pairs(
     # the bucket-size cap): eager localCheckpoint computes it once
     # (measured 3.5s → 2.4s at sf0.1; same executor-loss caveat as the
     # shingle checkpoints — persist() on churny clusters)
-    sig = simhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
+    sig = simhash_signatures(docs, text_col, id_col, hash_fn).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -523,9 +578,10 @@ def simhash_pairs(
         F.col(id_col), "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
     if max_bucket_size is not None:
-        # Anti-join against the OVERSIZED buckets: hot buckets are rare,
-        # so that side stays broadcast-small even when the corpus (and
-        # hence the set of small buckets) is 100 TB.
+        # Anti-join against the OVERSIZED buckets. The broadcast here is
+        # provably bounded — unlike a text hot-set, the bucket key space
+        # is (chunk, ck) ∈ 4 × 2^16 = 262,144 rows of two ints MAX,
+        # whatever the corpus size — so the hint is safe at any scale.
         sizes = buckets.groupBy("chunk", "ck").agg(F.count("*").alias("_bs"))
         buckets = buckets.join(
             F.broadcast(sizes.filter(F.col("_bs") > max_bucket_size)).select("chunk", "ck"),

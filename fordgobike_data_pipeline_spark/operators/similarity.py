@@ -346,6 +346,8 @@ def ivf_ann_topk(
     centroid_mod: int = 25,
     nprobe: int = 3,
     kmeans_iters: int = 2,
+    centroids: DataFrame | None = None,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: a k-means coarse quantizer partitions the corpus
     into inverted lists; queries probe their ``nprobe`` nearest
@@ -358,24 +360,82 @@ def ivf_ann_topk(
     ``centroid_mod``-th vector; 0 = the raw modulus seeds); assignment
     and probing are single numpy-matmul projections against the
     driver-collected center matrix (bounded control data) — no
-    crossJoin, no argmin shuffle."""
-    cent = kmeans_centroids(corpus, id_col, vec_col, centroid_mod, kmeans_iters)
-    ids, m = _collect_centers(cent)
-    nearest1 = _nearest_centroid_udf(ids, m, nprobe=1)
-    nearest_n = _nearest_centroid_udf(ids, m, nprobe=nprobe)
+    crossJoin, no argmin shuffle.
+
+    Pass a prefitted ``centroids`` table (centroid_id, cent_vec — e.g.
+    :func:`kmeans_centroids`'s output, or the persisted index's
+    centroids) to skip the fit: the quantizer is reusable across query
+    batches, and refitting per call wastes ``kmeans_iters`` corpus
+    scans (the persisted-index path
+    :func:`build_ivf_index`/:func:`query_ivf_index` amortizes the
+    assignment too).
+
+    ``exact_assign=True`` is the ORACLE mode (same convention as
+    :func:`semantic_dedup_pairs`): assignment and probe selection
+    become relational argmin / top-nprobe over 6dp-ROUNDED cosines, so
+    a SQL engine reproduces list membership and probes bit-exactly
+    (numpy's non-sequential summation could flip a last-bit near-tie).
+    Combine with ``kmeans_iters=0`` for a fully SQL-expressible IVF."""
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, id_col, vec_col, centroid_mod, kmeans_iters)
+    )
     n_part = corpus.sparkSession.sparkContext.defaultParallelism
-    # assign: nearest centroid per corpus vector, one projection
-    assign = corpus.repartition(n_part).select(
-        F.col(id_col).alias("cand_id"),
-        nearest1(F.col(vec_col)).alias("list_id"),
-        unit_normalize(F.col(vec_col)).alias("c_vec"),
-    )
-    # probe: nprobe nearest centroids per query, one projection
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        unit_normalize(F.col(vec_col)).alias("q_vec"),
-        F.explode(nearest_n(F.col(vec_col))).alias("list_id"),
-    )
+    if exact_assign:
+        from pyspark.sql import Window
+
+        csim = F.round(dot(F.col("_nv"), F.col("cent_vec")), 6)
+        pick = F.struct((-F.col("_sim")).alias("ns"), F.col("centroid_id").alias("cid"))
+        sims_c = (
+            corpus.repartition(n_part)
+            .select(
+                F.col(id_col).alias("cand_id"),
+                unit_normalize(F.col(vec_col)).alias("_nv"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select("cand_id", "_nv", "centroid_id", csim.alias("_sim"))
+        )
+        assign = sims_c.groupBy("cand_id").agg(
+            F.min_by("centroid_id", pick).alias("list_id"),
+            F.first("_nv").alias("c_vec"),  # identical per id — safe first()
+        )
+        sims_q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                unit_normalize(F.col(vec_col)).alias("_nv"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select("query_id", "_nv", "centroid_id", csim.alias("_sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_sim").desc(), F.col("centroid_id").asc()
+        )
+        probes = (
+            sims_q.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= nprobe)
+            .select(
+                "query_id",
+                F.col("_nv").alias("q_vec"),
+                F.col("centroid_id").alias("list_id"),
+            )
+        )
+    else:
+        ids, m = _collect_centers(cent)
+        nearest1 = _nearest_centroid_udf(ids, m, nprobe=1)
+        nearest_n = _nearest_centroid_udf(ids, m, nprobe=nprobe)
+        # assign: nearest centroid per corpus vector, one projection
+        assign = corpus.repartition(n_part).select(
+            F.col(id_col).alias("cand_id"),
+            nearest1(F.col(vec_col)).alias("list_id"),
+            unit_normalize(F.col(vec_col)).alias("c_vec"),
+        )
+        # probe: nprobe nearest centroids per query, one projection
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            unit_normalize(F.col(vec_col)).alias("q_vec"),
+            F.explode(nearest_n(F.col(vec_col))).alias("list_id"),
+        )
     pairs = (
         assign.join(F.broadcast(probes), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -584,6 +644,7 @@ def semantic_dedup_pairs(
     centroid_mod: int = 25,
     kmeans_iters: int = 2,
     max_cluster_size: int = 10_000,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then compare
@@ -603,25 +664,60 @@ def semantic_dedup_pairs(
     cluster's quadratic cost at an explicit, documented recall cost on
     pathological clusters (mirrors the hot-shingle / hot-bucket caps in
     the dedup family). Cluster sizes are bounded control data
-    (≤ |C|/centroid_mod rows) and broadcast."""
+    (≤ |C|/centroid_mod rows) and broadcast.
+
+    ``exact_assign=True`` replaces the numpy-matmul assignment with a
+    relational broadcast-crossJoin argmin over 6dp-ROUNDED cosines
+    (max sim, centroid_id tiebreak): numpy's SIMD/pairwise summation
+    is not the sequential fold SQL engines use, so a near-tie at the
+    last double bit could assign differently across engines — rounding
+    first makes the argmin bit-portable. This is the ORACLE mode
+    (combine with ``kmeans_iters=0`` so the centroids are the
+    deterministic modulus seeds and the whole operator is
+    SQL-expressible); the matmul path is the production default (one
+    Arrow projection, no |C|·k pair materialization)."""
     cent = kmeans_centroids(emb, id_col, vec_col, centroid_mod, kmeans_iters)
-    ids, m = _collect_centers(cent)
-    nearest = _nearest_centroid_udf(ids, m)
     n_part = emb.sparkSession.sparkContext.defaultParallelism
     # the assignment feeds three consumers (cluster sizes + both self-join
-    # sides); an eager localCheckpoint runs the scan + Arrow assignment
-    # UDF once instead of 3x (same trade as the shingle table in
+    # sides); an eager localCheckpoint runs the scan + assignment once
+    # instead of 3x (same trade as the shingle table in
     # dedup.exact_jaccard_pairs — swap for persist(MEMORY_AND_DISK) on
     # clusters with executor churn)
-    assign = (
-        emb.repartition(n_part)
-        .select(
-            F.col(id_col),
-            nearest(F.col(vec_col)).alias("cluster_id"),
-            unit_normalize(F.col(vec_col)).alias("nv"),
+    if exact_assign:
+        sims = (
+            emb.repartition(n_part)
+            .select(F.col(id_col), unit_normalize(F.col(vec_col)).alias("nv"))
+            .crossJoin(F.broadcast(cent))
+            .select(
+                id_col,
+                "nv",
+                "centroid_id",
+                F.round(dot(F.col("nv"), F.col("cent_vec")), 6).alias("_sim"),
+            )
         )
-        .localCheckpoint(eager=True)
-    )
+        pick = F.struct(
+            (-F.col("_sim")).alias("ns"), F.col("centroid_id").alias("cid")
+        )
+        assign = (
+            sims.groupBy(id_col)
+            .agg(
+                F.min_by("centroid_id", pick).alias("cluster_id"),
+                F.first("nv").alias("nv"),  # identical per id — safe first()
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        ids, m = _collect_centers(cent)
+        nearest = _nearest_centroid_udf(ids, m)
+        assign = (
+            emb.repartition(n_part)
+            .select(
+                F.col(id_col),
+                nearest(F.col(vec_col)).alias("cluster_id"),
+                unit_normalize(F.col(vec_col)).alias("nv"),
+            )
+            .localCheckpoint(eager=True)
+        )
     sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("c_size"))
     n_shards = F.ceil(F.col("c_size") / F.lit(max_cluster_size)).cast("long")
     sharded = (

@@ -33,6 +33,7 @@ def clean_corpus(
     keep_langs: tuple[str, ...] | None = None,
     jaccard_threshold: float = 0.8,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     spark = docs.sparkSession
     counts: list[tuple[str, DataFrame]] = [("input", docs)]
@@ -65,7 +66,8 @@ def clean_corpus(
     # the min-id survivor per component (exact transitive semantics:
     # a~b~c collapses to one doc even when (a,c) was never a pair)
     pairs = dedup.minhash_lsh_pairs(
-        gated, text_col, id_col, k=shingle_k, threshold=jaccard_threshold
+        gated, text_col, id_col, k=shingle_k, threshold=jaccard_threshold,
+        hash_fn=hash_fn,
     )
     cleaned = dedup.dedup_clusters(gated, pairs, id_col)
     counts.append(("near_dedup", cleaned))

@@ -692,3 +692,22 @@ def test_random_projection_jl_properties(spark):
         for r in similarity.random_projection(corpus, out_dim=16).collect()
     }
     assert all((again[k] == proj[k]).all() for k in proj)
+
+
+def test_shingle_cap_joins_on_hash_without_forced_broadcast(spark):
+    """The hot-shingle cap must key its df-agg and anti-join on
+    xxhash64(shingle) (8-byte keys, no shingle text in the shuffle) and
+    must NOT force a broadcast — the >threshold set grows with the
+    corpus, so AQE has to choose (dedup.py _pair_overlap_stats)."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta unique{i} epsilon") for i in range(1, 20)],
+        ["doc_id", "text"],
+    )
+    sh = dedup.token_shingles(docs, k=3)
+    out = dedup.exact_jaccard_pairs(sh, threshold=0.5, max_shingle_freq=5)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, optimized
+    anti = [ln for ln in optimized.splitlines() if "LeftAnti" in ln]
+    assert anti and all(re.search(r"_shh#\d+L? = ", ln) for ln in anti), anti
