@@ -64,6 +64,12 @@ HEADLINE = [
     "q_remove_boilerplate",
     "q_window_hopping",
     "q_random_projection",
+    # round-4 additions
+    "q_lm_cross_entropy",
+    "q_bm25",
+    "q_domain_mixture",
+    "q_clean_corpus",
+    "q_ann_ivf_seeded",
 ]
 
 

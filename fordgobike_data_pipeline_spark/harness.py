@@ -77,6 +77,11 @@ def _ensure_extensions_loaded() -> None:
 # entries (trivial projections + rows-only media/BPE) listed at the
 # tail comment.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # brand-new this round (3): unigram-LM quality scoring, BM25
+    # retrieval scoring, domain-mixture resampling
+    "q_lm_cross_entropy",
+    "q_bm25",
+    "q_domain_mixture",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",
@@ -126,12 +131,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_winnow_fingerprint",
     "q_tfidf",
     "q_token_budget",
-    "q_doc_fingerprint",
-    "q_multimodal_meta",
-    "q_frame_sample",
     "q_dedup_incremental",
-    # (deferred to r5, unchanged since their r02 green/row: q_normalize_text,
+    # (deferred to r5, unchanged since their r02 green row: q_normalize_text,
     # q_pii_redact, q_repetition_ratio, q_domain_cap, q_train_split,
+    # q_doc_fingerprint, q_multimodal_meta, q_frame_sample,
     # q_bpe_token_count, q_image_features, q_resize_images)
 )
 

@@ -328,6 +328,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_domain_mixture",
+    f"""
+    WITH w(source, wt) AS (
+        VALUES ('src0', CAST(0.5 AS DOUBLE)),
+               ('src1', CAST(0.3 AS DOUBLE)),
+               ('src2', CAST(0.2 AS DOUBLE))
+    ),
+    td AS (
+        SELECT d.source, wt,
+               CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS T
+        FROM documents d JOIN w USING (source)
+        GROUP BY d.source, wt
+    ),
+    sc AS (SELECT min(T / wt) AS S FROM td),
+    rates AS (SELECT source, wt * S / T AS rate FROM td CROSS JOIN sc),
+    h AS (
+        SELECT doc_id, d.source, rate,
+               {_DUCK_BUCKET.format(key="doc_id", m=1000000)} AS b
+        FROM documents d JOIN rates USING (source)
+    )
+    SELECT doc_id, source FROM h WHERE b < rate * 1000000
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling toward a 50/30/20 token mix of
+    three domains (others dropped): the binding domain is kept whole,
+    the rest downsampled by md5 hash threshold — a pure function of
+    ids, bit-reproduced by the oracle. The pretraining data-mix step
+    between cleaning and packing."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.domain_mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+
+
 @query("q_bpe_token_count")  # BPE is not SQL-expressible → rows-only
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE token budgeting: fit 100 merges on the corpus's own

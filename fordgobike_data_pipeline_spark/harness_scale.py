@@ -974,6 +974,77 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_lm_cross_entropy",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+    total AS (SELECT sum(tf) AS N FROM vocab),
+    s AS (
+        SELECT doc_id, log2(tf / N) AS lp
+        FROM toks JOIN vocab USING (token) CROSS JOIN total
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(lp), 6) AS cross_entropy
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy (bits/token) against the corpus's own
+    unigram distribution — the LM-style quality filter's cheap first
+    rung (rare-token soup scores high, fluent common vocabulary low).
+    One vocab agg + hash join + per-doc mean; 6dp-rounded on both
+    engines (the standard float-agg parity contract)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.unigram_cross_entropy(docs)
+
+
+_BM25_TERMS = ("join", "hash", "scan", "filter", "merge")
+
+
+@query(
+    "q_bm25",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN {str(tuple(_BM25_TERMS))}
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    s AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        FROM tf
+        JOIN dfreq USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, round(sum(s), 6) AS score
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) of a fixed query-term
+    set against every matching doc — the lexical-retrieval primitive
+    for hard-negative mining and topic-targeted corpus selection. The
+    oracle mirrors the exact expression tree (left-associative idf ·
+    tf-saturation product), so 6dp-rounded scores hash-match."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.bm25_scores(docs, list(_BM25_TERMS))
+
+
+@query(
     "q_doc_fingerprint",
     r"SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint FROM documents",
 )

@@ -447,3 +447,56 @@ def pack_sequences(
             F.pmod(F.col("start_offset"), F.lit(seq_len)).cast("long").alias("seq_pos"),
         )
     )
+
+
+def domain_mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic mixture resampling: subsample each domain so the
+    selected corpus's TOKEN mass approaches the target mixture
+    ``weights`` — the pretraining data-mix step ("40% web, 30% code,
+    30% books") run after cleaning and before packing.
+
+    The binding domain (smallest available-tokens/weight ratio) is
+    kept whole and every other domain downsampled proportionally:
+    S = min_dom(T_dom / w_dom), keep-rate_dom = w_dom · S / T_dom ≤ 1,
+    so realized token shares match the weights exactly in expectation
+    while never oversampling (no replacement). Domains absent from
+    ``weights`` are dropped (weight 0).
+
+    Selection is the md5 hash-threshold (bucket < rate · M) — a pure
+    function of the doc id, so re-runs, repartitionings, and the SQL
+    oracle reproduce the exact row set, and incremental batches
+    self-select consistently. Shape at 100 TB: per-domain token totals
+    are one map-side-combinable agg (|domains| rows — control data),
+    S is a scalar agg over them, rates join back on the domain key,
+    and the filter is a shuffle-free projection. One corpus scan for
+    totals, one for selection."""
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    w_expr = F.lit(None).cast("double")
+    for dom, w in weights.items():
+        w_expr = F.when(F.col(domain_col) == dom, F.lit(float(w))).otherwise(w_expr)
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    td = (
+        docs.select(F.col(domain_col), w_expr.alias("_w"), n_tok.alias("_t"))
+        .filter(F.col("_w").isNotNull())
+        .groupBy(domain_col, "_w")
+        .agg(F.sum("_t").cast("double").alias("_T"))
+    )
+    scale = td.agg(F.min(F.col("_T") / F.col("_w")).alias("_S"))
+    rates = td.crossJoin(F.broadcast(scale)).select(
+        domain_col, (F.col("_w") * F.col("_S") / F.col("_T")).alias("_rate")
+    )
+    bucket = _hash_bucket(F.col(id_col))
+    return (
+        docs.join(rates, domain_col)
+        .filter(bucket < F.col("_rate") * _M)
+        .select(id_col, domain_col)
+    )

@@ -248,3 +248,88 @@ def fingerprint(
     exact dedup across formatting variants."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def unigram_cross_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc cross-entropy (bits/token) against the corpus's own
+    unigram distribution — the cheap LM-style quality signal (the
+    KenLM-perplexity filter's first rung): documents of common, fluent
+    vocabulary score low; rare-token soup (OCR noise, codes, spam)
+    scores high. Self-fit, so every token has nonzero probability — no
+    smoothing constant to tune.
+
+    Shape at 100 TB: one explode, one map-side-combinable vocab count,
+    a hash-join of tokens to their frequencies (the vocab follows a
+    Zipf law — far smaller than the corpus; AQE broadcasts it when it
+    fits), one 1-row total broadcast, one per-doc aggregate. No
+    quadratic step anywhere. The per-doc mean of ~10²-10³ doubles is
+    rounded to 6dp on both engines (summation-order noise is ~1e-12,
+    the repo's standard float-agg parity contract)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("N"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.log2(F.col("tf") / F.col("N")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 of a fixed query-term set against every document —
+    the lexical-retrieval primitive behind hard-negative mining,
+    contamination screening, and topic-targeted corpus selection.
+    Returns (doc_id, n_hits, score) for docs matching ≥1 term;
+    idf is the Lucene form ln(1 + (N − df + 0.5)/(df + 0.5)), so
+    scores are non-negative even for terms in >half the corpus.
+
+    Shape at 100 TB: the term list is query-sized config (broadcast
+    literal IN-filter pushed into the token explode), per-(doc, term)
+    tf is one map-side-combinable agg, df/avgdl/N are bounded control
+    aggregates broadcast into the scoring projection, and the final
+    per-doc sum runs over ≤|terms| rows. One corpus scan, no
+    quadratic step."""
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    hits = toks.filter(F.col("token").isin(list(terms)))
+    tf = hits.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))  # ≤|terms| rows
+    dl = docs.select(F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tf_part).alias("s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.sum("s"), 6).alias("score"),
+    )

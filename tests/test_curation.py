@@ -287,3 +287,52 @@ def test_remove_boilerplate_joins_on_hash_without_forced_broadcast(spark):
 
     anti = [ln for ln in optimized.splitlines() if "LeftAnti" in ln]
     assert anti and all(re.search(r"_lh#\d+L? = ", ln) for ln in anti), anti
+
+
+def test_domain_mixture_sample_hits_target_mix(spark):
+    """The binding domain (largest tokens/weight deficit) is kept
+    whole; others downsample so realized token shares track the target
+    weights; unlisted domains are dropped; selection is a pure function
+    of ids (repartition-stable)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # src a: ~10k tokens, b: ~10k, c: ~2k (c is binding for weight 0.5)
+    for i in range(200):
+        rows.append((i, "a", "tok " * rng.randint(30, 70)))
+        rows.append((1000 + i, "b", "tok " * rng.randint(30, 70)))
+    for i in range(40):
+        rows.append((2000 + i, "c", "tok " * rng.randint(30, 70)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = curation.domain_mixture_sample(
+        docs, {"a": 0.25, "b": 0.25, "c": 0.5}
+    )
+    sel = {r.doc_id: r.source for r in out.collect()}
+    # c binds (2k tokens / 0.5 weight << 10k / 0.25): kept whole
+    c_ids = {i for i in sel if sel[i] == "c"}
+    assert len(c_ids) == 40
+    # a and b downsample to ~ w*S/T = 0.25*4000/10000 = ~10% of docs
+    n_a = sum(1 for s in sel.values() if s == "a")
+    n_b = sum(1 for s in sel.values() if s == "b")
+    assert 5 <= n_a <= 40 and 5 <= n_b <= 40  # ~20 each, loose hash bounds
+    # realized token mix tracks the target: c has ~2x a's tokens
+    toks = {
+        r.source: r.t
+        for r in docs.join(out.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.expr("sum(size(split(text, ' ')))").alias("t"))
+        .collect()
+    }
+    assert 1.2 < toks["c"] / toks["a"] < 3.5
+    # unlisted domain dropped entirely
+    out2 = curation.domain_mixture_sample(docs, {"a": 1.0})
+    assert {r.source for r in out2.collect()} == {"a"}
+    # deterministic under repartitioning
+    again = {
+        r.doc_id
+        for r in curation.domain_mixture_sample(
+            docs.repartition(13), {"a": 0.25, "b": 0.25, "c": 0.5}
+        ).collect()
+    }
+    assert again == set(sel)

@@ -48,3 +48,43 @@ def test_expect_unique(spark):
     dup = ev.unionByName(ev.limit(5))
     r = quality.expect_unique(dup, ["event_id"]).first()
     assert not r.ok and r.n_duplicate_keys == 5 and r.n_rows_in_duplicates == 10
+
+
+def test_unigram_cross_entropy_flags_rare_token_soup(spark):
+    """Docs made of corpus-common tokens must score LOWER cross-entropy
+    than rare-token soup — the LM quality signal's defining property —
+    and every score is positive with n_tokens correct."""
+    from fordgobike_data_pipeline_spark.operators import text
+
+    common = "the data the table the data the table"
+    rare = "zxqv jkwp qqor vvxz mmlo pprw ttyu zzab"
+    filler = [(i, f"the data table row {i}") for i in range(10, 30)]
+    docs = spark.createDataFrame(
+        [(1, common), (2, rare)] + filler, "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in text.unigram_cross_entropy(docs).collect()}
+    assert out[1].cross_entropy < out[2].cross_entropy
+    assert out[1].n_tokens == 8 and out[2].n_tokens == 8
+    assert all(r.cross_entropy > 0 for r in out.values())
+
+
+def test_bm25_ranks_term_rich_short_docs_first(spark):
+    """BM25 orders by term density with length normalization: a short
+    doc saturated with query terms outscores a long doc that mentions
+    one term once; docs with no term are absent; n_hits counts matched
+    DISTINCT terms."""
+    from fordgobike_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join hash join hash join"),
+            (2, "join " + "padding word list " * 30),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.bm25_scores(docs, ["join", "hash"]).collect()}
+    assert 3 not in out
+    assert out[1].score > out[2].score
+    assert out[1].n_hits == 2 and out[2].n_hits == 1
+    assert all(r.score > 0 for r in out.values())
