@@ -70,6 +70,7 @@ HEADLINE = [
     "q_domain_mixture",
     "q_clean_corpus",
     "q_ann_ivf_seeded",
+    "q_dedup_incr_near",
 ]
 
 

@@ -77,11 +77,13 @@ def _ensure_extensions_loaded() -> None:
 # entries (trivial projections + rows-only media/BPE) listed at the
 # tail comment.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # brand-new this round (3): unigram-LM quality scoring, BM25
-    # retrieval scoring, domain-mixture resampling
+    # brand-new this round (4): unigram-LM quality scoring, BM25
+    # retrieval scoring, domain-mixture resampling, incremental
+    # near-dup index probe
     "q_lm_cross_entropy",
     "q_bm25",
     "q_domain_mixture",
+    "q_dedup_incr_near",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",
@@ -125,7 +127,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_exact",
     "q_embed_cosine_pairs",
     "q_ann_topk",
-    "q_text_stats",
     "q_token_count",
     "q_text_quality",
     "q_winnow_fingerprint",
@@ -134,7 +135,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_incremental",
     # (deferred to r5, unchanged since their r02 green row: q_normalize_text,
     # q_pii_redact, q_repetition_ratio, q_domain_cap, q_train_split,
-    # q_doc_fingerprint, q_multimodal_meta, q_frame_sample,
+    # q_text_stats, q_doc_fingerprint, q_multimodal_meta, q_frame_sample,
     # q_bpe_token_count, q_image_features, q_resize_images)
 )
 

@@ -164,6 +164,35 @@ def _mh_pairs_ctes(src: str = "documents") -> str:
 """
 
 
+def _mh_bands_ctes(src: str, sfx: str) -> str:
+    """shingles → md5-parity signatures → band buckets for one doc set
+    (suffix-namespaced CTEs), the per-side half of the incremental
+    near-dup oracle."""
+    return f"""
+    w{sfx} AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+    st{sfx} AS (SELECT doc_id, unnest(range(greatest(len(toks) - 3, 0) + 1)) AS i, toks FROM w{sfx}),
+    sh{sfx} AS (SELECT DISTINCT doc_id, array_to_string(toks[(i+1):(i+3)], ' ') AS shingle FROM st{sfx}),
+    hh{sfx} AS (
+        SELECT doc_id, shingle,
+               (({_MD5_H64.format(x='shingle', start=1)}
+                 % 4294967296 + 4294967296) % 4294967296) AS h1,
+               ((({_MD5_H64.format(x='shingle', start=17)}
+                 % 4294967296 + 4294967296) % 4294967296) | 1) AS h2
+        FROM sh{sfx}
+    ),
+    sig{sfx} AS (
+        SELECT doc_id, t.h AS h, min(h1 + t.h * h2) AS mh
+        FROM hh{sfx} CROSS JOIN range(64) t(h)
+        GROUP BY doc_id, t.h
+    ),
+    bands{sfx} AS (
+        SELECT doc_id, h // 4 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h)) AS bucket
+        FROM sig{sfx} GROUP BY doc_id, band
+    )
+"""
+
+
 @query(
     "q_dedup_minhash",
     f"""
@@ -1275,6 +1304,50 @@ def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "media_id", "width", "height",
         F.length("content").cast("long").alias("n_bytes"), "decoder",
+    )
+
+
+@query(
+    "q_dedup_incr_near",
+    f"""
+    WITH arch AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+    batch AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    {_mh_bands_ctes('arch', 'a')},
+    {_mh_bands_ctes('batch', 'n')},
+    cand AS (
+        SELECT DISTINCT n.doc_id AS id_a, a.doc_id AS id_b
+        FROM bandsn n JOIN bandsa a ON n.band = a.band AND n.bucket = a.bucket
+    ),
+    shu AS (SELECT * FROM shn UNION ALL SELECT * FROM sha),
+    sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+    ov AS (
+        SELECT id_a, id_b, count(*) AS c
+        FROM cand
+        JOIN shu x ON x.doc_id = cand.id_a
+        JOIN shu y ON y.doc_id = cand.id_b AND y.shingle = x.shingle
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM ov
+    JOIN sz sa ON sa.doc_id = ov.id_a
+    JOIN sz sb ON sb.doc_id = ov.id_b
+    WHERE round(c / (sa.n + sb.n - c), 6) >= 0.8
+    """,
+)
+def q_dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: the new batch (every source but
+    src0) probes the archive's persisted MinHash band-bucket INDEX —
+    candidate generation never rescans archive text, and verification
+    re-shingles only the matched archive docs (left-semi pushdown).
+    The production shape that keeps daily batches O(batch) however big
+    the corpus grows; md5-parity hashes make both sides' signatures,
+    buckets, and probe hits SQL-reproducible."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    archive = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    batch = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    index = dedup.minhash_band_index(archive, hash_fn="md5-parity")
+    return dedup.incremental_minhash_pairs(
+        batch, index, archive, threshold=0.8, hash_fn="md5-parity"
     )
 
 

@@ -334,13 +334,14 @@ def minhash_band_index(
     k: int = 3,
     n_hashes: int = 64,
     n_bands: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The persisted near-dup index: LSH band buckets for every doc in
     the accepted corpus. At scale this is written bucketed by (band,
     bucket) so incremental probes are zero-exchange joins."""
     sh = token_shingles(docs, text_col, id_col, k)
-    sig = minhash_signatures(sh, id_col, n_hashes)
-    return band_buckets(sig, n_bands, n_hashes // n_bands, id_col)
+    sig = minhash_signatures(sh, id_col, n_hashes, hash_fn)
+    return band_buckets(sig, n_bands, n_hashes // n_bands, id_col, hash_fn)
 
 
 def incremental_minhash_pairs(
@@ -353,9 +354,12 @@ def incremental_minhash_pairs(
     n_hashes: int = 64,
     n_bands: int = 16,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs between a new batch and the historical corpus:
-    (new_id, old_id, jaccard ≥ threshold).
+    (new_id, old_id, jaccard ≥ threshold). ``hash_fn`` must match the
+    family the index was built with (a probe only finds what hashed
+    the same way).
 
     Candidate generation touches only the new batch and the band-bucket
     INDEX (shingle → signature → bucket probe — no old-corpus scan).
@@ -367,8 +371,8 @@ def incremental_minhash_pairs(
     globally unique across batch and archive (the verify step unions
     both shingle tables keyed by id)."""
     new_sh = token_shingles(new_docs, text_col, id_col, k).localCheckpoint(eager=True)
-    new_sig = minhash_signatures(new_sh, id_col, n_hashes)
-    new_buckets = band_buckets(new_sig, n_bands, n_hashes // n_bands, id_col)
+    new_sig = minhash_signatures(new_sh, id_col, n_hashes, hash_fn)
+    new_buckets = band_buckets(new_sig, n_bands, n_hashes // n_bands, id_col, hash_fn)
     candidates = (
         new_buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
         .join(
