@@ -38,11 +38,21 @@ def clean_corpus(
     spark = docs.sparkSession
     counts: list[tuple[str, DataFrame]] = [("input", docs)]
 
+    # Each stage output is eagerly checkpointed: every stage feeds BOTH
+    # the next stage and its accounting count, so without a barrier each
+    # downstream consumer re-evaluates the whole prefix chain — 4 extra
+    # corpus scans by the final count. At sf0.1 the saving is small (the
+    # stages' own shuffles dominate); at corpus scale the prefix is a
+    # full text scan per consumer and the checkpoint is what keeps the
+    # pipeline one-pass-per-stage. On clusters with executor churn swap
+    # for persist(MEMORY_AND_DISK) + unpersist — checkpointed blocks are
+    # not recomputable.
+
     # 1. quality gate — pure projection, fuses into the scan
     q = text.quality_score(docs, text_col, id_col)
     gated = docs.join(
         q.filter(F.col("quality") >= min_quality).select(id_col), id_col, "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     counts.append(("quality_gate", gated))
 
     # 2. language filter — pure projection
@@ -52,14 +62,14 @@ def clean_corpus(
             langs.filter(F.col("lang_guess").isin(*keep_langs)).select(id_col),
             id_col,
             "left_semi",
-        )
+        ).localCheckpoint(eager=True)
         counts.append(("lang_filter", gated))
 
     # 3. exact dedup — keep the min-id representative
     survivors = dedup.exact_dedup(gated, [text_col], id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    gated = gated.join(survivors, id_col, "left_semi")
+    gated = gated.join(survivors, id_col, "left_semi").localCheckpoint(eager=True)
     counts.append(("exact_dedup", gated))
 
     # 4. near-dedup — cluster pairs into connected components and keep
