@@ -158,9 +158,14 @@ def tf_idf_top_terms(
     """Top-k terms per doc by smoothed TF-IDF.
 
     Two shuffles total: (doc, token) counts, then token document
-    frequencies joined back (broadcast — vocab ≪ corpus). The corpus
-    size is a broadcast scalar, not a driver-side collect. Scores are
-    rounded before ranking so ordering is stable across engines."""
+    frequencies joined back. The df table is the VOCAB — Zipf-small
+    relative to the corpus but still corpus-growing (web-scale noise
+    tokens run to billions), so the join carries no broadcast hint:
+    AQE broadcasts it while it fits and falls back to a hash join on
+    the token key when it doesn't (the same rule as the hot-line /
+    hot-shingle caps). The corpus size is a broadcast scalar, not a
+    driver-side collect. Scores are rounded before ranking so ordering
+    is stable across engines."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -170,7 +175,7 @@ def tf_idf_top_terms(
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "tf_idf",

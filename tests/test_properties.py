@@ -128,3 +128,75 @@ def test_chunk_documents_total_coverage_property(spark, texts, chunk, data):
             assert 1 <= r.n_tok <= chunk
             covered |= set(range(r.start_tok, r.start_tok + r.n_tok))
         assert covered == set(range(n))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=40),  # token count per doc
+        ),
+        min_size=3,
+        max_size=30,
+    ),
+    st.tuples(
+        st.floats(min_value=0.05, max_value=1.0),
+        st.floats(min_value=0.05, max_value=1.0),
+    ),
+)
+def test_domain_mixture_invariants(spark, doms, ws):
+    """For ANY corpus and positive weights: the binding domain is kept
+    whole, no domain oversamples (selection ⊆ docs, rate ≤ 1), unlisted
+    domains are dropped, and the selection is a pure id function."""
+    from fordgobike_data_pipeline_spark.operators import curation
+
+    rows = [
+        (i, dom, "tok " * n_tok) for i, (dom, n_tok) in enumerate(doms)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    present = {d for d, _ in doms}
+    weights = dict(zip(sorted(present)[:2], ws))  # weight ≤2 domains
+    out = curation.domain_mixture_sample(docs, weights).collect()
+    sel = {(r.doc_id, r.source) for r in out}
+    all_rows = {(i, dom) for i, (dom, _) in enumerate(doms)}
+    assert sel <= all_rows  # never invents rows
+    assert {s for _, s in sel} <= set(weights)  # unlisted dropped
+    # binding domain (min T/w among weighted, present domains) kept whole
+    tok_by_dom = {}
+    for i, (dom, n_tok) in enumerate(doms):
+        tok_by_dom[dom] = tok_by_dom.get(dom, 0) + n_tok
+    listed = [d for d in weights if d in tok_by_dom]
+    if listed:
+        binding = min(listed, key=lambda d: tok_by_dom[d] / weights[d])
+        n_binding_all = sum(1 for i, (d, _) in enumerate(doms) if d == binding)
+        n_binding_sel = sum(1 for _, s in sel if s == binding)
+        assert n_binding_sel == n_binding_all
+    # deterministic under repartition
+    again = {
+        (r.doc_id, r.source)
+        for r in curation.domain_mixture_sample(docs.repartition(5), weights).collect()
+    }
+    assert again == sel
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=1, max_value=12))
+def test_bm25_monotone_in_term_frequency(spark, reps):
+    """With document length held fixed, adding more query-term
+    occurrences must not lower the BM25 score (tf saturation is
+    monotone), and the score stays below the k1+1 idf ceiling."""
+    from fordgobike_data_pipeline_spark.operators import text as text_ops
+
+    pad = "pad "
+    fixed_len = 24
+    mk = lambda r: ("join " * r + pad * (fixed_len - r)).strip()  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, mk(reps)), (2, mk(min(reps + 3, fixed_len))), (3, pad * fixed_len)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.score for r in text_ops.bm25_scores(docs, ["join"]).collect()}
+    assert out[1] <= out[2] + 1e-9
+    n_docs, df = 3, 2
+    idf_ceiling = math.log(1 + (n_docs - df + 0.5) / (df + 0.5)) * (1.2 + 1)
+    assert all(s <= idf_ceiling + 1e-6 for s in out.values())
