@@ -56,7 +56,7 @@ def query(name: str, oracle: str | None = None):
 
 
 def _ensure_extensions_loaded() -> None:
-    from . import harness_curation, harness_scale  # noqa: F401  (register queries)
+    from . import harness_curation, harness_quality, harness_scale  # noqa: F401  (register queries)
 
 
 # The correctness driver adjudicates queries in dict order and records a
@@ -84,6 +84,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bm25",
     "q_domain_mixture",
     "q_dedup_incr_near",
+    "q_null_census",
+    "q_fk_integrity",
+    "q_range_check",
+    "q_expect_unique",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",

@@ -1,0 +1,125 @@
+"""Harness entries for the data-quality validation operators
+(operators/quality.py) — the engine-side versions of the reference's
+manual notebook checks (notebooks/data_exploration.ipynb null census /
+outlier probes) and its declared-but-unenforced FK constraints
+(include/sql/silver/silver_ddl.sql:62-66).
+
+The raw testdata has no nulls or orphans, so each query derives a
+violation surface in-query (CASE-injected nulls, a filtered dim, a
+deliberately tight range) — the oracle mirrors the derivation, so the
+checks are adjudicated against non-trivial counts, not all-zero rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import query
+from .io import load_tables
+from .operators import quality
+
+
+@query(
+    "q_null_census",
+    """
+    WITH d AS (
+        SELECT user_id,
+               CASE WHEN value > 400 THEN NULL ELSE value END AS value_capped,
+               CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS event_type_nv
+        FROM events
+    ),
+    t AS (
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (user_id IS NULL) AS n_user,
+               count(*) FILTER (value_capped IS NULL) AS n_val,
+               count(*) FILTER (event_type_nv IS NULL) AS n_et
+        FROM d
+    )
+    SELECT 'user_id' AS "column", n_user AS n_null,
+           round(n_user / n_rows, 6) AS null_ratio, n_rows FROM t
+    UNION ALL
+    SELECT 'value_capped', n_val, round(n_val / n_rows, 6), n_rows FROM t
+    UNION ALL
+    SELECT 'event_type_nv', n_et, round(n_et / n_rows, 6), n_rows FROM t
+    """,
+)
+def q_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counts/ratios in ONE aggregation pass (the
+    distributed form of the notebook's isna().sum() census). Nulls are
+    injected via CASE so the counts are non-trivial."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    derived = ev.select(
+        "user_id",
+        F.when(F.col("value") > 400, None).otherwise(F.col("value")).alias("value_capped"),
+        F.when(F.col("event_type") == "view", None)
+        .otherwise(F.col("event_type"))
+        .alias("event_type_nv"),
+    )
+    return quality.null_census(derived)
+
+
+@query(
+    "q_fk_integrity",
+    """
+    WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+    cand AS (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+    orph AS (
+        SELECT count(*) AS n_orphans
+        FROM cand ANTI JOIN dim ON cand.o_custkey = dim.c_custkey
+    )
+    SELECT (SELECT count(*) FROM cand) AS n_checked, n_orphans,
+           n_orphans = 0 AS ok
+    FROM orph
+    """,
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed referential-integrity check (the FK constraint
+    silver_ddl.sql declares but Postgres enforces row-at-a-time): one
+    anti-join, 1-row report. The dim is filtered (custkey % 10 == 0
+    removed) so the orphan count is non-zero."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    dim = t["customer"].filter(F.col("c_custkey") % 10 != 0)
+    return quality.fk_integrity(t["orders"], dim, "o_custkey", "c_custkey")
+
+
+@query(
+    "q_range_check",
+    """
+    SELECT 'value' AS "column", count(value) AS n_values,
+           count(*) FILTER (value IS NOT NULL AND (value < 0.0 OR value > 100.0))
+               AS n_out_of_range,
+           count(*) FILTER (value IS NOT NULL AND (value < 0.0 OR value > 100.0)) = 0
+               AS ok
+    FROM events
+    """,
+)
+def q_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-range census (the notebook's outlier probes as an engine
+    job): events.value against a deliberately tight [0, 100] band so
+    the violation count is non-zero. Single aggregation, no shuffle of
+    raw rows beyond the partial-agg combine."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return quality.range_check(ev, "value", 0.0, 100.0)
+
+
+@query(
+    "q_expect_unique",
+    """
+    WITH d AS (
+        SELECT l_orderkey, count(*) AS _n
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    )
+    SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM d) AS n_duplicate_keys,
+           (SELECT CAST(coalesce(sum(_n), 0) AS BIGINT) FROM d) AS n_rows_in_duplicates,
+           (SELECT count(*) FROM d) = 0 AS ok
+    """,
+)
+def q_expect_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit (the PRIMARY KEY/UNIQUE constraints as a
+    distributed check): lineitem keyed on l_orderkey alone has
+    duplicates by construction (multi-line orders), so the report is
+    non-trivial. One hash aggregation + tiny crossJoin of 1-row aggs."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return quality.expect_unique(li, ["l_orderkey"])
