@@ -71,6 +71,8 @@ HEADLINE = [
     "q_clean_corpus",
     "q_ann_ivf_seeded",
     "q_dedup_incr_near",
+    "q_dup_span_stats",
+    "q_remove_dup_spans",
 ]
 
 

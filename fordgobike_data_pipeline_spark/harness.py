@@ -88,6 +88,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fk_integrity",
     "q_range_check",
     "q_expect_unique",
+    "q_dup_span_stats",
+    "q_remove_dup_spans",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",

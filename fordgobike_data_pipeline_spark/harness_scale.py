@@ -105,6 +105,71 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(sh, threshold=0.9, max_shingle_freq=50)
 
 
+# Positional-5-gram CTEs shared by the two duplicated-span queries:
+# grams with start positions, the ≥2-distinct-docs duplicate keys, and
+# the covered (doc_id, idx) token positions. Gram keys are md5 (the
+# operator's parity hash_fn) so both engines flag identical spans.
+_SPAN_CTES = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, len(toks) AS n, unnest(range(greatest(len(toks) - 5, 0) + 1)) AS pos, toks FROM w),
+    pg AS (SELECT doc_id, n, pos, md5(array_to_string(toks[(pos+1):(pos+5)], ' ')) AS gk FROM g),
+    dup AS (
+        SELECT gk FROM (SELECT DISTINCT doc_id, gk FROM pg)
+        GROUP BY gk HAVING count(*) > 1
+    ),
+    fl AS (SELECT doc_id, n, pos FROM pg SEMI JOIN dup USING (gk)),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(pos, least(pos + 5, n))) AS idx FROM fl)
+"""
+
+
+@query(
+    "q_dup_span_stats",
+    f"""
+    WITH {_SPAN_CTES},
+    cnt AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT l.doc_id, l.n_tokens,
+           coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
+           round(coalesce(c.n_dup_tokens, 0) / l.n_tokens, 6) AS dup_ratio
+    FROM lens l LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (Lee et al. 2022 signal):
+    per doc, the token count covered by a 5-gram that appears verbatim
+    in ≥2 distinct documents. Hash-keyed aggs/joins only — linear at
+    corpus scale (no pair enumeration, unlike the Jaccard family)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.duplicated_span_stats(docs, k=5, hash_fn="md5")
+
+
+@query(
+    "q_remove_dup_spans",
+    f"""
+    WITH {_SPAN_CTES},
+    tk AS (SELECT doc_id, unnest(range(len(toks))) AS idx, toks FROM w),
+    tok AS (SELECT doc_id, idx, toks[idx+1] AS token FROM tk),
+    kept AS (SELECT doc_id, idx, token FROM tok ANTI JOIN cov USING (doc_id, idx)),
+    agg AS (
+        SELECT doc_id, string_agg(token, ' ' ORDER BY idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0) AS n_kept
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup: cut every cross-document duplicated 5-gram
+    span out of each doc, keeping the unique remainder in original
+    token order (fully-duplicated docs survive as empty text). The
+    scale-relevant property: removal is positional set-subtraction on
+    (doc, idx) — one groupBy(doc) reassembly, no windows, no pairs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.remove_duplicated_spans(docs, k=5, hash_fn="md5")
+
+
 # The md5 64-bit halves, as signed BIGINTs (same construction as the
 # oracle-green _hash_bucket / winnowing patterns).
 _MD5_H64 = (

@@ -497,6 +497,141 @@ def dedup_clusters(
     return docs.join(losers, id_col, "left_anti")
 
 
+def positional_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Token k-grams WITH their start position: (id, n_tokens, pos,
+    gram_key). Unlike :func:`token_shingles` nothing is deduplicated —
+    position is the whole point (span location). Docs shorter than k
+    emit their full token span as one gram at pos 0.
+
+    ``hash_fn``: 'xxhash64' (production) or 'md5' (cross-engine parity
+    — any SQL engine reproduces the key, the oracle mode)."""
+    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+    )
+    out = tokd.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "_gram"),
+    )
+    if hash_fn == "md5":
+        key = F.md5(F.col("_gram"))
+    elif hash_fn == "xxhash64":
+        key = F.xxhash64(F.col("_gram"))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return out.select(id_col, "n_tokens", "pos", key.alias("gram_key"))
+
+
+def _covered_positions(
+    pgrams: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """(id, idx) of every token covered by a cross-document duplicated
+    k-gram. A gram is duplicated iff it occurs in ≥2 DISTINCT docs —
+    in-doc repetition alone doesn't flag (that's repetition_ratio's
+    job). All joins are keyed on the 8-byte gram hash; no broadcast of
+    a corpus-growing set (AQE decides join strategy)."""
+    dup = (
+        pgrams.select(id_col, "gram_key")
+        .distinct()
+        .groupBy("gram_key")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("gram_key")
+    )
+    flagged = pgrams.join(dup, "gram_key", "left_semi")
+    return flagged.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("pos"), F.least(F.col("pos") + k - 1, F.col("n_tokens") - 1)
+            )
+        ).alias("idx"),
+    ).distinct()
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc exact-substring duplication census (the train-set signal
+    from Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", at token-k-gram granularity): how many of a doc's
+    tokens sit inside a k-gram that also appears verbatim in another
+    document.
+
+    Output: (id, n_tokens, n_dup_tokens, dup_ratio). Every stage is a
+    hash-partitioned agg or key join on the gram hash — positional
+    grams are O(total tokens), the df-filter is one combinable agg, and
+    covered-position expansion is ≤k rows per flagged gram. Linear in
+    corpus size, no all-pairs step anywhere."""
+    pg = positional_shingles(docs, text_col, id_col, k, hash_fn)
+    covered = _covered_positions(pg, id_col, k)
+    cnt = covered.groupBy(id_col).agg(F.count("*").alias("n_dup_tokens"))
+    lens = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens")
+    )
+    return lens.join(cnt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        F.round(F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cut cross-document duplicated spans OUT of each document (span-
+    level dedup — keeps the unique remainder instead of dropping whole
+    near-dup docs). Tokens covered by any ≥2-doc k-gram are removed;
+    survivors reassemble in original order.
+
+    Output: (id, clean_text, n_kept); a fully-duplicated doc keeps the
+    row with clean_text = ''. Reassembly is a per-doc array_sort over
+    (idx, token) structs — bounded by doc length, no window, and the
+    only shuffles are the gram-key joins plus one groupBy(id)."""
+    pg = positional_shingles(docs, text_col, id_col, k, hash_fn)
+    covered = _covered_positions(pg, id_col, k)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("idx", "token"),
+    )
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def simhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -711,3 +711,58 @@ def test_shingle_cap_joins_on_hash_without_forced_broadcast(spark):
     assert "ResolvedHint" not in optimized, optimized
     anti = [ln for ln in optimized.splitlines() if "LeftAnti" in ln]
     assert anti and all(re.search(r"_shh#\d+L? = ", ln) for ln in anti), anti
+
+
+def test_duplicated_span_stats_planted(spark):
+    """A 5-gram shared by two docs flags exactly its covered token
+    positions in each; unique docs report zero; in-doc-only repetition
+    does NOT flag (cross-doc means ≥2 distinct docs)."""
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog end"),
+        (2, "prefix words here the quick brown fox jumps something else"),
+        (3, "totally different unrelated content right here now ok fine yes"),
+        # the same 5-gram twice WITHIN one doc only — must not flag
+        (4, "p q r s t p q r s t"),
+    ]
+    docs = spark.createDataFrame(data, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.duplicated_span_stats(docs, k=5).collect()}
+    assert got[1].n_tokens == 10 and got[1].n_dup_tokens == 5
+    assert abs(got[1].dup_ratio - 0.5) < 1e-9
+    assert got[2].n_dup_tokens == 5
+    assert got[3].n_dup_tokens == 0
+    assert got[4].n_dup_tokens == 0
+
+
+def test_remove_duplicated_spans_planted(spark):
+    """Covered spans are cut, survivors keep original order, and a
+    fully-duplicated doc survives as an empty row."""
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog end"),
+        (2, "prefix words here the quick brown fox jumps something else"),
+        (10, "identical clone text goes here exactly"),
+        (11, "identical clone text goes here exactly"),
+    ]
+    docs = spark.createDataFrame(data, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.remove_duplicated_spans(docs, k=5).collect()}
+    assert got[1].clean_text == "over the lazy dog end" and got[1].n_kept == 5
+    assert got[2].clean_text == "prefix words here something else"
+    assert got[10].clean_text == "" and got[10].n_kept == 0
+    assert got[11].clean_text == "" and got[11].n_kept == 0
+
+
+def test_duplicated_spans_short_docs_and_hash_parity(spark):
+    """Docs shorter than k emit their full span as one gram (identical
+    short docs are fully covered); the md5 parity hash family flags the
+    same spans as the production xxhash64 family."""
+    data = [
+        (1, "tiny twin doc"),
+        (2, "tiny twin doc"),
+        (3, "lonely short one"),
+    ]
+    docs = spark.createDataFrame(data, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.duplicated_span_stats(docs, k=5).collect()}
+    assert got[1].n_dup_tokens == 3 and got[2].n_dup_tokens == 3
+    assert got[3].n_dup_tokens == 0
+    prod = dedup.duplicated_span_stats(docs, k=5, hash_fn="xxhash64").collect()
+    parity = dedup.duplicated_span_stats(docs, k=5, hash_fn="md5").collect()
+    assert sorted(map(tuple, prod)) == sorted(map(tuple, parity))
