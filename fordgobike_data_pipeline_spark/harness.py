@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_expect_unique",
     "q_dup_span_stats",
     "q_remove_dup_spans",
+    "q_url_dedup",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",

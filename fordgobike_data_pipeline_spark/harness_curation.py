@@ -376,3 +376,91 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     merges = bpe.train_bpe(docs, n_merges=100, max_vocab_words=5000)
     return bpe.bpe_token_count(docs, merges)
+
+
+@query(
+    "q_url_dedup",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+               || source || '.Example.COM'
+               || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+               || '/Page/' || CAST(doc_id % 100 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#frag'
+                        ELSE '?a=1&b=2' END) AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+               regexp_replace(regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                              '#.*$', '') AS rest
+        FROM raw
+    ),
+    hp AS (
+        SELECT *, lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport FROM parts
+    ),
+    hh AS (
+        SELECT *,
+               regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+               regexp_replace(rest, '^[^/?]+', '') AS pathq
+        FROM hp
+    ),
+    pp AS (
+        SELECT *,
+               regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+               regexp_extract(pathq, '\\?(.*)$', 1) AS query
+        FROM hh
+    ),
+    qn AS (
+        SELECT *,
+               array_to_string(list_sort(list_filter(string_split(query, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)='))),
+                   '&') AS qnorm
+        FROM pp
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host
+               || (CASE WHEN port <> ''
+                         AND NOT ((scheme = 'http' AND port = '80')
+                                  OR (scheme = 'https' AND port = '443'))
+                        THEN ':' || port ELSE '' END)
+               || path
+               || (CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END) AS canonical_url
+        FROM qn
+    )
+    SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl first-pass dedup on the canonical URL. The url column is
+    synthesized deterministically from (source, doc_id) with the noise
+    canonicalization must collapse — scheme/host case, www., default
+    port, tracking params, param order, trailing slash, fragment — so
+    the survivor groups are non-trivial (all variants of one
+    (source, doc_id%100) page collapse to one canonical form)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = F.col("doc_id")
+    with_url = docs.select(
+        d,
+        F.concat(
+            F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".Example.COM"),
+            F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Page/"),
+            (d % 100).cast("string"),
+            F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1#frag")).otherwise(
+                F.lit("?a=1&b=2")
+            ),
+        ).alias("url"),
+    )
+    return curation.url_dedup(with_url)

@@ -500,3 +500,70 @@ def domain_mixture_sample(
         .filter(bucket < F.col("_rate") * _M)
         .select(id_col, domain_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization & dedup — the crawl-side first-pass dedup key
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute URL, as one codegen'd expression:
+
+    * scheme and host lowercased (path/query case is significant);
+    * fragment dropped;
+    * ``www.`` prefix and default ports (http:80, https:443) stripped;
+    * tracking params (``utm_*``, ``gclid``, ``fbclid``, ``ref``)
+      removed and the remaining query params SORTED (param order is
+      transport noise, not identity);
+    * trailing path slashes stripped.
+
+    Per-row, shuffle-free, regex+array builtins only — the same chain
+    is expressible in any SQL engine (the oracle mirrors it), and at
+    crawl scale it runs inside whole-stage codegen on the scan."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""), r"#.*$", ""
+    )
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qnorm = F.concat_ws("&", F.array_sort(params))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-pass crawl dedup on the canonical URL: one survivor (min
+    id) per canonical form plus the collapse count. Identical shape to
+    exact_dedup — a single hash-partitioned aggregation, linear at any
+    corpus size (the canonicalization itself is map-side)."""
+    return (
+        df.select(canonical_url(F.col(url_col)).alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )

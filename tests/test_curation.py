@@ -336,3 +336,46 @@ def test_domain_mixture_sample_hits_target_mix(spark):
         ).collect()
     }
     assert again == set(sel)
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule, pinned: case, www., default vs
+    non-default ports, fragments, tracking params, param order,
+    trailing slashes — and what must NOT change (path case, real
+    params, non-default ports)."""
+    from fordgobike_data_pipeline_spark.operators.curation import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/A/B?a=1&b=2"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/path", "http://example.com:8080/path"),
+        ("https://sub.www-site.org/Path/?ref=tw&gclid=123&fbclid=9",
+         "https://sub.www-site.org/Path"),
+        ("https://example.com/search?q=Hello&lang=en",
+         "https://example.com/search?lang=en&q=Hello"),
+        ("  https://example.com/x  ", "https://example.com/x"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {r.i: r.c for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_dedup_collapses_variants(spark):
+    """All surface variants of one logical page collapse to a single
+    canonical survivor with the right copy count."""
+    from fordgobike_data_pipeline_spark.operators.curation import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.shop.com/item/5?utm_campaign=x"),
+            (2, "HTTPS://SHOP.COM:443/item/5/"),
+            (3, "https://shop.com/item/5#reviews"),
+            (4, "https://shop.com/item/6"),
+        ],
+        ["doc_id", "url"],
+    )
+    got = {r.canonical_url: (r.keep_id, r.n_copies) for r in url_dedup(df).collect()}
+    assert got["https://shop.com/item/5"] == (1, 3)
+    assert got["https://shop.com/item/6"] == (4, 1)
