@@ -73,6 +73,9 @@ HEADLINE = [
     "q_dedup_incr_near",
     "q_dup_span_stats",
     "q_remove_dup_spans",
+    "q_url_dedup",
+    "q_pq_encode",
+    "q_pq_adc",
 ]
 
 

@@ -91,6 +91,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dup_span_stats",
     "q_remove_dup_spans",
     "q_url_dedup",
+    "q_pq_encode",
+    "q_pq_adc",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",

@@ -1484,3 +1484,102 @@ def q_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = similarity.quantize_embeddings(emb)
     return q.select("vec_id", F.posexplode("qvec").alias("pos", "q"))
+
+
+# Product-quantization CTEs shared by the two PQ queries: seeded
+# codebooks (every 40th vector's subvectors, the n_iter=0 oracle mode),
+# per-(vector, subspace) squared-L2 to every code, and the argmin
+# assignment with the operator's (dist, code_id) tie-break. dim=64 in
+# 4 subspaces of 16; double-cast before arithmetic on both engines so
+# the fold is bit-identical.
+_PQ_D = (
+    "(CAST(e.embedding[c.subspace*16 + d + 1] AS DOUBLE)"
+    " - CAST(c.cvec[c.subspace*16 + d + 1] AS DOUBLE))"
+)
+_PQ_CTES = f"""
+    cb AS (
+        SELECT t.j AS subspace, vec_id AS code_id, embedding AS cvec
+        FROM embeddings CROSS JOIN range(4) t(j)
+        WHERE vec_id % 40 = 0
+    ),
+    dists AS (
+        SELECT e.vec_id, c.subspace, c.code_id,
+               round(list_sum(list_transform(range(16), d ->
+                   {_PQ_D} * {_PQ_D})), 6) AS dist
+        FROM embeddings e CROSS JOIN cb c
+    ),
+    best AS (
+        SELECT vec_id, subspace, code_id, dist FROM (
+            SELECT vec_id, subspace, code_id, dist,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist, code_id) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "q_pq_encode",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id, CAST(subspace AS INT) AS subspace, code_id, dist FROM best
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization in ORACLE mode: seeded codebooks
+    (n_iter=0) + relational exact_assign, so the driver adjudicates
+    the whole encode path (subvector split, per-subspace distance,
+    argmin tie-break). The production twin is the Arrow einsum encoder
+    (pq_encode exact_assign=False), pinned equal in tests."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
+    return similarity.pq_encode(emb, cb, dim=64, n_subspaces=4, exact_assign=True)
+
+
+@query(
+    "q_pq_adc",
+    f"""
+    WITH {_PQ_CTES},
+    lutd AS (
+        SELECT e.vec_id AS query_id, c.subspace, c.code_id,
+               round(list_sum(list_transform(range(16), d ->
+                   {_PQ_D} * {_PQ_D})), 6) AS ld
+        FROM embeddings e CROSS JOIN cb c
+        WHERE e.vec_id < 5
+    ),
+    lut AS (
+        SELECT query_id, subspace, code_id,
+               CAST(round(ld * 1000000) AS BIGINT) AS ld6
+        FROM lutd
+    ),
+    scored AS (
+        SELECT l.query_id, b.vec_id AS cand_id,
+               round(sum(l.ld6) / 1000000.0, 6) AS approx_dist
+        FROM best b JOIN lut l USING (subspace, code_id)
+        WHERE b.vec_id <> l.query_id
+        GROUP BY l.query_id, b.vec_id
+    ),
+    r AS (
+        SELECT query_id, cand_id, approx_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist, cand_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, approx_dist
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (oracle mode): queries build exact
+    LUTs against the seeded codebooks, the coded corpus scores by
+    integer LUT-sum (fixed-point ×1e6 so the m-way sum is
+    order-independent), salted two-phase top-k. The corpus side moves
+    only (subspace, code_id) pairs — the PQ memory story at scale."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
+    codes = similarity.pq_encode(
+        emb, cb, dim=64, n_subspaces=4, exact_assign=True
+    ).select("vec_id", "subspace", "code_id")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64, n_subspaces=4)

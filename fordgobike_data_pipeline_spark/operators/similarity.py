@@ -857,3 +857,258 @@ def quantize_embeddings(
 def dequantize(qvec: Column, scales: Column) -> Column:
     """Inverse map q·s/127 (double) — feed to the exact/ANN cosine ops."""
     return F.zip_with(qvec, scales, lambda q, s: q.cast("double") * s / 127.0)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — m-subspace byte codes + ADC scoring
+# (the memory-side half of IVF-PQ: a 64-dim float vector becomes m
+# small code ids, and query-time distance is a table lookup per
+# subspace instead of a full float dot product)
+# ---------------------------------------------------------------------------
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance in double, sequential left-fold (the same
+    deterministic-order contract as :func:`dot`, so a SQL oracle's
+    list_sum fold reproduces it bit-exactly)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvector_slices(vec: Column, dim: int, n_subspaces: int) -> Column:
+    """array of (subspace, sub_vec) structs — the vector split into
+    n_subspaces contiguous blocks."""
+    sub = dim // n_subspaces
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice(vec, j * sub + 1, sub).alias("sub_vec"),
+            )
+            for j in range(n_subspaces)
+        ]
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 4,
+    seed_mod: int = 40,
+    n_iter: int = 0,
+) -> DataFrame:
+    """Per-subspace PQ codebooks: (subspace, code_id, code_vec).
+
+    Deterministic seeding mirrors :func:`kmeans_centroids`: every
+    ``seed_mod``-th vector contributes its subvectors as initial codes
+    (``n_iter=0`` returns exactly these seeds — the oracle mode, whose
+    per-subspace argmin any SQL engine can reproduce). ``n_iter`` Lloyd
+    rounds refine each subspace independently: assignment is one
+    Arrow-batched einsum over the whole vector (all m subspaces per
+    batch — no per-subspace corpus scans), mean recompute is relational
+    (posexplode → per-(subspace, code, dim) avg, map-side combinable).
+    Per round: one corpus scan + one |corpus|·dim partial-agg shuffle —
+    the same linear budget as the IVF coarse quantizer."""
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    seeds = emb.filter(F.col(id_col) % seed_mod == 0).select(
+        F.col(id_col).alias("code_id"),
+        F.explode(_subvector_slices(F.col(vec_col), dim, n_subspaces)).alias("s"),
+    )
+    cb = seeds.select(
+        "code_id",
+        F.col("s.subspace").alias("subspace"),
+        F.transform("s.sub_vec", lambda x: x.cast("double")).alias("code_vec"),
+    )
+    if n_iter == 0:
+        return cb
+    spark = emb.sparkSession
+    for _ in range(n_iter):
+        tensor = _collect_codebooks(cb, n_subspaces)
+        assign = emb.select(
+            F.col(id_col),
+            _pq_assign_udf(tensor, sub)(F.col(vec_col)).alias("codes"),
+            F.col(vec_col).alias("_v"),
+        )
+        elems = assign.select(
+            F.posexplode("_v").alias("pos", "x"),
+            F.element_at("codes", (F.col("pos") / sub).cast("int") + 1).alias("code_id"),
+        ).select(
+            (F.col("pos") / sub).cast("int").alias("subspace"),
+            F.pmod("pos", F.lit(sub)).alias("d"),
+            "code_id",
+            F.col("x").cast("double").alias("x"),
+        )
+        means = elems.groupBy("subspace", "code_id", "d").agg(F.avg("x").alias("mx"))
+        cb = (
+            means.groupBy("subspace", "code_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("d", "mx"))).alias("dm"),
+            )
+            .select(
+                "subspace",
+                "code_id",
+                F.transform("dm", lambda s: s["mx"]).alias("code_vec"),
+            )
+        )
+    # rebuild from the bounded driver copy (m·k rows) — zero lineage for
+    # the encode/LUT consumers, mirroring kmeans_centroids
+    rows = [
+        (int(r.subspace), int(r.code_id), [float(x) for x in r.code_vec])
+        for r in cb.collect()
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code_id bigint, code_vec array<double>"
+    )
+
+
+def _collect_codebooks(cb: DataFrame, n_subspaces: int):
+    """Driver-side {subspace: (ids, k×sub matrix)} — bounded control
+    data (m·k·sub doubles), ids sorted so argmin tie-breaks match
+    min(struct(dist, code_id))."""
+    out = {}
+    rows = cb.collect()
+    for j in range(n_subspaces):
+        sj = sorted((r for r in rows if r.subspace == j), key=lambda r: r.code_id)
+        ids = np.asarray([r.code_id for r in sj], dtype=np.int64)
+        m = np.asarray([r.code_vec for r in sj], dtype=np.float64)
+        out[j] = (ids, m)
+    return out
+
+
+def _pq_assign_udf(tensor: dict, sub: int):
+    """Arrow-batched PQ encoder: one matmul per subspace per batch,
+    argmin L2 (first-min ⇒ smallest code_id on ties — ids are sorted).
+    Returns array<bigint> of m code ids per vector."""
+
+    @pandas_udf("array<bigint>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.asarray(v.tolist(), dtype=np.float64)
+        parts = []
+        for j in sorted(tensor):
+            ids, m = tensor[j]
+            xj = x[:, j * sub : (j + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d = -2.0 * (xj @ m.T) + (m * m).sum(axis=1)[None, :]
+            parts.append(ids[d.argmin(axis=1)])
+        codes = np.stack(parts, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 4,
+    exact_assign: bool = False,
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest code:
+    (id, subspace, code_id, dist) — ``dist`` is the rounded squared L2
+    to the chosen code.
+
+    ``exact_assign=True`` runs the relational path: explode subvectors,
+    join the (bounded, m·k-row) codebook, argmin via min(struct) — the
+    SQL-reproducible oracle mode, same convention as ivf_ann_topk's
+    ``exact_assign``. Default is the Arrow einsum encoder (production:
+    one batch matmul, no join). Both tie-break toward the smallest
+    code_id."""
+    if exact_assign:
+        subs = emb.select(
+            F.col(id_col),
+            F.explode(_subvector_slices(F.col(vec_col), dim, n_subspaces)).alias("s"),
+        ).select(id_col, F.col("s.subspace").alias("subspace"), F.col("s.sub_vec").alias("sub_vec"))
+        dists = subs.join(F.broadcast(codebooks), "subspace").select(
+            id_col,
+            "subspace",
+            "code_id",
+            F.round(sq_l2(F.col("sub_vec"), F.col("code_vec")), 6).alias("dist"),
+        )
+        best = dists.groupBy(id_col, "subspace").agg(
+            F.min(F.struct("dist", "code_id")).alias("b")
+        )
+        return best.select(
+            id_col, "subspace", F.col("b.code_id").alias("code_id"), F.col("b.dist").alias("dist")
+        )
+    sub = dim // n_subspaces
+    tensor = _collect_codebooks(codebooks, n_subspaces)
+    assign = emb.select(
+        F.col(id_col), _pq_assign_udf(tensor, sub)(F.col(vec_col)).alias("codes")
+    )
+    return assign.select(
+        id_col, F.posexplode("codes").alias("subspace", "code_id")
+    ).select(id_col, "subspace", "code_id")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 4,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query computes one lookup table
+    (LUT) of exact query-subvector→code distances (|queries|·m·k rows,
+    bounded by the query batch — broadcast), then every coded corpus
+    row scores as the SUM of m table lookups — no float vector math on
+    the corpus side, which is the entire point of PQ at 100 TB (the
+    corpus shuffles 8-byte codes, not 256-byte vectors).
+
+    Per-subspace LUT entries are fixed-point (×1e6, BIGINT) so the
+    m-way sum is integer — addition-order-independent, hence
+    engine-reproducible. Top-k per query uses the same salted two-phase
+    merge as cosine_topk (every collect_list bounded)."""
+    lut = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_subvector_slices(F.col(vec_col), dim, n_subspaces)).alias("s"),
+    ).select(
+        "query_id", F.col("s.subspace").alias("subspace"), F.col("s.sub_vec").alias("sub_vec")
+    ).join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code_id",
+        F.round(F.round(sq_l2(F.col("sub_vec"), F.col("code_vec")), 6) * 1e6)
+        .cast("long")
+        .alias("ld6"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code_id"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("cand_id"))
+        .agg(F.round(F.sum("ld6") / 1e6, 6).alias("approx_dist"))
+    )
+    entry = F.struct(F.col("approx_dist"), F.col("cand_id"))
+    partial = (
+        scored.withColumn("salt", F.pmod(F.xxhash64("cand_id"), F.lit(n_salt)))
+        .groupBy("query_id", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
+    )
+    final = (
+        partial.select("query_id", F.explode("top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+    )
+    return final.select("query_id", F.posexplode("top").alias("pos", "e")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        F.col("e.approx_dist").alias("approx_dist"),
+    )

@@ -766,3 +766,74 @@ def test_duplicated_spans_short_docs_and_hash_parity(spark):
     prod = dedup.duplicated_span_stats(docs, k=5, hash_fn="xxhash64").collect()
     parity = dedup.duplicated_span_stats(docs, k=5, hash_fn="md5").collect()
     assert sorted(map(tuple, prod)) == sorted(map(tuple, parity))
+
+
+def test_pq_udf_encoder_matches_exact_assign(spark):
+    """The production Arrow einsum encoder must assign the same codes
+    as the relational exact_assign oracle path (same tie-break)."""
+    emb = _emb(spark)
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
+    exact = {
+        (r.vec_id, r.subspace): r.code_id
+        for r in similarity.pq_encode(emb, cb, dim=64, exact_assign=True).collect()
+    }
+    prod = {
+        (r.vec_id, r.subspace): r.code_id
+        for r in similarity.pq_encode(emb, cb, dim=64, exact_assign=False).collect()
+    }
+    assert prod == exact
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """A seed vector is one of the codes in every subspace, so it must
+    encode to its own code_id at distance 0 — the crisp PQ invariant."""
+    emb = _emb(spark)
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
+    enc = similarity.pq_encode(emb, cb, dim=64, exact_assign=True)
+    seeds = enc.filter(F.col("vec_id") % 40 == 0).collect()
+    assert seeds
+    for r in seeds:
+        assert r.code_id == r.vec_id and r.dist == 0.0, r
+
+
+def test_pq_lloyd_reduces_distortion(spark):
+    """Two Lloyd rounds must not increase total quantization distortion
+    vs the raw seeds (k-means monotonicity, allowing fp slack)."""
+    emb = _emb(spark)
+
+    def distortion(n_iter):
+        cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=n_iter)
+        enc = similarity.pq_encode(emb, cb, dim=64, exact_assign=True)
+        return enc.agg(F.sum("dist")).first()[0]
+
+    d0, d2 = distortion(0), distortion(2)
+    assert d2 <= d0 * 1.0001, (d0, d2)
+
+
+def test_pq_adc_equals_distance_to_reconstruction(spark):
+    """The ADC identity: approx_dist(q, cand) must equal the exact
+    squared L2 between q and the candidate's PQ RECONSTRUCTION
+    (concatenated assigned codes) — Σⱼ ‖qⱼ − c_codeⱼ‖². This pins the
+    whole LUT/sum plumbing without depending on data geometry (on
+    near-random embeddings neighbor recall is a property of the data,
+    not the operator)."""
+    import numpy as np
+
+    emb = _emb(spark)
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=2)
+    enc = similarity.pq_encode(emb, cb, dim=64, exact_assign=True)
+    codes = enc.select("vec_id", "subspace", "code_id")
+    queries = emb.filter(F.col("vec_id") < 3)
+    adc = similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64)
+
+    cbmap = {(r.subspace, r.code_id): np.asarray(r.code_vec) for r in cb.collect()}
+    assign = {}
+    for r in codes.collect():
+        assign.setdefault(r.vec_id, {})[r.subspace] = r.code_id
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in adc.collect():
+        recon = np.concatenate(
+            [cbmap[(j, assign[r.cand_id][j])] for j in range(4)]
+        )
+        want = float(((vecs[r.query_id] - recon) ** 2).sum())
+        assert abs(r.approx_dist - want) < 1e-4, (r, want)
