@@ -126,6 +126,8 @@ def stream_curate_documents(
     checkpoint_dir: str,
     schema: StructType | None = None,
     min_quality: float = 0.3,
+    band_index_path: str | None = None,
+    jaccard_threshold: float = 0.8,
 ) -> None:
     """Streaming corpus ingestion with inline curation — the
     training-data ingest loop: each micro-batch of raw documents is
@@ -160,7 +162,10 @@ def stream_curate_documents(
     stream = spark.readStream.schema(schema).json(landing_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        _curate_batch(batch, batch_id, accepted_path, index_path, min_quality)
+        _curate_batch(
+            batch, batch_id, accepted_path, index_path, min_quality,
+            band_index_path=band_index_path, jaccard_threshold=jaccard_threshold,
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -177,13 +182,25 @@ def _curate_batch(
     accepted_path: str,
     index_path: str,
     min_quality: float,
+    band_index_path: str | None = None,
+    jaccard_threshold: float = 0.8,
 ) -> None:
     """One idempotent curation micro-batch (the foreachBatch body of
     :func:`stream_curate_documents`, module-level so replay semantics
     are directly testable). Re-invoking with the same (batch, batch_id)
     converges to the same sink state from ANY intermediate crash
-    point, because both writes overwrite the batch's own partition and
-    the dedup index read excludes it."""
+    point, because every write overwrites the batch's own partition and
+    every index/corpus read excludes it.
+
+    With ``band_index_path`` the batch is additionally NEAR-dedup'd:
+    within-batch MinHash-LSH clustering keeps one doc per near-dup
+    component, then survivors probe the persisted band-bucket index
+    (dedup.incremental_minhash_pairs) — candidate generation never
+    rescans archive text, and Jaccard verification re-shingles only
+    the matched archive docs, so per-batch cost stays O(|batch| +
+    probe) however big the accepted corpus grows. The band index is
+    the third batch_id-partitioned sink, under the same idempotent
+    overwrite contract."""
     import os
 
     from ..operators import curation, dedup, text
@@ -212,13 +229,61 @@ def _curate_batch(
     else:
         index = dedup.fingerprint_index(kept).limit(0)
     fresh = dedup.incremental_exact_dedup(kept, index)
-    fresh = fresh.localCheckpoint(eager=True)  # one pass, two sinks
+    fresh = fresh.localCheckpoint(eager=True)  # one pass, N sinks
+    if band_index_path is not None:
+        fresh = _near_dedup_batch(
+            fresh, batch_id, accepted_path, band_index_path, jaccard_threshold
+        )
     fresh.write.mode("overwrite").parquet(
         os.path.join(accepted_path, f"batch_id={batch_id}")
     )
     dedup.fingerprint_index(fresh).write.mode("overwrite").parquet(
         os.path.join(index_path, f"batch_id={batch_id}")
     )
+    if band_index_path is not None:
+        dedup.minhash_band_index(fresh).write.mode("overwrite").parquet(
+            os.path.join(band_index_path, f"batch_id={batch_id}")
+        )
+
+
+def _near_dedup_batch(
+    fresh: DataFrame,
+    batch_id: int,
+    accepted_path: str,
+    band_index_path: str,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Near-dup stage of :func:`_curate_batch`: within-batch LSH
+    clustering (keep the min-id doc per component), then drop batch
+    docs whose Jaccard vs any ALREADY-ACCEPTED doc clears the
+    threshold. Replay-safe: both the band index and the archive text
+    exclude the batch's own partition."""
+    import os
+
+    from ..operators import dedup
+
+    in_batch = dedup.minhash_lsh_pairs(
+        fresh, threshold=jaccard_threshold
+    )
+    survivors = dedup.dedup_clusters(fresh, in_batch)
+    has_band = any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(band_index_path)
+        for f in files
+    )
+    if not has_band:
+        return survivors.localCheckpoint(eager=True)
+    spark = fresh.sparkSession
+    band_idx = spark.read.parquet(band_index_path).filter(
+        F.col("batch_id") != batch_id
+    )
+    archive = spark.read.parquet(accepted_path).filter(
+        F.col("batch_id") != batch_id
+    )
+    matched = dedup.incremental_minhash_pairs(
+        survivors, band_idx, archive, threshold=jaccard_threshold
+    ).select(F.col("id_a").alias("doc_id")).distinct()
+    return survivors.join(matched, "doc_id", "left_anti").localCheckpoint(eager=True)
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:

@@ -317,3 +317,89 @@ def test_curate_batch_replay_is_idempotent(spark, tmp_path):
     incremental._curate_batch(b1, 1, accepted, index, 0.3)
     assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
     assert spark.read.parquet(index).count() == n_index
+
+
+def test_stream_curate_near_dedup(spark, tmp_path):
+    """Near-dup curation over the file stream: a LATER batch's
+    near-duplicate (small edit, Jaccard ≥ 0.8) of an accepted doc is
+    dropped by the persisted band index; a within-batch near-dup pair
+    keeps only its min-id doc; genuinely fresh content passes. The
+    band index is the third batch_id-partitioned sink."""
+    import json
+    import os
+
+    landing = str(tmp_path / "landing")
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "index")
+    band = str(tmp_path / "band")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    base = " ".join(f"word{i} token{i} item{i}" for i in range(14))  # 42 tokens
+    other = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(14))
+    fresh_text = " ".join(f"unique{i} new{i} thing{i}" for i in range(14))
+
+    with open(f"{landing}/b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "source": "s1", "text": base}) + "\n")
+    incremental.stream_curate_documents(
+        spark, landing, accepted, index, ckpt, band_index_path=band
+    )
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == {1}
+
+    with open(f"{landing}/b2.json", "w") as f:
+        for d in (
+            # near-dup of accepted doc 1 (appended tail, J ≈ 0.95)
+            {"doc_id": 20, "source": "s2", "text": base + " tail extra"},
+            # within-batch near-dup pair — min id 21 must win
+            {"doc_id": 21, "source": "s2", "text": other + " ending one"},
+            {"doc_id": 22, "source": "s2", "text": other + " ending two"},
+            {"doc_id": 23, "source": "s2", "text": fresh_text},
+        ):
+            f.write(json.dumps(d) + "\n")
+    incremental.stream_curate_documents(
+        spark, landing, accepted, index, ckpt, band_index_path=band
+    )
+    got = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert got == {1, 21, 23}, got
+    # band index covers exactly the accepted docs, per batch partition
+    bidx = spark.read.parquet(band)
+    assert {r.doc_id for r in bidx.select("doc_id").distinct().collect()} == {1, 21, 23}
+    assert {r.batch_id for r in bidx.select("batch_id").distinct().collect()} == {0, 1}
+
+
+def test_curate_batch_near_dedup_replay_idempotent(spark, tmp_path):
+    """Replaying a near-dedup'd micro-batch (same batch_id) from a
+    clean state or from a crash that lost the band-index write must
+    converge to the same three sinks."""
+    import shutil
+
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "index")
+    band = str(tmp_path / "band")
+    base = " ".join(f"word{i} token{i} item{i}" for i in range(14))
+
+    b0 = spark.createDataFrame(
+        [(1, "s1", base)], "doc_id BIGINT, source STRING, text STRING"
+    )
+    b1 = spark.createDataFrame(
+        [(20, "s2", base + " tail extra"),
+         (23, "s2", " ".join(f"unique{i} new{i} thing{i}" for i in range(14)))],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    incremental._curate_batch(b0, 0, accepted, index, 0.3, band_index_path=band)
+    incremental._curate_batch(b1, 1, accepted, index, 0.3, band_index_path=band)
+    want = {1, 23}  # 20 is a cross-batch near-dup of 1
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
+    n_band = spark.read.parquet(band).count()
+
+    # clean replay
+    incremental._curate_batch(b1, 1, accepted, index, 0.3, band_index_path=band)
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
+    assert spark.read.parquet(band).count() == n_band
+
+    # crash before the band-index write: docs+fingerprints landed,
+    # band partition lost — replay must restore it without dup docs
+    shutil.rmtree(f"{band}/batch_id=1")
+    incremental._curate_batch(b1, 1, accepted, index, 0.3, band_index_path=band)
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
+    assert spark.read.parquet(band).count() == n_band
