@@ -199,3 +199,72 @@ def bpe_encode(
         return texts.map(encode_one)
 
     return docs.select(F.col(id_col), toks(F.col(text_col)).alias("bpe_tokens"))
+
+
+def bpe_vocab(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """The (token_id, symbol) vocabulary table — the persisted artifact
+    a tokenized corpus ships with.
+
+    ids 0..C-1 are the corpus's distinct base characters under the
+    pre-tokenizer (computed distributed, sorted for determinism);
+    C+rank is the symbol produced by merge ``rank``. Every symbol
+    :func:`bpe_encode` can emit is therefore covered: unmergeable
+    symbols are base characters, merged symbols appear in rank order.
+    Bounded control data (|alphabet| + n_merges rows)."""
+    chars = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+            ).alias("word")
+        )
+        .select(F.explode(F.split(F.col("word"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .orderBy("ch")
+        .collect()
+    )  # alphabet-sized control data, not corpus data
+    spark = docs.sparkSession
+    base = [(i, r.ch) for i, r in enumerate(chars)]
+    merged = [
+        (len(base) + rank, left + right) for rank, (left, right) in enumerate(merges)
+    ]
+    return spark.createDataFrame(base + merged, "token_id int, symbol string")
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize to integer ids: (id, array<int> token_ids) — what the
+    training-shard writer consumes. Same memoized Arrow batch shape as
+    bpe_encode; the symbol→id map rides the closure (bounded control
+    data, like the merge ranks). A symbol outside the vocab (possible
+    only when the vocab was fitted on a DIFFERENT corpus) maps to -1
+    rather than raising mid-job — count them downstream to decide
+    whether the vocab needs refitting."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    sym_id = {r.symbol: r.token_id for r in vocab.collect()}
+    tok_re = re.compile(TOKEN_RE)
+
+    @pandas_udf("array<int>")
+    def ids(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+
+        def encode_one(t: str) -> list[int]:
+            out: list[int] = []
+            for w in tok_re.findall(t or ""):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = [sym_id.get(s, -1) for s in _encode_word(w, ranks)]
+                    memo[w] = enc
+                out.extend(enc)
+            return out
+
+        return texts.map(encode_one)
+
+    return docs.select(F.col(id_col), ids(F.col(text_col)).alias("token_ids"))

@@ -98,3 +98,52 @@ def test_merges_table_roundtrip(spark):
     merges = [("a", "a"), ("aa", "b")]
     t = bpe.merges_table(spark, merges).orderBy("rank").collect()
     assert [(r.left, r.right) for r in t] == merges
+
+
+def test_bpe_vocab_covers_every_emitted_symbol(spark):
+    """Every symbol bpe_encode emits on the fitting corpus must have a
+    vocab id (base chars cover unmergeable symbols, C+rank covers
+    merges), and ids must be unique."""
+    docs = _docs(spark, [(1, "hello, hello world again"), (2, "worldly hello world"),
+                         (3, "again and again the world")])
+    merges = bpe.train_bpe(docs, n_merges=60)
+    vocab = bpe.bpe_vocab(docs, merges)
+    rows = vocab.collect()
+    ids = [r.token_id for r in rows]
+    assert len(ids) == len(set(ids))
+    known = {r.symbol for r in rows}
+    emitted = {
+        s
+        for r in bpe.bpe_encode(docs, merges).collect()
+        for s in r.bpe_tokens
+    }
+    assert emitted <= known, sorted(emitted - known)[:5]
+
+
+def test_bpe_encode_ids_roundtrip(spark):
+    """ids ↔ symbols: decoding the id sequence through the vocab must
+    reproduce bpe_encode's symbol sequence exactly, with no -1 (the
+    vocab was fitted on the same corpus)."""
+    docs = _docs(spark, [(1, "hello, hello world again"), (2, "worldly hello world"),
+                         (3, "again and again the world")])
+    merges = bpe.train_bpe(docs, n_merges=60)
+    vocab = bpe.bpe_vocab(docs, merges)
+    id2sym = {r.token_id: r.symbol for r in vocab.collect()}
+    want = {r.doc_id: r.bpe_tokens for r in bpe.bpe_encode(docs, merges).collect()}
+    got = {
+        r.doc_id: [id2sym.get(i, "<unk>") for i in r.token_ids]
+        for r in bpe.bpe_encode_ids(docs, merges, vocab).collect()
+    }
+    assert got == want
+    assert all(i >= 0 for r in bpe.bpe_encode_ids(docs, merges, vocab).collect() for i in r.token_ids)
+
+
+def test_bpe_encode_ids_unknown_symbol_maps_to_minus_one(spark):
+    """A vocab fitted on a different corpus maps unseen symbols to -1
+    instead of raising mid-job."""
+    fit_docs = spark.createDataFrame([(1, "aa ab ba")], ["doc_id", "text"])
+    merges = bpe.train_bpe(fit_docs, n_merges=5)
+    vocab = bpe.bpe_vocab(fit_docs, merges)
+    other = spark.createDataFrame([(2, "zz qq")], ["doc_id", "text"])
+    out = bpe.bpe_encode_ids(other, merges, vocab).collect()[0]
+    assert all(i == -1 for i in out.token_ids) and out.token_ids
