@@ -76,6 +76,7 @@ HEADLINE = [
     "q_url_dedup",
     "q_pq_encode",
     "q_pq_adc",
+    "q_gopher_rules",
 ]
 
 

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_url_dedup",
     "q_pq_encode",
     "q_pq_adc",
+    "q_gopher_rules",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",

@@ -1612,3 +1612,50 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_CODES[key] = codes
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64, n_subspaces=4)
+
+
+@query(
+    "q_gopher_rules",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               round(list_sum(list_transform(words, x -> length(x))) / len(words), 6)
+                   AS mean_word_len,
+               round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                     / len(words), 6) AS alpha_word_frac,
+               round(len(list_filter(words, x -> contains(x, '#') OR contains(x, '...')))
+                     / len(words), 6) AS symbol_word_frac,
+               CAST(len(list_intersect(list_distinct(words),
+                        ['the','a','value','table','row','key'])) AS INT) AS n_stopwords
+        FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_frac,
+           n_stopwords,
+           n_words >= 30 AND n_words <= 100000 AS ok_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+           alpha_word_frac >= 0.8 AS ok_alpha,
+           symbol_word_frac <= 0.1 AS ok_symbols,
+           n_stopwords >= 2 AS ok_stopwords,
+           (n_words >= 30 AND n_words <= 100000)
+               AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AND alpha_word_frac >= 0.8
+               AND symbol_word_frac <= 0.1
+               AND n_stopwords >= 2 AS gopher_pass
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule flags (Rae et al. 2021 §A1.1.1):
+    word-count / mean-word-length bounds, alphabetic-word fraction,
+    symbol-word fraction, ≥2-distinct-stopwords — all per-row codegen
+    that fuses into the scan (the cheap pre-shuffle gate). Stopword
+    list adapted to the synthetic corpus so the rule actually splits
+    it (the canonical English list matches nothing here)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.gopher_quality_flags(
+        docs, min_words=30, stopwords=("the", "a", "value", "table", "row", "key")
+    )

@@ -338,3 +338,66 @@ def bm25_scores(
         F.count("*").cast("long").alias("n_hits"),
         F.round(F.sum("s"), 6).alias("score"),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_frac: float = 0.1,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] = _GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021,
+    §A1.1.1), as per-row codegen'd flags: word-count bounds, mean word
+    length bounds, alphabetic-word fraction, symbol-word (# / ...)
+    fraction, and the ≥2-distinct-English-stopwords requirement.
+    Output: the measured features, one boolean per rule, and the AND
+    (``gopher_pass``). Pure column expressions over the split word
+    array — no shuffle, fuses into the scan; the standard cheap gate a
+    corpus pipeline runs BEFORE any shuffling stage."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    mean_len = F.round(word_chars / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / n_words, 6
+    )
+    symbol_frac = F.round(
+        F.size(F.filter(words, lambda w: w.contains("#") | w.contains("..."))) / n_words,
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(s) for s in stopwords])
+        )
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_alpha = alpha_frac >= min_alpha_word_frac
+    ok_symbol = symbol_frac <= max_symbol_word_frac
+    ok_stop = n_stop >= min_stopwords
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_frac.alias("symbol_word_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbol.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_alpha & ok_symbol & ok_stop).alias("gopher_pass"),
+    )

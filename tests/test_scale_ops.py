@@ -837,3 +837,32 @@ def test_pq_adc_equals_distance_to_reconstruction(spark):
         )
         want = float(((vecs[r.query_id] - recon) ** 2).sum())
         assert abs(r.approx_dist - want) < 1e-4, (r, want)
+
+
+def test_gopher_rules_planted_extremes(spark):
+    """Each Gopher rule fails on its crafted violator and the clean doc
+    passes every rule."""
+    ok_doc = "the quick brown fox jumps over a lazy dog " * 5 + "value table row key"
+    docs = spark.createDataFrame(
+        [
+            (1, ok_doc),                                   # passes all
+            (2, "short doc only"),                         # word count
+            (3, " ".join(["supercalifragilistic"] * 60)),  # mean word len
+            (4, " ".join(["£§" for _ in range(60)])),      # alpha fraction
+            (5, " ".join(["#tag" if i % 5 else "word" for i in range(60)])),  # symbols
+            (6, " ".join(f"w{i}" for i in range(60))),     # stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in text.gopher_quality_flags(
+            docs, min_words=30, stopwords=("the", "a", "value", "table", "row", "key")
+        ).collect()
+    }
+    assert got[1].gopher_pass
+    assert not got[2].ok_word_count and not got[2].gopher_pass
+    assert not got[3].ok_mean_len and not got[3].gopher_pass
+    assert not got[4].ok_alpha and not got[4].gopher_pass
+    assert not got[5].ok_symbols and not got[5].gopher_pass
+    assert not got[6].ok_stopwords and not got[6].gopher_pass
