@@ -547,6 +547,39 @@ def build_ivf_index(
     publish_overwrite(assign, os.path.join(path, "lists"), partition_by=["list_id"])
 
 
+def append_to_ivf_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a new vector batch to a persisted IVF index WITHOUT refitting
+    or rewriting it: assign the batch with the index's own centroid
+    table (one Arrow matmul pass) and append into the matching
+    ``list_id=`` partition directories — the existing lists are never
+    read, so daily embedding drops stay O(|batch|) however big the
+    index grows (the vector twin of the minhash band-index append).
+
+    The quantizer is deliberately frozen: probing only finds what was
+    assigned under the same centroids, and a silent refit would orphan
+    every existing list. Refit+rebuild (build_ivf_index) when the
+    embedding distribution drifts; run io.compact_table (partition-
+    preserving) when append files accumulate."""
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    ids, m = _collect_centers(cent)
+    nearest1 = _nearest_centroid_udf(ids, m)
+    n_part = spark.sparkContext.defaultParallelism
+    assign = new_emb.repartition(n_part).select(
+        F.col(id_col).alias("cand_id"),
+        nearest1(F.col(vec_col)).alias("list_id"),
+        unit_normalize(F.col(vec_col)).alias("c_vec"),
+    )
+    assign.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(path, "lists")
+    )
+
+
 def query_ivf_index(
     spark,
     path: str,

@@ -866,3 +866,32 @@ def test_gopher_rules_planted_extremes(spark):
     assert not got[4].ok_alpha and not got[4].gopher_pass
     assert not got[5].ok_symbols and not got[5].gopher_pass
     assert not got[6].ok_stopwords and not got[6].gopher_pass
+
+
+def test_append_to_ivf_index_matches_inline_under_same_centroids(spark, tmp_path):
+    """build(half) + append(rest) must answer queries exactly like the
+    inline IVF over the UNION with the index's own (frozen) centroids —
+    append changes coverage, never the quantizer."""
+    path = str(tmp_path / "ivf_idx")
+    emb = _emb(spark)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.build_ivf_index(first, path, centroid_mod=25, kmeans_iters=0)
+    similarity.append_to_ivf_index(rest, path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rank): (r.cand_id, r.sim)
+        for r in similarity.query_ivf_index(spark, path, queries, k=5, nprobe=3).collect()
+    }
+    cent = spark.read.parquet(f"{path}/centroids")
+    want = {
+        (r.query_id, r.rank): (r.cand_id, r.sim)
+        for r in similarity.ivf_ann_topk(
+            emb, queries, k=5, nprobe=3, centroids=cent
+        ).collect()
+    }
+    assert got == want and got
+    # appended rows landed inside the partition layout (pruning intact)
+    import os
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{path}/lists"))
