@@ -77,6 +77,8 @@ HEADLINE = [
     "q_pq_encode",
     "q_pq_adc",
     "q_gopher_rules",
+    "q_strip_html",
+    "q_bigram_lm",
 ]
 
 

@@ -67,19 +67,20 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-4 priority. The window (first 50) = every query whose oracle or
-# implementation CHANGED this round (the newly-oracled dedup/semantic/
-# LSH/IVF/clean-corpus family — r3's entire no_oracle set minus the
-# genuinely non-SQL media/BPE ops — plus the three reworked curation
-# queries and the hash-cap-reworked jaccard pair), the flagship, the 11
-# queries whose only green row is r01 (rotated out since), and the
-# stalest r02-green queries. Deferred to r5: eight unchanged r02-green
-# entries (trivial projections + rows-only media/BPE) listed at the
-# tail comment.
+# Round-4 priority. The window (first 50) = the 16 queries that have
+# never had a driver row (this round's new operators), every query
+# whose oracle or implementation CHANGED this round (the newly-oracled
+# dedup/semantic/LSH/IVF/clean-corpus family — r3's entire no_oracle
+# set minus the genuinely non-SQL media/BPE ops — plus the three
+# reworked curation queries and the hash-cap-reworked jaccard pair),
+# the flagship, the 11 queries whose only green row is r01, and the
+# stalest r02-green queries. Deferred to r5: unchanged r02-green
+# entries listed at the tail comment.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # brand-new this round (4): unigram-LM quality scoring, BM25
-    # retrieval scoring, domain-mixture resampling, incremental
-    # near-dup index probe
+    # never driver-checked (16): unigram-LM scoring, BM25, domain
+    # mixture, incremental near-dup probe, the four data-quality
+    # checks, span dedup x2, URL dedup, PQ x2, Gopher rules, HTML
+    # strip, bigram LM
     "q_lm_cross_entropy",
     "q_bm25",
     "q_domain_mixture",
@@ -94,6 +95,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pq_encode",
     "q_pq_adc",
     "q_gopher_rules",
+    "q_strip_html",
+    "q_bigram_lm",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",
@@ -123,7 +126,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_lag_cumsum",
     "q_cube",
     "q_grouping_sets",
-    # green in r02, rotated out of the r03 window — refresh (23)
+    # green in r02, rotated out of the r03 window — refresh (7)
     "q_join_left_composite",
     "q_join_role_playing",
     "q_join_full_outer",
@@ -131,19 +134,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_anti_join",
     "q_distinct_on",
     "q_topk_routes",
-    "q_upsert_skip_conflict",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_dedup_exact",
-    "q_embed_cosine_pairs",
-    "q_ann_topk",
-    "q_token_count",
-    "q_text_quality",
-    "q_winnow_fingerprint",
-    "q_tfidf",
-    "q_token_budget",
-    "q_dedup_incremental",
-    # (deferred to r5, unchanged since their r02 green row: q_normalize_text,
+    # (deferred to r5, every one green at its latest driver check and
+    # unchanged since: q_upsert_skip_conflict, q_decontaminate,
+    # q_pack_sequences, q_dedup_exact, q_embed_cosine_pairs, q_ann_topk,
+    # q_token_count, q_text_quality, q_winnow_fingerprint, q_tfidf,
+    # q_token_budget, q_dedup_incremental, q_normalize_text,
     # q_pii_redact, q_repetition_ratio, q_domain_cap, q_train_split,
     # q_text_stats, q_doc_fingerprint, q_multimodal_meta, q_frame_sample,
     # q_bpe_token_count, q_image_features, q_resize_images)

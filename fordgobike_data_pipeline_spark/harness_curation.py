@@ -464,3 +464,57 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return curation.url_dedup(with_url)
+
+
+@query(
+    "q_strip_html",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               '<html><head><title>T</title>'
+               || '<script type="text/javascript">var x = 1 < 2;</script>'
+               || '<style>p { color: red; }</style></head>'
+               || '<body><!-- a comment --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p class="body">' || text
+               || '</p><div>&amp;lt; entity &quot;soup&quot; &#39;here&#39;&nbsp;&gt;</div>'
+               || '</body></html>' AS html
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(html, '<script\\b[^>]*>.*?</script>', ' ', 'gis') AS t FROM raw),
+    s2 AS (SELECT doc_id, regexp_replace(t, '<style\\b[^>]*>.*?</style>', ' ', 'gis') AS t FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'gs') AS t FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'gs') AS t FROM s3),
+    ent AS (
+        SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(t,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        FROM s4
+    )
+    SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+    FROM ent
+    """,
+)
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl text extraction: each doc is wrapped in a synthetic HTML
+    shell (script/style blocks, comments, tags, entity soup — built
+    identically on both engines) and stripped back to prose with the
+    codegen regex chain. Pins the scale-relevant properties: script
+    CONTENT dropped (not just tags), '&amp;lt;' decodes to a literal
+    '&lt;', whitespace canonicalized."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><title>T</title>'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              "<style>p { color: red; }</style></head>"
+              "<body><!-- a comment --><h1>Doc "),
+        d.cast("string"),
+        F.lit('</h1><p class="body">'),
+        F.col("text"),
+        F.lit("</p><div>&amp;lt; entity &quot;soup&quot; &#39;here&#39;&nbsp;&gt;</div>"
+              "</body></html>"),
+    )
+    return docs.select(
+        d, curation.strip_html(html).alias("clean_text")
+    )

@@ -1659,3 +1659,32 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality_flags(
         docs, min_words=30, stopwords=("the", "a", "value", "table", "row", "key")
     )
+
+
+@query(
+    "q_bigram_lm",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, t[i+1] AS w1
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+              FROM w WHERE len(t) >= 2)
+    ),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    s AS (
+        SELECT doc_id, log2(c2 / c1) AS lp
+        FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp), 6) AS cross_entropy
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: bits/bigram under the corpus's own
+    transition model — catches shuffled/spliced text that unigram
+    statistics miss. Two combinable count aggs + two hash joins; the
+    float contract is the repo-standard 6dp round on the per-doc mean."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.bigram_cross_entropy(docs)

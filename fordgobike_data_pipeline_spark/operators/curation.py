@@ -567,3 +567,32 @@ def url_dedup(
         .groupBy("canonical_url")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
     )
+
+
+def strip_html(text: Column) -> Column:
+    """Plain text from raw HTML markup — the crawl-side text-extraction
+    step that precedes every quality/dedup stage. One codegen'd
+    regex-replacement chain (no UDF, fuses into the scan):
+
+    1. drop <script>/<style> blocks wholesale (their content is code,
+       not prose) — (?is) dotall so multi-line blocks match;
+    2. drop comments and every remaining tag;
+    3. decode the common entities (&lt; &gt; &quot; &#39; &nbsp;, then
+       &amp; LAST so '&amp;lt;' decodes to the literal '&lt;' the
+       author wrote, not a phantom '<');
+    4. collapse whitespace runs and trim.
+
+    Regex-based extraction is the scale tool (a DOM parse per doc is a
+    Python UDF and 100x the cost); for layout-aware extraction plug a
+    mapInPandas stage instead. Patterns stay inside the RE2 subset (no
+    backreferences) so any SQL engine reproduces the chain verbatim."""
+    t = F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -401,3 +401,41 @@ def gopher_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_alpha & ok_symbol & ok_stop).alias("gopher_pass"),
     )
+
+
+def bigram_cross_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc cross-entropy (bits/bigram) under the corpus's own
+    bigram model P(w2|w1) = c(w1 w2) / c(w1·) — the second rung of the
+    LM-quality ladder above :func:`unigram_cross_entropy`: it punishes
+    IMPLAUSIBLE TRANSITIONS (shuffled or spliced text scores high even
+    when every individual word is common), which is exactly what the
+    unigram model cannot see. Self-fit MLE, so every observed doc
+    bigram has nonzero probability — no smoothing constant.
+
+    Scale shape: the bigram table is O(total tokens); both count tables
+    are map-side-combinable aggs; scoring is two hash joins on the
+    bigram/first-word keys (Zipf-small relative to the corpus — AQE
+    broadcasts when they fit). Docs with fewer than 2 tokens have no
+    bigrams and drop out (mirrored by the oracle)."""
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    bg_arr = F.zip_with(
+        F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigrams = docs.select(F.col(id_col), F.explode(bg_arr).alias("bg")).withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    )
+    c2 = bigrams.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bigrams.join(c2, "bg")
+        .join(c1, "w1")
+        .select(F.col(id_col), F.log2(F.col("c2") / F.col("c1")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+    )

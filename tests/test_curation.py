@@ -379,3 +379,22 @@ def test_url_dedup_collapses_variants(spark):
     got = {r.canonical_url: (r.keep_id, r.n_copies) for r in url_dedup(df).collect()}
     assert got["https://shop.com/item/5"] == (1, 3)
     assert got["https://shop.com/item/6"] == (4, 1)
+
+
+def test_strip_html_rules(spark):
+    """Script/style CONTENT is dropped (not just the tags), comments
+    and tags go, entities decode with &amp; last, whitespace collapses."""
+    from fordgobike_data_pipeline_spark.operators.curation import strip_html
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ("<script>var a = '<p>sneaky</p>';</script>after", "after"),
+        ("<STYLE type='x'>p { color: red }</STYLE>text", "text"),
+        ("<!-- secret -->visible", "visible"),
+        ("a &amp;lt; b &lt; c &quot;d&quot; &#39;e&#39;&nbsp;f", "a &lt; b < c \"d\" 'e' f"),
+        ("  lots\n\n of \t space  ", "lots of space"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"])
+    got = {r.i: r.c for r in df.select("i", strip_html(F.col("html")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)

@@ -895,3 +895,23 @@ def test_append_to_ivf_index_matches_inline_under_same_centroids(spark, tmp_path
     # appended rows landed inside the partition layout (pruning intact)
     import os
     assert any(d.startswith("list_id=") for d in os.listdir(f"{path}/lists"))
+
+
+def test_bigram_lm_flags_shuffled_text(spark):
+    """The bigram model's contract: with the same unigram content, text
+    whose TRANSITIONS are common scores lower than text spliced from
+    rare transitions. Doc 3 reuses doc-1/doc-2 words in orders never
+    seen elsewhere in the corpus — unigram stats can't separate it,
+    bigram cross-entropy must."""
+    a = "the cat sat on the mat " * 10
+    b = "a dog ran in a park " * 10
+    spliced = "cat a the dog mat in sat park on ran the a"
+    docs = spark.createDataFrame(
+        [(1, a.strip()), (2, b.strip()), (3, spliced)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.cross_entropy for r in text.bigram_cross_entropy(docs).collect()}
+    assert got[3] > got[1] and got[3] > got[2], got
+    # docs shorter than 2 tokens drop out
+    tiny = spark.createDataFrame([(1, "word"), (2, "two words")], ["doc_id", "text"])
+    out = {r.doc_id for r in text.bigram_cross_entropy(tiny).collect()}
+    assert out == {2}
