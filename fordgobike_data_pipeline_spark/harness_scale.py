@@ -112,7 +112,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_CTES = """
     w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     g AS (SELECT doc_id, len(toks) AS n, unnest(range(greatest(len(toks) - 5, 0) + 1)) AS pos, toks FROM w),
-    pg AS (SELECT doc_id, n, pos, md5(array_to_string(toks[(pos+1):(pos+5)], ' ')) AS gk FROM g),
+    pg AS (SELECT doc_id, n, pos,
+                  CAST(CAST(from_hex(substr(md5(array_to_string(toks[(pos+1):(pos+5)], ' ')), 1, 16)) AS BIT) AS BIGINT) AS gk
+           FROM g),
     dup AS (
         SELECT gk FROM (SELECT DISTINCT doc_id, gk FROM pg)
         GROUP BY gk HAVING count(*) > 1

@@ -519,7 +519,9 @@ def positional_shingles(
     emit their full token span as one gram at pos 0.
 
     ``hash_fn``: 'xxhash64' (production) or 'md5' (cross-engine parity
-    — any SQL engine reproduces the key, the oracle mode)."""
+    — the first 64 bits of md5 as a signed BIGINT, the same surrogate-
+    key construction every other parity oracle uses; 8-byte join keys
+    either way, never gram text in an exchange)."""
     tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     n = F.size("_toks")
     starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -532,7 +534,7 @@ def positional_shingles(
         F.posexplode(grams).alias("pos", "_gram"),
     )
     if hash_fn == "md5":
-        key = F.md5(F.col("_gram"))
+        key = F.conv(F.substring(F.md5(F.col("_gram")), 1, 16), 16, -10).cast("long")
     elif hash_fn == "xxhash64":
         key = F.xxhash64(F.col("_gram"))
     else:
