@@ -79,6 +79,7 @@ HEADLINE = [
     "q_gopher_rules",
     "q_strip_html",
     "q_bigram_lm",
+    "q_dup_cluster_sizes",
 ]
 
 

@@ -1690,3 +1690,37 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     float contract is the repo-standard 6dp round on the per-doc mean."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.bigram_cross_entropy(docs)
+
+
+@query(
+    "q_dup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_mh_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM comps GROUP BY component)
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup AUDIT artifact
+    (how much of the corpus is duplicated, and in what group sizes; a
+    sudden mass at large sizes means a template/mirror flood). Two
+    tiny aggregations on top of the connected-component labels; the
+    pair/closure machinery is shared with q_dedup_clusters."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.8, hash_fn="md5-parity")
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
