@@ -1483,7 +1483,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (SELECT pos, max(abs(CAST(x AS DOUBLE))) AS mx FROM d GROUP BY pos)
     SELECT vec_id,
-           pos - 1 AS pos,
+           CAST(pos - 1 AS INT) AS pos,
            CASE WHEN mx = 0 THEN 0
                 ELSE CAST(round(CAST(x AS DOUBLE) / mx * 127) AS INT)
            END AS q
