@@ -522,7 +522,12 @@ def canonical_url(url: Column) -> Column:
 
     Per-row, shuffle-free, regex+array builtins only — the same chain
     is expressible in any SQL engine (the oracle mirrors it), and at
-    crawl scale it runs inside whole-stage codegen on the scan."""
+    crawl scale it runs inside whole-stage codegen on the scan.
+
+    Inputs without a ``scheme://`` prefix (relative URLs, garbage)
+    pass through trimmed-but-unchanged rather than being silently
+    mangled into ``://…`` — they keep their own dedup identity and a
+    downstream validity filter can count them."""
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(
@@ -545,7 +550,7 @@ def canonical_url(url: Column) -> Column:
         lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
     )
     qnorm = F.concat_ws("&", F.array_sort(params))
-    return F.concat(
+    assembled = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -553,6 +558,7 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
     )
+    return F.when(scheme == "", u).otherwise(assembled)
 
 
 def url_dedup(

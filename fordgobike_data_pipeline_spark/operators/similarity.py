@@ -564,7 +564,14 @@ def append_to_ivf_index(
     assigned under the same centroids, and a silent refit would orphan
     every existing list. Refit+rebuild (build_ivf_index) when the
     embedding distribution drifts; run io.compact_table (partition-
-    preserving) when append files accumulate."""
+    preserving) when append files accumulate.
+
+    NOT idempotent under retry: a replayed append writes the batch's
+    rows twice (plain parquet append has no batch key — the list_id
+    directory level is already taken by the partition layout). Run it
+    under an orchestrator's exactly-once task contract, or dedup on
+    cand_id at query time; the streaming curation path shows the
+    batch_id-keyed alternative where replay safety matters."""
     spark = new_emb.sparkSession
     cent = spark.read.parquet(os.path.join(path, "centroids"))
     ids, m = _collect_centers(cent)

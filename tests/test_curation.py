@@ -355,6 +355,9 @@ def test_canonical_url_rules(spark):
         ("https://example.com/search?q=Hello&lang=en",
          "https://example.com/search?lang=en&q=Hello"),
         ("  https://example.com/x  ", "https://example.com/x"),
+        # no scheme: pass through trimmed, never mangled into '://...'
+        ("not a url at all", "not a url at all"),
+        ("  /relative/path?x=1  ", "/relative/path?x=1"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
     got = {r.i: r.c for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
