@@ -80,6 +80,7 @@ HEADLINE = [
     "q_strip_html",
     "q_bigram_lm",
     "q_dup_cluster_sizes",
+    "q_pack_ids",
 ]
 
 

@@ -518,3 +518,60 @@ def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         d, curation.strip_html(html).alias("clean_text")
     )
+
+
+@query(
+    "q_pack_ids",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), w -> CAST(length(w) AS INT)) AS ids
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, ids, len(ids) AS n_tok,
+               {_DUCK_BUCKET.format(key='doc_id', m=64)} AS pack_bucket
+        FROM d
+    ),
+    o AS (
+        SELECT doc_id, ids, pack_bucket,
+               CAST(coalesce(sum(n_tok) OVER (
+                   PARTITION BY pack_bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM b
+    ),
+    e AS (
+        SELECT pack_bucket, start_offset + i AS g, ids[i + 1] AS tid
+        FROM (SELECT *, unnest(range(len(ids))) AS i FROM o)
+    )
+    SELECT pack_bucket, CAST(g // 512 AS BIGINT) AS seq_idx,
+           CAST(count(*) AS INT) AS n_ids,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY g)) AS ids_md5
+    FROM e GROUP BY pack_bucket, seq_idx
+    """,
+)
+def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length packing of ACTUAL token-id streams
+    (curation.pack_token_ids, seq_len=512, 64 buckets): docs
+    concatenate per hash-bucket stream and straddle sequence
+    boundaries. Surrogate ids (per-token char lengths) keep the id
+    stream SQL-constructible; each packed sequence is adjudicated by
+    its md5-of-ids checksum + length (arrays stay atomic for the
+    driver's hasher)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_ids = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w).cast("int")
+        ).alias("token_ids"),
+    )
+    packed = curation.pack_token_ids(with_ids, seq_len=512, n_buckets=64)
+    return packed.select(
+        "pack_bucket",
+        "seq_idx",
+        F.col("n_ids").cast("int").alias("n_ids"),
+        F.md5(
+            F.concat_ws(",", F.transform("ids", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
+    )

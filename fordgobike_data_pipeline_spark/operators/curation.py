@@ -602,3 +602,78 @@ def strip_html(text: Column) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def pack_token_ids(
+    docs: DataFrame,
+    seq_len: int,
+    n_buckets: int = 1024,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Pack ACTUAL token-id streams into fixed-length training
+    sequences (the materializing sibling of :func:`pack_sequences`,
+    which only lays out counts): docs hash-route to ``n_buckets``
+    independent streams, concatenate in id order, and every
+    ``seq_len``-token window becomes one (pack_bucket, seq_idx, ids)
+    row — docs straddle sequence boundaries exactly as GPT-style
+    pretraining packs them.
+
+    Two shuffles: the per-bucket running-offset window (n_buckets
+    independent linear scans — no global sort), then the regroup onto
+    (bucket, seq_idx), whose collect_list is bounded by ``seq_len``
+    elements per group whatever the corpus size. ``pad_id`` pads each
+    bucket's final partial sequence up to ``seq_len`` (id-only padding;
+    emit the loss mask from ``n_ids`` downstream). Deterministic:
+    bucket, order, and packing are pure functions of the doc id."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n_tok = F.size(F.col(ids_col))
+    bucket = _hash_bucket(F.col(id_col), n_buckets)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        docs.select(F.col(id_col), F.col(ids_col), n_tok.alias("n_tok"), bucket.alias("pack_bucket"))
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"),
+        )
+    )
+    elems = offsets.select(
+        "pack_bucket",
+        F.col("start_offset"),
+        F.posexplode(ids_col).alias("pos", "tid"),
+    ).select(
+        "pack_bucket",
+        (F.col("start_offset") + F.col("pos")).alias("g"),
+        "tid",
+    )
+    seqs = (
+        elems.groupBy(
+            "pack_bucket", F.floor(F.col("g") / seq_len).cast("long").alias("seq_idx")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("tid")))),
+                lambda s: s["tid"],
+            ).alias("ids")
+        )
+    )
+    if pad_id is not None:
+        seqs = seqs.select(
+            "pack_bucket",
+            "seq_idx",
+            F.size("ids").alias("n_ids"),
+            F.concat(
+                "ids", F.array_repeat(F.lit(pad_id), seq_len - F.size("ids"))
+            ).alias("ids"),
+        )
+    else:
+        seqs = seqs.select(
+            "pack_bucket", "seq_idx", F.size("ids").alias("n_ids"), "ids"
+        )
+    return seqs

@@ -401,3 +401,42 @@ def test_strip_html_rules(spark):
     got = {r.i: r.c for r in df.select("i", strip_html(F.col("html")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_pack_token_ids_stream_continuity(spark):
+    """Per bucket, concatenating the packed sequences in seq order
+    must reproduce the bucket's doc-id-ordered token stream exactly;
+    every sequence except the bucket's last is exactly seq_len; with
+    pad_id the final sequence pads to seq_len while n_ids keeps the
+    real count."""
+    from fordgobike_data_pipeline_spark.operators.curation import (
+        _hash_bucket, pack_token_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, list(range(i * 100, i * 100 + 3 + (i % 4)))) for i in range(1, 40)],
+        "doc_id LONG, token_ids ARRAY<INT>",
+    )
+    packed = pack_token_ids(docs, seq_len=7, n_buckets=4).collect()
+    buckets = {r.doc_id: r.b for r in docs.select(
+        "doc_id", _hash_bucket(F.col("doc_id"), 4).alias("b")).collect()}
+    want_streams = {}
+    for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+        want_streams.setdefault(buckets[r.doc_id], []).extend(r.token_ids)
+    got_streams = {}
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r.pack_bucket, []).append(r)
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r.seq_idx)
+        for i, r in enumerate(rows):
+            assert r.n_ids == len(r.ids)
+            if i < len(rows) - 1:
+                assert r.n_ids == 7, r
+        got_streams[b] = [x for r in rows for x in r.ids]
+    assert got_streams == want_streams
+
+    padded = pack_token_ids(docs, seq_len=7, n_buckets=4, pad_id=-1).collect()
+    for r in padded:
+        assert len(r.ids) == 7
+        assert all(x == -1 for x in r.ids[r.n_ids:])
