@@ -81,6 +81,7 @@ HEADLINE = [
     "q_bigram_lm",
     "q_dup_cluster_sizes",
     "q_pack_ids",
+    "q_outlier_iqr",
 ]
 
 

@@ -123,3 +123,33 @@ def q_expect_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial. One hash aggregation + tiny crossJoin of 1-row aggs."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return quality.expect_unique(li, ["l_orderkey"])
+
+
+@query(
+    "q_outlier_iqr",
+    """
+    WITH q AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS q1,
+               round(quantile_cont(value, 0.75), 4) AS q3
+        FROM events GROUP BY event_type
+    ),
+    j AS (
+        SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, q1, q3, q3 - q1 AS iqr
+        FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type, q1, q3,
+           count(v) AS n_values,
+           count(*) FILTER (v < q1 - 1.5 * iqr OR v > q3 + 1.5 * iqr) AS n_outliers,
+           round(count(*) FILTER (v < q1 - 1.5 * iqr OR v > q3 + 1.5 * iqr)
+                 / count(v), 6) AS outlier_ratio
+    FROM j GROUP BY event_type, q1, q3
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type (the notebook's
+    manual outlier probes as an engine job): exact interpolated
+    quartiles rounded before the fences derive, so both engines draw
+    identical bounds; then one conditional-count pass."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return quality.iqr_outlier_census(ev, "value", "event_type")

@@ -84,3 +84,47 @@ def expect_unique(df: DataFrame, keys: list[str]) -> DataFrame:
         "n_rows_in_duplicates",
         (F.col("n_duplicate_keys") == 0).alias("ok"),
     )
+
+
+def iqr_outlier_census(
+    df: DataFrame, value_col: str, group_col: str, k: float = 1.5
+) -> DataFrame:
+    """Per-group Tukey-fence outlier census (the notebook's outlier
+    probes, cells 21-26, as a distributed check): values outside
+    [q1 − k·IQR, q3 + k·IQR] count as outliers. Quartiles are exact
+    interpolated percentiles rounded to 4dp BEFORE the fences are
+    derived, so any engine computes identical bounds. Two passes: one
+    per-group quartile aggregation (bounded — one row per group), one
+    conditional count after joining the bounds back (AQE broadcasts
+    the bounds table). At 100 TB swap percentile → approx_percentile
+    (t-digest, partial-aggregatable) — same flagged deviation as the
+    percentile harness query."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    q = df.groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(value_col, F.lit(0.75)), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - k * iqr
+    hi = F.col("q3") + k * iqr
+    out = (v < lo) | (v > hi)
+    return (
+        df.select(g, v.alias("_v"))
+        .join(q, group_col)
+        .groupBy(group_col, "q1", "q3")
+        .agg(
+            F.count("_v").alias("n_values"),
+            F.count(F.when((F.col("_v") < lo) | (F.col("_v") > hi), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            group_col,
+            "q1",
+            "q3",
+            "n_values",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_values"), 6).alias("outlier_ratio"),
+        )
+    )

@@ -88,3 +88,14 @@ def test_bm25_ranks_term_rich_short_docs_first(spark):
     assert out[1].score > out[2].score
     assert out[1].n_hits == 2 and out[2].n_hits == 1
     assert all(r.score > 0 for r in out.values())
+
+
+def test_iqr_outlier_census_planted(spark):
+    """A planted extreme value is the group's only Tukey outlier; a
+    tight uniform group reports zero."""
+    rows = [("a", float(v)) for v in range(1, 21)] + [("a", 1000.0)]
+    rows += [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "grp STRING, value DOUBLE")
+    got = {r.grp: r for r in quality.iqr_outlier_census(df, "value", "grp").collect()}
+    assert got["a"].n_outliers == 1 and got["a"].n_values == 21
+    assert got["b"].n_outliers == 0 and got["b"].outlier_ratio == 0.0
