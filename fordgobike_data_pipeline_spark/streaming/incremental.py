@@ -128,6 +128,7 @@ def stream_curate_documents(
     min_quality: float = 0.3,
     band_index_path: str | None = None,
     jaccard_threshold: float = 0.8,
+    metrics_path: str | None = None,
 ) -> None:
     """Streaming corpus ingestion with inline curation — the
     training-data ingest loop: each micro-batch of raw documents is
@@ -165,6 +166,7 @@ def stream_curate_documents(
         _curate_batch(
             batch, batch_id, accepted_path, index_path, min_quality,
             band_index_path=band_index_path, jaccard_threshold=jaccard_threshold,
+            metrics_path=metrics_path,
         )
 
     q = (
@@ -184,6 +186,7 @@ def _curate_batch(
     min_quality: float,
     band_index_path: str | None = None,
     jaccard_threshold: float = 0.8,
+    metrics_path: str | None = None,
 ) -> None:
     """One idempotent curation micro-batch (the foreachBatch body of
     :func:`stream_curate_documents`, module-level so replay semantics
@@ -200,7 +203,14 @@ def _curate_batch(
     the matched archive docs, so per-batch cost stays O(|batch| +
     probe) however big the accepted corpus grows. The band index is
     the third batch_id-partitioned sink, under the same idempotent
-    overwrite contract."""
+    overwrite contract.
+
+    ``metrics_path`` adds the observability sink: one tiny per-batch
+    accounting row (docs in, past quality, past dedup stages,
+    accepted) under the same batch_id-keyed overwrite contract —
+    replay rewrites, never double-counts. Alert on accepted/input
+    collapsing (upstream crawl regression) or the dedup share
+    spiking (a mirror flood) without scanning the corpus."""
     import os
 
     from ..operators import curation, dedup, text
@@ -228,8 +238,11 @@ def _curate_batch(
         )
     else:
         index = dedup.fingerprint_index(kept).limit(0)
+    n_in = batch.count()
+    n_quality = kept.count()
     fresh = dedup.incremental_exact_dedup(kept, index)
     fresh = fresh.localCheckpoint(eager=True)  # one pass, N sinks
+    n_exact = fresh.count()
     if band_index_path is not None:
         fresh = _near_dedup_batch(
             fresh, batch_id, accepted_path, band_index_path, jaccard_threshold
@@ -243,6 +256,14 @@ def _curate_batch(
     if band_index_path is not None:
         dedup.minhash_band_index(fresh).write.mode("overwrite").parquet(
             os.path.join(band_index_path, f"batch_id={batch_id}")
+        )
+    if metrics_path is not None:
+        spark = batch.sparkSession
+        row = [(n_in, n_quality, n_exact, fresh.count())]
+        spark.createDataFrame(
+            row, "n_in BIGINT, n_quality BIGINT, n_exact BIGINT, n_accepted BIGINT"
+        ).write.mode("overwrite").parquet(
+            os.path.join(metrics_path, f"batch_id={batch_id}")
         )
 
 

@@ -403,3 +403,26 @@ def test_curate_batch_near_dedup_replay_idempotent(spark, tmp_path):
     incremental._curate_batch(b1, 1, accepted, index, 0.3, band_index_path=band)
     assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == want
     assert spark.read.parquet(band).count() == n_band
+
+
+def test_curate_batch_metrics_sink(spark, tmp_path):
+    """The per-batch accounting row records the funnel (in → quality →
+    exact → accepted) and is replay-idempotent like the data sinks."""
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "index")
+    metrics = str(tmp_path / "metrics")
+    good = "the quick brown fox jumps over the lazy dog again and again " * 5
+
+    b0 = spark.createDataFrame(
+        [(1, "s1", good), (2, "s1", "!!! ??? !!!"), (3, "s1", good)],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    incremental._curate_batch(b0, 0, accepted, index, 0.3, metrics_path=metrics)
+    m = spark.read.parquet(metrics).collect()
+    assert len(m) == 1
+    r = m[0]
+    assert (r.n_in, r.n_quality, r.n_exact, r.n_accepted, r.batch_id) == (3, 2, 1, 1, 0)
+
+    # replay overwrites the same row, never double-counts
+    incremental._curate_batch(b0, 0, accepted, index, 0.3, metrics_path=metrics)
+    assert spark.read.parquet(metrics).count() == 1
