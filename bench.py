@@ -82,6 +82,7 @@ HEADLINE = [
     "q_dup_cluster_sizes",
     "q_pack_ids",
     "q_outlier_iqr",
+    "q_dedup_agreement",
 ]
 
 

@@ -1724,3 +1724,69 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup.connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+@query(
+    "q_dedup_agreement",
+    f"""
+    WITH {_mh_pairs_ctes()},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+    szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    ep AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM shc a JOIN shc b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ) o
+        JOIN szc sa ON sa.doc_id = o.id_a
+        JOIN szc sb ON sb.doc_id = o.id_b
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.8
+    ),
+    lp AS (SELECT id_a, id_b FROM mh_pairs),
+    agree AS (SELECT * FROM ep SEMI JOIN lp USING (id_a, id_b))
+    SELECT (SELECT count(*) FROM ep) AS n_exact,
+           (SELECT count(*) FROM lp) AS n_lsh,
+           (SELECT count(*) FROM agree) AS n_both,
+           round((SELECT count(*) FROM agree) / greatest((SELECT count(*) FROM ep), 1), 6)
+               AS lsh_recall,
+           round((SELECT count(*) FROM agree) / greatest((SELECT count(*) FROM lp), 1), 6)
+               AS lsh_precision
+    """,
+)
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement audit: exact shingle-Jaccard pairs vs the
+    MinHash-LSH pipeline on the same corpus and threshold — one row of
+    (n_exact, n_lsh, n_both, recall, precision). The verify step makes
+    LSH precision 1.0 by construction; recall is the banding loss the
+    audit is there to watch. Both pair sets are the already-adjudicated
+    constructions; the report is two tiny semi-join counts."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = dedup.token_shingles(docs, k=3)
+    exact = dedup.exact_jaccard_pairs(sh, threshold=0.8, max_shingle_freq=50).select(
+        "id_a", "id_b"
+    )
+    lsh = dedup.minhash_lsh_pairs(
+        docs, k=3, threshold=0.8, hash_fn="md5-parity"
+    ).select("id_a", "id_b")
+    exact = exact.localCheckpoint(eager=True)
+    lsh = lsh.localCheckpoint(eager=True)
+    both = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    n_e = exact.agg(F.count("*").alias("n_exact"))
+    n_l = lsh.agg(F.count("*").alias("n_lsh"))
+    n_b = both.agg(F.count("*").alias("n_both"))
+    return (
+        n_e.crossJoin(n_l)
+        .crossJoin(n_b)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_both",
+            F.round(F.col("n_both") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
+                "lsh_recall"
+            ),
+            F.round(F.col("n_both") / F.greatest(F.col("n_lsh"), F.lit(1)), 6).alias(
+                "lsh_precision"
+            ),
+        )
+    )
