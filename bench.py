@@ -83,6 +83,8 @@ HEADLINE = [
     "q_pack_ids",
     "q_outlier_iqr",
     "q_dedup_agreement",
+    "q_skew_count",
+    "q_salted_join",
 ]
 
 

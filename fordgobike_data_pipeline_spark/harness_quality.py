@@ -153,3 +153,54 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical bounds; then one conditional-count pass."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return quality.iqr_outlier_census(ev, "value", "event_type")
+
+
+@query(
+    "q_skew_count",
+    """
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def q_skew_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase count (functions/skew.two_phase_count, the
+    manual lever for hot keys AQE can't split): (key, salt) partial
+    counts then key totals. The oracle is the PLAIN group-by — the
+    adjudicated property is salt-invariance: whatever the
+    position-dependent salt assignment did, totals are identical."""
+    from .functions.skew import two_phase_count
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return two_phase_count(ev, ["event_type"], n_salt=32)
+
+
+@query(
+    "q_salted_join",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CASE event_type WHEN 'error' THEN 10 ELSE 1 END AS weight
+        FROM events
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(d.weight) AS BIGINT) AS total_weight
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (functions/skew.salted_join): the small
+    side carries every salt, big rows hash-split across salts, so a
+    hot join key fans over n_salt reducers. Oracle = the plain join —
+    adjudicates that salting never changes join semantics."""
+    from .functions.skew import salted_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    dim = ev.select("event_type").distinct().withColumn(
+        "weight",
+        F.when(F.col("event_type") == "error", F.lit(10)).otherwise(F.lit(1)),
+    )
+    joined = salted_join(ev.select("event_type"), dim, "event_type", n_salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
