@@ -542,13 +542,23 @@ def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     ),
     e AS (
-        SELECT pack_bucket, start_offset + i AS g, ids[i + 1] AS tid
+        SELECT pack_bucket, start_offset + i AS g, ids[i + 1] AS tid, i
         FROM (SELECT *, unnest(range(len(ids))) AS i FROM o)
+    ),
+    seqs AS (
+        SELECT pack_bucket, CAST(g // 512 AS BIGINT) AS seq_idx,
+               CAST(count(*) AS INT) AS n_ids,
+               md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY g)) AS ids_md5
+        FROM e GROUP BY pack_bucket, seq_idx
+    ),
+    st AS (
+        SELECT pack_bucket, CAST(g // 512 AS BIGINT) AS seq_idx,
+               md5(string_agg(CAST(g % 512 AS VARCHAR), ',' ORDER BY g)) AS starts_md5
+        FROM e WHERE i = 0 GROUP BY pack_bucket, seq_idx
     )
-    SELECT pack_bucket, CAST(g // 512 AS BIGINT) AS seq_idx,
-           CAST(count(*) AS INT) AS n_ids,
-           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY g)) AS ids_md5
-    FROM e GROUP BY pack_bucket, seq_idx
+    SELECT s.pack_bucket, s.seq_idx, s.n_ids, s.ids_md5,
+           coalesce(st.starts_md5, md5('')) AS starts_md5
+    FROM seqs s LEFT JOIN st USING (pack_bucket, seq_idx)
     """,
 )
 def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,8 +567,8 @@ def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenate per hash-bucket stream and straddle sequence
     boundaries. Surrogate ids (per-token char lengths) keep the id
     stream SQL-constructible; each packed sequence is adjudicated by
-    its md5-of-ids checksum + length (arrays stay atomic for the
-    driver's hasher)."""
+    its md5-of-ids checksum + length + md5 of its doc-boundary
+    positions (arrays stay atomic for the driver's hasher)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     with_ids = docs.select(
         "doc_id",
@@ -574,4 +584,7 @@ def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(",", F.transform("ids", lambda x: x.cast("string")))
         ).alias("ids_md5"),
+        F.md5(
+            F.concat_ws(",", F.transform("doc_starts", lambda x: x.cast("string")))
+        ).alias("starts_md5"),
     )

@@ -625,8 +625,11 @@ def pack_token_ids(
     (bucket, seq_idx), whose collect_list is bounded by ``seq_len``
     elements per group whatever the corpus size. ``pad_id`` pads each
     bucket's final partial sequence up to ``seq_len`` (id-only padding;
-    emit the loss mask from ``n_ids`` downstream). Deterministic:
-    bucket, order, and packing are pure functions of the doc id."""
+    emit the loss mask from ``n_ids`` downstream). ``doc_starts`` lists
+    the in-sequence positions where a NEW document begins (sorted;
+    empty when one doc spans the whole sequence) — what attention-mask
+    / loss-boundary generation consumes. Deterministic: bucket, order,
+    and packing are pure functions of the doc id."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     n_tok = F.size(F.col(ids_col))
@@ -651,16 +654,21 @@ def pack_token_ids(
         "pack_bucket",
         (F.col("start_offset") + F.col("pos")).alias("g"),
         "tid",
+        (F.col("pos") == 0).alias("is_start"),
+    )
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct(F.col("g"), F.col("tid"), F.col("is_start")))
     )
     seqs = (
         elems.groupBy(
             "pack_bucket", F.floor(F.col("g") / seq_len).cast("long").alias("seq_idx")
         )
         .agg(
+            F.transform(sorted_structs, lambda s: s["tid"]).alias("ids"),
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("tid")))),
-                lambda s: s["tid"],
-            ).alias("ids")
+                F.filter(sorted_structs, lambda s: s["is_start"]),
+                lambda s: F.pmod(s["g"], F.lit(seq_len)).cast("int"),
+            ).alias("doc_starts"),
         )
     )
     if pad_id is not None:
@@ -671,9 +679,10 @@ def pack_token_ids(
             F.concat(
                 "ids", F.array_repeat(F.lit(pad_id), seq_len - F.size("ids"))
             ).alias("ids"),
+            "doc_starts",
         )
     else:
         seqs = seqs.select(
-            "pack_bucket", "seq_idx", F.size("ids").alias("n_ids"), "ids"
+            "pack_bucket", "seq_idx", F.size("ids").alias("n_ids"), "ids", "doc_starts"
         )
     return seqs

@@ -440,3 +440,21 @@ def test_pack_token_ids_stream_continuity(spark):
     for r in padded:
         assert len(r.ids) == 7
         assert all(x == -1 for x in r.ids[r.n_ids:])
+
+    # doc_starts: reconstruct boundaries from the per-bucket streams —
+    # every doc's first token position within its sequence is listed,
+    # sorted, nothing else
+    starts_want = {}
+    offsets = {}
+    for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+        b = buckets[r.doc_id]
+        off = offsets.get(b, 0)
+        starts_want.setdefault((b, off // 7), []).append(off % 7)
+        offsets[b] = off + len(r.token_ids)
+    got_starts = {
+        (r.pack_bucket, r.seq_idx): list(r.doc_starts) for r in packed
+    }
+    for key, want in starts_want.items():
+        assert got_starts[key] == sorted(want), (key, got_starts[key], want)
+    for key, got in got_starts.items():
+        assert got == sorted(starts_want.get(key, [])), key
