@@ -85,6 +85,7 @@ HEADLINE = [
     "q_dedup_agreement",
     "q_skew_count",
     "q_salted_join",
+    "q_chat_flatten",
 ]
 
 

@@ -67,7 +67,7 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-4 priority. The window (first 50) = the 22 queries that have
+# Round-4 priority. The window (first 50) = the 23 queries that have
 # never had a driver row (this round's new operators), every query
 # whose oracle or implementation CHANGED this round (the newly-oracled
 # dedup/semantic/LSH/IVF/clean-corpus family — r3's entire no_oracle
@@ -77,11 +77,12 @@ def _ensure_extensions_loaded() -> None:
 # stalest r02-green queries. Deferred to r5: unchanged r02-green
 # entries listed at the tail comment.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (22): unigram-LM scoring, BM25, domain
+    # never driver-checked (23): unigram-LM scoring, BM25, domain
     # mixture, incremental near-dup probe, the four data-quality
     # checks, span dedup x2, URL dedup, PQ x2, Gopher rules, HTML
     # strip, bigram LM, cluster-size histogram, token-id packing,
-    # IQR outlier census, dedup-method agreement, salted count/join
+    # IQR outlier census, dedup-method agreement, salted count/join,
+    # chat flattening
     "q_lm_cross_entropy",
     "q_bm25",
     "q_domain_mixture",
@@ -104,6 +105,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_agreement",
     "q_skew_count",
     "q_salted_join",
+    "q_chat_flatten",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",
@@ -114,7 +116,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ann_lsh",
     "q_embed_pairs_lsh",
     "q_ann_ivf_seeded",
-    "q_ann_ivf",
     "q_quality_percentile",
     "q_remove_boilerplate",
     "q_negative_samples",
@@ -135,8 +136,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     # green in r02, rotated out of the r03 window — refresh (7)
     "q_join_left_composite",
-    # (deferred to r5, every one green at its latest driver check and
-    # unchanged since: q_join_role_playing, q_join_full_outer,
+    # (deferred to r5, every one green at its latest driver check:
+    # q_ann_ivf (rows-only probe, its oracle-mode twin q_ann_ivf_seeded
+    # stays in-window), q_join_role_playing, q_join_full_outer,
     # q_nearest_neighbor, q_anti_join, q_distinct_on, q_topk_routes, q_upsert_skip_conflict, q_decontaminate,
     # q_pack_sequences, q_dedup_exact, q_embed_cosine_pairs, q_ann_topk,
     # q_token_count, q_text_quality, q_winnow_fingerprint, q_tfidf,

@@ -588,3 +588,40 @@ def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("doc_starts", lambda x: x.cast("string")))
         ).alias("starts_md5"),
     )
+
+
+@query(
+    "q_chat_flatten",
+    """
+    WITH turns AS (
+        SELECT user_id, ts, event_id,
+               event_type || ': msg#' || CAST(event_id AS VARCHAR) AS line
+        FROM events
+    )
+    SELECT user_id AS conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           md5(string_agg(line, chr(10) ORDER BY ts, event_id)) AS transcript_md5
+    FROM turns GROUP BY user_id
+    """,
+)
+def q_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation flattening (curation.flatten_conversations): the
+    events table read as chat turns (conversation = user, role = event
+    type), reassembled into one newline-joined transcript per
+    conversation in (ts, id) order. Adjudicated by per-transcript md5
+    — ordering, separator placement, and turn count all pinned."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    turns = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.col("event_type"), F.lit(": msg#"), F.col("event_id").cast("string")
+        ).alias("line"),
+    )
+    out = curation.flatten_conversations(turns, "user_id", "ts", "line", "event_id")
+    return out.select(
+        F.col("conv_id"),
+        F.col("n_turns"),
+        F.md5("transcript").alias("transcript_md5"),
+    )

@@ -686,3 +686,31 @@ def pack_token_ids(
             "pack_bucket", "seq_idx", F.size("ids").alias("n_ids"), "ids", "doc_starts"
         )
     return seqs
+
+
+def flatten_conversations(
+    df: DataFrame,
+    conv_col: str,
+    ts_col: str,
+    line_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assemble per-conversation transcripts from a turns table — the
+    SFT-data prep step that turns event-shaped rows into one ordered
+    training document per conversation: (conv_id, n_turns, transcript)
+    with turns joined by newlines in (ts, id) order.
+
+    The caller renders each turn into ``line_col`` (role tags,
+    templating — pure projection); this operator only owns the
+    deterministic ordered reassembly. One groupBy(conversation);
+    the collect_list is bounded by conversation length (chat data is
+    thousands of turns at most, never corpus-scale per key), and the
+    array_sort-struct ordering avoids any window/sort stage."""
+    entry = F.struct(F.col(ts_col), F.col(id_col), F.col(line_col).alias("line"))
+    return df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count("*").alias("n_turns"),
+        F.concat_ws(
+            "\n",
+            F.transform(F.array_sort(F.collect_list(entry)), lambda s: s["line"]),
+        ).alias("transcript"),
+    )

@@ -458,3 +458,28 @@ def test_pack_token_ids_stream_continuity(spark):
         assert got_starts[key] == sorted(want), (key, got_starts[key], want)
     for key, got in got_starts.items():
         assert got == sorted(starts_want.get(key, [])), key
+
+
+def test_flatten_conversations_ordering(spark):
+    """Turns reassemble in (ts, id) order whatever the input order;
+    ties on ts break by id; single-turn conversations pass through."""
+    from datetime import datetime
+
+    from fordgobike_data_pipeline_spark.operators.curation import flatten_conversations
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    t2 = datetime(2024, 1, 1, 12, 5, 0)
+    rows = [
+        (1, t2, 3, "assistant: reply"),
+        (1, t, 2, "user: question"),
+        (1, t, 1, "system: setup"),   # same ts as id 2 — id breaks the tie
+        (2, t, 9, "user: solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv LONG, ts TIMESTAMP, turn_id LONG, line STRING")
+    got = {
+        r.conv_id: r
+        for r in flatten_conversations(df, "conv", "ts", "line", "turn_id").collect()
+    }
+    assert got[1].n_turns == 3
+    assert got[1].transcript == "system: setup\nuser: question\nassistant: reply"
+    assert got[2].transcript == "user: solo"
