@@ -117,38 +117,46 @@ def winnowing_fingerprints(
     share most fingerprints (local mutations only disturb nearby
     windows) — the plagiarism/near-dup index primitive.
 
-    Relational formulation: positions → substring k-grams → signed-64
-    hash → window-min over position → distinct. ``hash_fn``:
-    'xxhash64' (default — one JVM op per gram, the production path) or
-    'md5-parity' (the surrogate-key construction a SQL oracle can
-    reproduce bit-exactly; ~4× the per-gram cost).
-    """
-    from pyspark.sql import Window
+    Array formulation, ZERO shuffles: the per-doc gram-hash array and
+    its sliding minima are plain column transforms, and the per-doc
+    distinct is array_distinct — nothing ever leaves its input
+    partition. The former version shuffled every gram row through a
+    window-over-position exchange; local wall time is unchanged at
+    sf0.1 (per-gram hashing dominates either way — md5-parity hashes
+    ~780 grams/doc), but at cluster scale the operator is now
+    embarrassingly parallel with no exchange to skew or spill.
+    Trailing windows shorter than ``window`` still contribute their
+    min, matching the previous rows-between semantics and the oracle.
 
-    from ..functions import exprs as E
+    ``hash_fn``: 'xxhash64' (default — one JVM op per gram, the
+    production path) or 'md5-parity' (the surrogate-key construction a
+    SQL oracle can reproduce bit-exactly; ~4× the per-gram cost).
 
-    t = F.col(text_col)
-    n_pos = F.greatest(F.length(t) - k + 1, F.lit(1))
-    grams = docs.select(
-        F.col(id_col), F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"), t.alias("_t")
-    ).select(
-        id_col, "pos", F.col("_t").substr(F.col("pos"), F.lit(k)).alias("gram")
-    )
+    The hash array is materialized in its own projection before the
+    sliding-min transform: Catalyst re-evaluates non-lambda subtrees
+    inside a higher-order function once PER ELEMENT, so inlining the
+    O(n)-cost hash build into the min lambda would be O(n²) per doc
+    (the token_shingles / unit_normalize trap)."""
     if hash_fn == "md5-parity":
-        hv = F.conv(F.substring(F.md5("gram"), 1, 16), 16, -10).cast("long")
+        helem = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 16), 16, -10
+        ).cast("long")
     elif hash_fn == "xxhash64":
-        hv = F.xxhash64("gram")
+        helem = F.xxhash64
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5-parity', got {hash_fn!r}")
-    hashed = grams.select(id_col, "pos", hv.alias("hv"))
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
+    t = F.col(text_col)
+    n_pos = F.greatest(F.length(t) - k + 1, F.lit(1))
+    hv_arr = F.transform(
+        F.sequence(F.lit(1), n_pos), lambda p: helem(t.substr(p, F.lit(k)))
     )
-    return (
-        hashed.select(F.col(id_col), F.min("hv").over(w).alias("fingerprint"))
-        .distinct()
+    hashed = docs.select(F.col(id_col), hv_arr.alias("_hv"))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size("_hv") - 1),
+        lambda i: F.array_min(F.slice(F.col("_hv"), i + 1, window)),
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
 
 
