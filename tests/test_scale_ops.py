@@ -915,3 +915,63 @@ def test_bigram_lm_flags_shuffled_text(spark):
     tiny = spark.createDataFrame([(1, "word"), (2, "two words")], ["doc_id", "text"])
     out = {r.doc_id for r in text.bigram_cross_entropy(tiny).collect()}
     assert out == {2}
+
+
+def test_round4_operator_plan_shapes(spark):
+    """Physical-plan contracts for the round-4 operators: the cheap
+    gates (Gopher flags, HTML strip, winnowing) must be shuffle-free;
+    URL dedup exactly one exchange (the hash agg); span-dedup joins
+    must carry no forced broadcast hint (AQE decides — the dup-gram
+    set grows with the corpus); packing must reuse the bucket
+    partitioning (one exchange total)."""
+
+    import re
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    def n_nodes(plan, kind):
+        # formatted plans list each node twice (tree + detail) — count
+        # distinct numbered nodes
+        return len(set(re.findall(rf"\((\d+)\) {kind}\b", plan)))
+
+    from pyspark.sql import functions as FF
+
+    from fordgobike_data_pipeline_spark.operators import curation
+
+    docs = _docs(spark)
+    p = plan_of(text.gopher_quality_flags(docs))
+    assert "Exchange" not in p
+
+    p = plan_of(docs.select("doc_id", curation.strip_html(FF.col("text")).alias("t")))
+    assert "Exchange" not in p
+
+    p = plan_of(text.winnowing_fingerprints(docs))
+    assert "Exchange" not in p and "Window" not in p
+
+    with_url = docs.select(
+        "doc_id", FF.concat(FF.lit("https://x.com/"), FF.col("doc_id").cast("string")).alias("url")
+    )
+    p = plan_of(curation.url_dedup(with_url))
+    assert n_nodes(p, "Exchange") == 1
+
+    optimized = (
+        dedup.duplicated_span_stats(docs, k=5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ResolvedHint" not in optimized
+
+    with_ids = docs.select(
+        "doc_id",
+        FF.transform(FF.split("text", " "), lambda w: FF.length(w).cast("int")).alias(
+            "token_ids"
+        ),
+    )
+    p = plan_of(curation.pack_token_ids(with_ids, seq_len=128, n_buckets=8))
+    assert n_nodes(p, "Exchange") == 1 and "Window" in p
