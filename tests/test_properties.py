@@ -200,3 +200,67 @@ def test_bm25_monotone_in_term_frequency(spark, reps):
     n_docs, df = 3, 2
     idf_ceiling = math.log(1 + (n_docs - df + 0.5) / (df + 0.5)) * (1.2 + 1)
     assert all(s <= idf_ceiling + 1e-6 for s in out.values())
+
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~/?=&#%:", min_size=0, max_size=30
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https", "HTTP", "Https"]),
+            st.sampled_from(["www.Ex.com", "ex.com", "a-b.ORG:8080", "x.io:443"]),
+            _URL_CHARS,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_canonical_url_is_idempotent(spark, parts):
+    """canonical(canonical(u)) == canonical(u) for arbitrary scheme /
+    host / path-query tails — a second pass must find nothing left to
+    normalize (the property that makes re-running a crawl-dedup stage
+    safe)."""
+    from fordgobike_data_pipeline_spark.operators.curation import canonical_url
+
+    urls = [f"{s}://{h}/{tail}" for s, h, tail in parts]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "u"])
+    once = df.select("i", canonical_url(F.col("u")).alias("c1"))
+    twice = once.select("i", "c1", canonical_url(F.col("c1")).alias("c2")).collect()
+    for r in twice:
+        assert r.c2 == r.c1, (r.c1, r.c2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab <>/&;!pscript-=\"'\n\t")),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_strip_html_is_idempotent_and_tag_free(spark, texts):
+    """Stripping already-stripped text changes nothing, and no complete
+    <...> tag survives a pass — for arbitrary ENTITY-FREE tag soup
+    (the alphabet cannot spell &amp;/&lt;/…: entity decoding is
+    single-pass by design, so '&amp;lt;' decodes to the literal
+    '&lt;' the author wrote and WOULD decode again on a second pass —
+    the documented non-idempotent exception, pinned in
+    test_strip_html_rules)."""
+    import re
+
+    from fordgobike_data_pipeline_spark.operators.curation import strip_html
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    once = df.select("i", strip_html(F.col("t")).alias("s1"))
+    twice = once.select("i", "s1", strip_html(F.col("s1")).alias("s2")).collect()
+    for r in twice:
+        assert r.s2 == r.s1, (r.s1, r.s2)
+        assert not re.search(r"<[^<>]+>", r.s1), r.s1
