@@ -86,6 +86,7 @@ HEADLINE = [
     "q_skew_count",
     "q_salted_join",
     "q_chat_flatten",
+    "q_embed_dim_stats",
 ]
 
 

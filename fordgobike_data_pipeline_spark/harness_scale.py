@@ -1803,3 +1803,27 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_embed_dim_stats",
+    """
+    WITH d AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT CAST(pos AS INT) AS pos,
+           round(avg(x), 6) AS mean,
+           round(stddev_samp(x), 6) AS std,
+           round(min(x), 6) AS lo,
+           round(max(x), 6) AS hi
+    FROM d GROUP BY pos
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health: per-dimension mean/std/min/max — the
+    drift/collapse monitor a vector pipeline runs per ingest batch.
+    Bounded group key (= dim), partial aggregation map-side."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.embedding_dim_stats(emb)

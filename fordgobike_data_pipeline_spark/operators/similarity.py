@@ -1152,3 +1152,27 @@ def pq_adc_topk(
         F.col("e.cand_id").alias("cand_id"),
         F.col("e.approx_dist").alias("approx_dist"),
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension health stats for an embedding column — the
+    monitoring primitive that catches norm collapse, dead dimensions,
+    and scale drift between embedding-model versions before they
+    poison ANN recall: (pos, mean, std, lo, hi) per dimension.
+
+    One posexplode + one map-side-combinable aggregation on the
+    (bounded, = dim) position key. Values cast to double BEFORE
+    aggregating so engine parity holds at 6dp."""
+    return (
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.stddev("x"), 6).alias("std"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+    )
