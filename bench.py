@@ -87,6 +87,7 @@ HEADLINE = [
     "q_salted_join",
     "q_chat_flatten",
     "q_embed_dim_stats",
+    "q_source_drift",
 ]
 
 

@@ -67,7 +67,7 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-4 priority. The window (first 50) = the 24 queries that have
+# Round-4 priority. The window (first 50) = the 25 queries that have
 # never had a driver row (this round's new operators), every query
 # whose oracle or implementation CHANGED this round (the newly-oracled
 # dedup/semantic/LSH/IVF/clean-corpus family — r3's entire no_oracle
@@ -77,12 +77,12 @@ def _ensure_extensions_loaded() -> None:
 # stalest r02-green queries. Deferred to r5: unchanged r02-green
 # entries listed at the tail comment.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (24): unigram-LM scoring, BM25, domain
+    # never driver-checked (25): unigram-LM scoring, BM25, domain
     # mixture, incremental near-dup probe, the four data-quality
     # checks, span dedup x2, URL dedup, PQ x2, Gopher rules, HTML
     # strip, bigram LM, cluster-size histogram, token-id packing,
     # IQR outlier census, dedup-method agreement, salted count/join,
-    # chat flattening, embedding dim stats
+    # chat flattening, embedding dim stats, source centroid drift
     "q_lm_cross_entropy",
     "q_bm25",
     "q_domain_mixture",
@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_salted_join",
     "q_chat_flatten",
     "q_embed_dim_stats",
+    "q_source_drift",
     # changed/newly-oracled this round (16)
     "q_semantic_dedup",
     "q_semantic_keep",
@@ -123,9 +124,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ngram_jaccard",
     "q_containment_pairs",
     "q_agg_daily_summary",
-    # green only in r01 — two rounds stale (10; q_scan_csv_literal
-    # deferred to r5 with the other unchanged-green entries)
-    "q_string_funcs",
+    # green only in r01 — two rounds stale (9; q_scan_csv_literal and
+    # q_string_funcs deferred to r5 with the other unchanged-green
+    # entries)
     "q_date_arith",
     "q_pivot",
     "q_percentiles",

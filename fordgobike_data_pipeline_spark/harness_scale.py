@@ -1827,3 +1827,36 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded group key (= dim), partial aggregation map-side."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.embedding_dim_stats(emb)
+
+
+@query(
+    "q_source_drift",
+    """
+    WITH j AS (
+        SELECT d.source AS grp, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    el AS (
+        SELECT grp, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM j
+    ),
+    pg AS (SELECT grp, pos, sum(x) AS sx, count(*) AS n FROM el GROUP BY grp, pos),
+    gm AS (SELECT grp, pos, sx / n AS gmv, n FROM pg),
+    om AS (SELECT pos, sum(sx) / sum(n) AS omv FROM pg GROUP BY pos),
+    d2 AS (
+        SELECT grp, n, (gmv - omv) * (gmv - omv) AS d2
+        FROM gm JOIN om USING (pos)
+    )
+    SELECT grp AS source, CAST(max(n) AS BIGINT) AS n_docs,
+           round(sqrt(sum(d2)), 6) AS dist_to_global
+    FROM d2 GROUP BY grp
+    """,
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift from the corpus centroid —
+    the no-text-read forensics for mislabeled scrapes / spam farms.
+    Relational means over a bounded (group × dim) key; 6dp-rounded
+    euclidean distance (the repo's standard float-agg contract)."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    return similarity.source_centroid_drift(t["documents"], t["embeddings"])

@@ -1176,3 +1176,54 @@ def embedding_dim_stats(
             F.round(F.max("x"), 6).alias("hi"),
         )
     )
+
+
+def source_centroid_drift(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus forensics: per-group mean embedding vs the global mean —
+    (group, n_docs, dist_to_global). A group whose centroid sits far
+    from the corpus centroid is the classic smell of a mislabeled
+    scrape, a spam farm, or a language/domain mix-up, caught WITHOUT
+    reading any text.
+
+    Fully relational: one posexplode → per-(group, dim) mean
+    (map-side combinable, bounded key space = groups × dim), global
+    mean from the same table re-aggregated (weighted by group sizes),
+    then a squared-difference fold per group. No vector ever collects
+    to the driver."""
+    joined = docs.select(F.col(doc_id_col), F.col(group_col).alias("grp")).join(
+        emb.select(F.col(vec_id_col).alias(doc_id_col), F.col(vec_col)),
+        doc_id_col,
+    )
+    elems = joined.select(
+        "grp", F.posexplode(vec_col).alias("pos", "x")
+    ).select("grp", "pos", F.col("x").cast("double").alias("x"))
+    per_group = elems.groupBy("grp", "pos").agg(
+        F.sum("x").alias("sx"), F.count("*").alias("n")
+    )
+    grp_mean = per_group.select(
+        "grp", "pos", (F.col("sx") / F.col("n")).alias("gm"), "n"
+    )
+    global_mean = per_group.groupBy("pos").agg(
+        (F.sum("sx") / F.sum("n")).alias("om")
+    )
+    diffs = grp_mean.join(global_mean, "pos").select(
+        "grp",
+        "n",
+        ((F.col("gm") - F.col("om")) * (F.col("gm") - F.col("om"))).alias("d2"),
+        "pos",
+    )
+    return (
+        diffs.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.round(F.sqrt(F.sum("d2")), 6).alias("dist_to_global"),
+        )
+        .select(F.col("grp").alias(group_col), "n_docs", "dist_to_global")
+    )

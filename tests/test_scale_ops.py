@@ -975,3 +975,28 @@ def test_round4_operator_plan_shapes(spark):
     )
     p = plan_of(curation.pack_token_ids(with_ids, seq_len=128, n_buckets=8))
     assert n_nodes(p, "Exchange") == 1 and "Window" in p
+
+
+def test_source_centroid_drift_flags_planted_shift(spark):
+    """A group whose vectors are uniformly offset from the rest must
+    show the largest centroid distance; equal groups show ~0."""
+    import numpy as np
+
+    rng = [[float((i * 7 + d) % 5 - 2) for d in range(8)] for i in range(30)]
+    rows = []
+    for i, v in enumerate(rng):
+        grp = "shifted" if i < 10 else ("a" if i % 2 == 0 else "b")
+        vec = [x + (5.0 if grp == "shifted" else 0.0) for x in v]
+        rows.append((i, grp, i, vec))
+    docs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id LONG, source STRING"
+    )
+    emb = spark.createDataFrame(
+        [(r[2], r[3]) for r in rows], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    got = {
+        r.source: r.dist_to_global
+        for r in similarity.source_centroid_drift(docs, emb).collect()
+    }
+    assert got["shifted"] > got["a"] and got["shifted"] > got["b"]
+    assert got["shifted"] > 5.0  # 10/30 of mass offset by 5 per dim
