@@ -379,6 +379,71 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_seeded",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               array_to_string(regexp_extract_all(text, '\w+|[^\w\s]'), '') AS raw,
+               array_to_string(list_transform(
+                   regexp_extract_all(text, '\w+|[^\w\s]'),
+                   x -> replace(x, 'th', chr(1))), '') AS s
+        FROM documents
+    ),
+    alpha AS (
+        SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS BIGINT) AS tid
+        FROM (SELECT DISTINCT unnest(string_split(raw, '')) AS ch
+              FROM w WHERE raw != '')
+    ),
+    nc AS (SELECT count(*) AS c FROM alpha),
+    x AS (
+        SELECT doc_id, chs[i + 1] AS ch, i
+        FROM (SELECT doc_id, chs, unnest(range(len(chs))) AS i
+              FROM (SELECT doc_id, string_split(s, '') AS chs
+                    FROM w WHERE s != ''))
+    ),
+    ids AS (
+        SELECT x.doc_id, x.i,
+               CASE WHEN x.ch = chr(1) THEN (SELECT c FROM nc)
+                    ELSE a.tid END AS tid
+        FROM x LEFT JOIN alpha a ON x.ch = a.ch
+    ),
+    g AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+               md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i)) AS ids_md5
+        FROM ids GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(g.n_ids, 0) AS BIGINT) AS n_ids,
+           coalesce(g.ids_md5, md5('')) AS ids_md5
+    FROM documents d LEFT JOIN g USING (doc_id)
+    """,
+)
+def q_bpe_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of the BPE encode path with a SEEDED merge table
+    (the q_ann_ivf_seeded trick): one frozen merge ('t','h') instead
+    of corpus-trained ranks, so the id stream is SQL-constructible
+    while the Spark side runs the IDENTICAL production path —
+    bpe_vocab's distributed alphabet build, bpe_encode_ids' memoized
+    Arrow-batched encoder with its rank-driven merge loop, and the
+    symbol→id closure map. 'th' cannot self-overlap (t≠h), so the
+    greedy leftmost-lowest-rank merge is bit-equal to per-word
+    replace(word,'th',sentinel); the oracle maps the sentinel to id
+    |alphabet| (= bpe_vocab's id for merge rank 0). Each doc is
+    adjudicated by its id-array md5 + length (arrays stay atomic for
+    the driver's hasher, same convention as q_pack_ids)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = [("t", "h")]  # frozen seed — exercises a real merge
+    vocab = bpe.bpe_vocab(docs, merges)
+    enc = bpe.bpe_encode_ids(docs, merges, vocab)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_ids"),
+        F.md5(
+            F.concat_ws(",", F.transform("token_ids", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
+    )
+
+
+@query(
     "q_url_dedup",
     """
     WITH raw AS (

@@ -1455,6 +1455,56 @@ def q_dedup_incr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decontaminate_near",
+    f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+    corp AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    {_mh_bands_ctes('bench', 'a')},
+    {_mh_bands_ctes('corp', 'n')},
+    cand AS (
+        SELECT DISTINCT n.doc_id AS id_a, a.doc_id AS id_b
+        FROM bandsn n JOIN bandsa a ON n.band = a.band AND n.bucket = a.bucket
+    ),
+    shu AS (SELECT * FROM shn UNION ALL SELECT * FROM sha),
+    sz AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+    ov AS (
+        SELECT id_a, id_b, count(*) AS c
+        FROM cand
+        JOIN shu x ON x.doc_id = cand.id_a
+        JOIN shu y ON y.doc_id = cand.id_b AND y.shingle = x.shingle
+        GROUP BY id_a, id_b
+    ),
+    bad AS (
+        SELECT DISTINCT id_a AS doc_id
+        FROM ov
+        JOIN sz sa ON sa.doc_id = ov.id_a
+        JOIN sz sb ON sb.doc_id = ov.id_b
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.8
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination (curation.near_decontaminate):
+    drop corpus docs whose verified MinHash Jaccard vs any held-out doc
+    (source src0 = the eval suite) is ≥ 0.8 — the paraphrase-leakage
+    guard exact n-gram decontamination (q_decontaminate) misses. The
+    bench index is built once and the corpus probes it like a batch
+    probes the archive index; md5-parity hashes make the candidate set
+    SQL-reproducible end to end."""
+    from .operators import curation
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = docs.filter(F.col("source") != "src0")
+    clean = curation.near_decontaminate(
+        corpus, bench, threshold=0.8, hash_fn="md5-parity"
+    )
+    return clean.select("doc_id", "source")
+
+
+@query(
     "q_dedup_incremental",
     """
     WITH arch AS (SELECT * FROM documents WHERE source = 'src0'),

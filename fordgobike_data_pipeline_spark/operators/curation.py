@@ -162,6 +162,44 @@ def ngram_decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def near_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: drop corpus docs whose MinHash
+    Jaccard vs ANY benchmark doc is ≥ ``threshold`` — catches the
+    paraphrased / lightly-edited eval leakage that exact n-gram
+    matching (:func:`ngram_decontaminate`) misses. Returns surviving
+    corpus rows. Ids must be globally unique across both sets (the
+    verify step unions shingle tables keyed by id).
+
+    Shape at 100 TB: the benchmark's LSH band-bucket index is built
+    once (eval suites are tiny), then the corpus probes it exactly like
+    a daily batch probes the archive index (dedup.incremental_
+    minhash_pairs) — candidate generation is a bucket equi-join, exact
+    Jaccard verifies candidates only, and the final anti-join is on
+    the bounded contaminated-id set. No all-pairs product, and the
+    benchmark side is broadcast-sized for AQE."""
+    from .dedup import incremental_minhash_pairs, minhash_band_index
+
+    index = minhash_band_index(
+        benchmark, text_col, id_col, k, n_hashes, n_bands, hash_fn
+    )
+    pairs = incremental_minhash_pairs(
+        corpus, index, benchmark, text_col, id_col,
+        k, n_hashes, n_bands, threshold, hash_fn,
+    )
+    contaminated = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test split
 # ---------------------------------------------------------------------------
