@@ -67,87 +67,82 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-4 priority. The window (first 50) = the 25 queries that have
-# never had a driver row (this round's new operators), every query
-# whose oracle or implementation CHANGED this round (the newly-oracled
-# dedup/semantic/LSH/IVF/clean-corpus family — r3's entire no_oracle
-# set minus the genuinely non-SQL media/BPE ops — plus the three
-# reworked curation queries and the hash-cap-reworked jaccard pair),
-# the flagship, the 11 queries whose only green row is r01, and the
-# stalest r02-green queries. Deferred to r5: unchanged r02-green
-# entries listed at the tail comment.
+# Round-5 priority: re-certify the stalest official rows. The window
+# (first 50) = the 2 queries NEW this round (seeded BPE oracle twin,
+# near-dup decontamination), the 2 whose only green row is r01, all 31
+# whose latest official row is r02 (the round-4 deferred list — every
+# one green at its last driver check and locally mirror-green since,
+# including the 4 rows-only media/BPE probes), and the 15 stalest
+# r03-green entries (the §2.6 scalar-function family + three core
+# relational rows). Deferred to r6: the remaining r03-green entries
+# and everything certified in r04 (tail comment).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (25): unigram-LM scoring, BM25, domain
-    # mixture, incremental near-dup probe, the four data-quality
-    # checks, span dedup x2, URL dedup, PQ x2, Gopher rules, HTML
-    # strip, bigram LM, cluster-size histogram, token-id packing,
-    # IQR outlier census, dedup-method agreement, salted count/join,
-    # chat flattening, embedding dim stats, source centroid drift
-    "q_lm_cross_entropy",
-    "q_bm25",
-    "q_domain_mixture",
-    "q_dedup_incr_near",
-    "q_null_census",
-    "q_fk_integrity",
-    "q_range_check",
-    "q_expect_unique",
-    "q_dup_span_stats",
-    "q_remove_dup_spans",
-    "q_url_dedup",
-    "q_pq_encode",
-    "q_pq_adc",
-    "q_gopher_rules",
-    "q_strip_html",
-    "q_bigram_lm",
-    "q_dup_cluster_sizes",
-    "q_pack_ids",
-    "q_outlier_iqr",
-    "q_dedup_agreement",
-    "q_skew_count",
-    "q_salted_join",
-    "q_chat_flatten",
-    "q_embed_dim_stats",
-    "q_source_drift",
-    # changed/newly-oracled this round (16)
-    "q_semantic_dedup",
-    "q_semantic_keep",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_dedup_simhash",
-    "q_clean_corpus",
-    "q_ann_lsh",
-    "q_embed_pairs_lsh",
-    "q_ann_ivf_seeded",
-    "q_quality_percentile",
-    "q_remove_boilerplate",
-    "q_negative_samples",
-    "q_ngram_jaccard",
-    "q_containment_pairs",
-    "q_agg_daily_summary",
-    # green only in r01 — two rounds stale (9; q_scan_csv_literal and
-    # q_string_funcs deferred to r5 with the other unchanged-green
-    # entries)
-    "q_date_arith",
-    "q_pivot",
-    "q_percentiles",
-    "q_rollup",
-    "q_set_ops",
-    "q_having",
-    "q_window_lag_cumsum",
-    "q_cube",
-    "q_grouping_sets",
-    # green in r02, rotated out of the r03 window — refresh (7)
-    "q_join_left_composite",
-    # (deferred to r5, every one green at its latest driver check:
-    # q_ann_ivf (rows-only probe, its oracle-mode twin q_ann_ivf_seeded
-    # stays in-window), q_join_role_playing, q_join_full_outer,
-    # q_nearest_neighbor, q_anti_join, q_distinct_on, q_topk_routes, q_upsert_skip_conflict, q_decontaminate,
-    # q_pack_sequences, q_dedup_exact, q_embed_cosine_pairs, q_ann_topk,
-    # q_token_count, q_text_quality, q_winnow_fingerprint, q_tfidf,
-    # q_token_budget, q_dedup_incremental, q_normalize_text,
-    # q_pii_redact, q_repetition_ratio, q_domain_cap, q_train_split,
-    # q_text_stats, q_doc_fingerprint, q_multimodal_meta, q_frame_sample,
-    # q_bpe_token_count, q_image_features, q_resize_images)
+    # new this round (2): never driver-checked
+    "q_bpe_seeded",
+    "q_decontaminate_near",
+    # last official row r01 (2)
+    "q_scan_csv_literal",
+    "q_string_funcs",
+    # last official row r02 (31) — the round-4 deferred list
+    "q_join_role_playing",
+    "q_join_full_outer",
+    "q_nearest_neighbor",
+    "q_anti_join",
+    "q_distinct_on",
+    "q_topk_routes",
+    "q_upsert_skip_conflict",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_dedup_exact",
+    "q_embed_cosine_pairs",
+    "q_ann_topk",
+    "q_token_count",
+    "q_text_quality",
+    "q_winnow_fingerprint",
+    "q_tfidf",
+    "q_token_budget",
+    "q_dedup_incremental",
+    "q_normalize_text",
+    "q_pii_redact",
+    "q_repetition_ratio",
+    "q_domain_cap",
+    "q_train_split",
+    "q_text_stats",
+    "q_doc_fingerprint",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_ann_ivf",
+    "q_bpe_token_count",
+    "q_image_features",
+    "q_resize_images",
+    # last official row r03 (15): the §2.6 scalar family + core
+    # relational refreshers
+    "q_hash_key",
+    "q_weekend_flag",
+    "q_date_parts",
+    "q_date_names",
+    "q_smart_date_key",
+    "q_key_to_date",
+    "q_generate_series",
+    "q_round_minutes",
+    "q_string_concat",
+    "q_coalesce_defaults",
+    "q_nullif_sentinel",
+    "q_case_age_clean",
+    "q_join_inner",
+    "q_summary_stats",
+    "q_project_rename",
+    # (deferred to r6, every one green at its latest official check:
+    # the rest of the r03 window — q_agg_expr_key, q_agg_first,
+    # q_agg_max_dedup, q_agg_minmax_bounds, q_agg_null_audit,
+    # q_agg_routes, q_approx_sketches, q_asof_join, q_audio_features,
+    # q_char_entropy, q_chunk_docs, q_cross_join,
+    # q_deterministic_sample, q_filter_compound, q_filter_eq,
+    # q_filter_flag, q_filter_notnull, q_json_extract, q_lang_id,
+    # q_quantize_embed, q_random_projection, q_range_join,
+    # q_sessionize, q_top_ngrams, q_union_all_null, q_union_distinct,
+    # q_window_hopping, q_window_rownum, q_window_time_bucket —
+    # plus the entire r04-certified set)
 )
 
 
