@@ -146,6 +146,7 @@ def main() -> None:
     # JSON; exit 1 only under SPARK_GRAFT_BENCH_STRICT=1 so the
     # driver's JSON capture never breaks.
     regressions: dict[str, dict[str, float]] = {}
+    retimed: dict[str, float] = {}
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
     if os.path.exists(anchor_path) and sf == 0.1:
         with open(anchor_path) as f:
@@ -161,19 +162,24 @@ def main() -> None:
         # transient microVM noise (measured: identical code, same run
         # order, 0.8s vs 1.38s across suite runs). Before flagging,
         # re-time just the suspects — a real regression survives the
-        # retries, a noise spike doesn't.
+        # retries, a noise spike doesn't. The best-of-retries time goes
+        # in a SEPARATE `retimed` field: `queries` keeps the primary
+        # single-pass numbers, so totals stay homogeneous and a future
+        # anchor regenerated from this run isn't min-biased.
         for name in over_anchor():
+            best = timings[name]
             for _ in range(2):
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 materialize(queries[name](spark, SF_DIR))
-                timings[name] = round(
-                    min(timings[name], time.perf_counter() - t0), 3
-                )
+                best = min(best, time.perf_counter() - t0)
+            retimed[name] = round(best, 3)
         for name in over_anchor():
-            t = timings[name]
+            t = retimed.get(name, timings[name])
             base = anchor[name]
+            if t <= 1.5 * base:
+                continue  # noise spike — the retries cleared it
             regressions[name] = {"anchor": base, "now": t, "ratio": round(t / base, 2)}
         for name, r in regressions.items():
             print(
@@ -196,6 +202,7 @@ def main() -> None:
                 "aggregation": "min",
                 "pipeline_e2e": {"n_trips": n_trips, "sec": pipeline_sec},
                 "regressions_vs_anchor": regressions,
+                "retimed": retimed,
             }
         )
     )

@@ -212,7 +212,11 @@ def bpe_vocab(
     C+rank is the symbol produced by merge ``rank``. Every symbol
     :func:`bpe_encode` can emit is therefore covered: unmergeable
     symbols are base characters, merged symbols appear in rank order.
-    Bounded control data (|alphabet| + n_merges rows)."""
+    Two merges can concatenate to the same string (('a','bc') and
+    ('ab','c') both yield 'abc'); the table keeps one row per symbol —
+    the LOWEST token_id — so downstream symbol→id maps are
+    order-independent. Bounded control data (≤ |alphabet| + n_merges
+    rows)."""
     chars = (
         docs.select(
             F.explode(
@@ -230,7 +234,11 @@ def bpe_vocab(
     merged = [
         (len(base) + rank, left + right) for rank, (left, right) in enumerate(merges)
     ]
-    return spark.createDataFrame(base + merged, "token_id int, symbol string")
+    seen: dict[str, int] = {}
+    for tid, sym in base + merged:  # ascending id → first wins = min id
+        seen.setdefault(sym, tid)
+    rows = sorted((tid, sym) for sym, tid in seen.items())
+    return spark.createDataFrame(rows, "token_id int, symbol string")
 
 
 def bpe_encode_ids(
@@ -248,7 +256,10 @@ def bpe_encode_ids(
     rather than raising mid-job — count them downstream to decide
     whether the vocab needs refitting."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    sym_id = {r.symbol: r.token_id for r in vocab.collect()}
+    sym_id: dict[str, int] = {}
+    for r in vocab.collect():  # min-id wins, whatever the row order
+        if r.symbol not in sym_id or r.token_id < sym_id[r.symbol]:
+            sym_id[r.symbol] = r.token_id
     tok_re = re.compile(TOKEN_RE)
 
     @pandas_udf("array<int>")

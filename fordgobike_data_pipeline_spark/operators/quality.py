@@ -108,7 +108,6 @@ def iqr_outlier_census(
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - k * iqr
     hi = F.col("q3") + k * iqr
-    out = (v < lo) | (v > hi)
     return (
         df.select(g, v.alias("_v"))
         .join(q, group_col)

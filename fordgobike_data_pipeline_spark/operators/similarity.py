@@ -26,6 +26,7 @@ projection, and the gap widens with k.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -571,7 +572,19 @@ def append_to_ivf_index(
     directory level is already taken by the partition layout). Run it
     under an orchestrator's exactly-once task contract, or dedup on
     cand_id at query time; the streaming curation path shows the
-    batch_id-keyed alternative where replay safety matters."""
+    batch_id-keyed alternative where replay safety matters.
+
+    Reader visibility: the batch is staged to a side directory first,
+    then each finished part file is renamed into its list_id partition
+    — renames are atomic per file, so a concurrent query_ivf_index
+    never reads a HALF-WRITTEN file (the failure plain mode('append')
+    exposes: committed-but-incomplete parts during the write). A
+    reader racing the rename loop can still see a strict subset of the
+    batch's files — fence appends from queries (or re-run the query)
+    where cross-batch read-your-writes consistency matters."""
+    import time as _time
+    import uuid as _uuid
+
     spark = new_emb.sparkSession
     cent = spark.read.parquet(os.path.join(path, "centroids"))
     ids, m = _collect_centers(cent)
@@ -582,9 +595,26 @@ def append_to_ivf_index(
         nearest1(F.col(vec_col)).alias("list_id"),
         unit_normalize(F.col(vec_col)).alias("c_vec"),
     )
-    assign.write.mode("append").partitionBy("list_id").parquet(
-        os.path.join(path, "lists")
-    )
+    lists_dir = os.path.join(path, "lists")
+    staging = f"{lists_dir}._staging_{int(_time.time() * 1000)}"
+    assign.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    try:
+        batch_tag = _uuid.uuid4().hex[:12]
+        for part in sorted(os.listdir(staging)):
+            if not part.startswith("list_id="):
+                continue  # _SUCCESS etc.
+            dst_dir = os.path.join(lists_dir, part)
+            os.makedirs(dst_dir, exist_ok=True)
+            src_dir = os.path.join(staging, part)
+            for fname in sorted(os.listdir(src_dir)):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.rename(
+                    os.path.join(src_dir, fname),
+                    os.path.join(dst_dir, f"append-{batch_tag}-{fname}"),
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def query_ivf_index(

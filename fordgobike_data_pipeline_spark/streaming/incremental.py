@@ -238,8 +238,12 @@ def _curate_batch(
         )
     else:
         index = dedup.fingerprint_index(kept).limit(0)
-    n_in = batch.count()
-    n_quality = kept.count()
+    # funnel counts only when metrics are on: n_in/n_quality re-execute
+    # the normalize + score + semi-join chain, two extra jobs per
+    # micro-batch that a metrics-off deployment shouldn't pay
+    if metrics_path is not None:
+        n_in = batch.count()
+        n_quality = kept.count()
     fresh = dedup.incremental_exact_dedup(kept, index)
     fresh = fresh.localCheckpoint(eager=True)  # one pass, N sinks
     n_exact = fresh.count()

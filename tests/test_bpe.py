@@ -138,6 +138,24 @@ def test_bpe_encode_ids_roundtrip(spark):
     assert all(i >= 0 for r in bpe.bpe_encode_ids(docs, merges, vocab).collect() for i in r.token_ids)
 
 
+def test_bpe_vocab_dedupes_colliding_merge_symbols(spark):
+    """Two merge paths producing the same string (('a','bc') then
+    ('ab','c') would both yield 'abc') must collapse to ONE vocab row
+    keeping the lowest token_id, so symbol→id assignment is
+    order-independent."""
+    docs = _docs(spark, [(1, "abc abc")])
+    # hand-built colliding merges: both rank 1 and rank 2 produce "ab c"→"abc"
+    merges = [("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")]
+    vocab = bpe.bpe_vocab(docs, merges)
+    rows = vocab.collect()
+    syms = [r.symbol for r in rows]
+    assert len(syms) == len(set(syms)), "duplicate symbol rows in vocab"
+    n_base = sum(1 for r in rows if len(r.symbol) == 1)
+    abc = [r.token_id for r in rows if r.symbol == "abc"]
+    # 'abc' appears at ranks 1 and 3 → keep the lower id (n_base + 1)
+    assert abc == [n_base + 1]
+
+
 def test_bpe_encode_ids_unknown_symbol_maps_to_minus_one(spark):
     """A vocab fitted on a different corpus maps unseen symbols to -1
     instead of raising mid-job."""
