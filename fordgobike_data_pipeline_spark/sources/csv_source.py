@@ -45,6 +45,52 @@ def list_bucket_keys(
     return [base_url + k for k in keys if k.endswith(suffixes)]
 
 
+def _default_fetch(url: str) -> bytes:
+    """Default HTTP transport for bucket listing + file download
+    (get_data.py:30,53-55: plain GET, raise on HTTP error). Module-level
+    and injectable everywhere it's used, so tests run canned bytes."""
+    import requests
+
+    r = requests.get(url, timeout=30)
+    r.raise_for_status()
+    return r.content
+
+
+def download_and_extract(
+    raw_dir: str,
+    extracted_dir: str,
+    archive_dir: str,
+    base_url: str,
+    fetch_fn=None,
+) -> list[str]:
+    """S1+S2 end-to-end (get_data.py:40-90): list the bucket's data
+    keys, download each file whose name is NOT already in the archive
+    into ``raw_dir``, then run the idempotent extract→archive protocol
+    (:func:`discover_and_extract`). Returns the names processed this
+    run; a re-run after success downloads and processes nothing — the
+    archive directory IS the download ledger, exactly the reference's
+    idempotence contract (get_data.py:50-51).
+
+    ``fetch_fn(url) -> bytes`` is injected for tests (canned XML + file
+    payloads, no network); production uses the requests-backed default.
+    A failed download skips that file and continues (get_data.py:58-60)
+    so one bad object can't wedge the whole ingest."""
+    fetch = fetch_fn or _default_fetch
+    os.makedirs(raw_dir, exist_ok=True)
+    os.makedirs(archive_dir, exist_ok=True)
+    for url in list_bucket_keys(fetch, base_url):
+        filename = url.split("/")[-1]
+        if os.path.exists(os.path.join(archive_dir, filename)):
+            continue
+        try:
+            content = fetch(url)
+        except Exception:  # noqa: BLE001 — skip-and-continue (:58-60)
+            continue
+        with open(os.path.join(raw_dir, filename), "wb") as f:
+            f.write(content)
+    return discover_and_extract(raw_dir, extracted_dir, archive_dir)
+
+
 def discover_and_extract(raw_dir: str, extracted_dir: str, archive_dir: str) -> list[str]:
     """Driver-side idempotent unzip/copy (get_data.py:40-90): files in
     ``raw_dir`` are extracted/copied into ``extracted_dir`` then moved to

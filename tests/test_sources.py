@@ -10,7 +10,7 @@ import zipfile
 
 from pyspark.sql import functions as F
 
-from fordgobike_data_pipeline_spark.sources import csv_source, geocode
+from fordgobike_data_pipeline_spark.sources import csv_source, email_sink, geocode
 
 from . import fixtures
 
@@ -134,3 +134,260 @@ def test_geocode_error_rows_dropped(spark):
 
     got = geocode.enrich_locations(cand, flaky, min_interval=0.0).collect()
     assert all(r.latitude < 38 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# S8 — concrete HTTP reverse-geocode client (recorded fixture, no network)
+# ---------------------------------------------------------------------------
+
+# A recorded nominatim-style response (the shape get_locations.py:70-86
+# extracts from), trimmed to the consumed fields.
+_GEOCODE_FIXTURE = {
+    "place_id": 143081086,
+    "display_name": "Market Street, San Francisco, California, USA",
+    "address": {
+        "road": "Market Street",
+        "neighbourhood": "Financial District",
+        "suburb": "SoMa",
+        "city": "San Francisco",
+        "state": "California",
+        "postcode": "94105",
+        "country": "United States",
+    },
+}
+
+
+def _recording_transport(calls, payload=_GEOCODE_FIXTURE):
+    def http_get(url, params, headers, timeout):
+        calls.append({"url": url, "params": params, "headers": headers,
+                      "timeout": timeout})
+        return payload
+
+    return http_get
+
+
+def test_http_geocode_client_extracts_twelve_fields():
+    calls = []
+    client = geocode.HttpReverseGeocodeClient(
+        url="https://geocoder.example/reverse", host="geocoder.example",
+        api_keys=["k1"], min_interval=0.0, http_get=_recording_transport(calls),
+    )
+    out = client(37.7766, -122.4174)
+    assert out == {
+        "location_id": "143081086", "latitude": 37.7766, "longitude": -122.4174,
+        "display_name": "Market Street, San Francisco, California, USA",
+        "highway": None, "road": "Market Street",
+        "neighbourhood": "Financial District", "suburb": "SoMa",
+        "city": "San Francisco", "state": "California",
+        "postcode": "94105", "country": "United States",
+    }
+    # querystring + header shape matches get_locations.py:53-65
+    (call,) = calls
+    assert call["params"] == {
+        "lat": "37.7766", "lon": "-122.4174", "format": "json",
+        "addressdetails": "1", "accept-language": "en", "namedetails": "0",
+    }
+    assert call["headers"] == {
+        "x-rapidapi-host": "geocoder.example", "x-rapidapi-key": "k1",
+    }
+    assert call["timeout"] == 10.0
+
+
+def test_http_geocode_client_rotates_keys_per_request():
+    calls = []
+    client = geocode.HttpReverseGeocodeClient(
+        url="u", host="h", api_keys=["k1", "k2", "k3"],
+        min_interval=0.0, http_get=_recording_transport(calls),
+    )
+    for _ in range(5):
+        client(1.0, 2.0)
+    used = [c["headers"]["x-rapidapi-key"] for c in calls]
+    assert used == ["k1", "k2", "k3", "k1", "k2"]  # get_locations.py:120
+
+
+def test_http_geocode_client_enforces_min_interval():
+    import time as _t
+
+    client = geocode.HttpReverseGeocodeClient(
+        url="u", host="h", api_keys=["k"], min_interval=0.05,
+        http_get=_recording_transport([]),
+    )
+    t0 = _t.time()
+    client(1.0, 2.0)
+    client(1.0, 2.0)
+    client(1.0, 2.0)
+    assert _t.time() - t0 >= 0.10  # ≥min_interval between requests (:46-51)
+
+
+def test_http_geocode_client_maps_transport_failure_to_error_row():
+    def broken(url, params, headers, timeout):
+        raise OSError("connection refused")
+
+    client = geocode.HttpReverseGeocodeClient(
+        url="u", host="h", api_keys=["k"], min_interval=0.0, http_get=broken,
+    )
+    out = client(3.0, 4.0)
+    assert out == {"error": "connection refused", "lat": 3.0, "lon": 4.0}
+
+
+def test_http_geocode_client_from_env(monkeypatch):
+    monkeypatch.setenv("REVERSE_GEOCODE_API_URL", "https://geo.example/r")
+    monkeypatch.setenv("GEOCODE_API_HOST", "geo.example")
+    monkeypatch.setenv("GEOCODE_KEY_COUNT", "2")
+    monkeypatch.setenv("GEOCODE_API_KEY1", "a")
+    monkeypatch.setenv("GEOCODE_API_KEY2", "b")
+    client = geocode.HttpReverseGeocodeClient.from_env(
+        min_interval=0.0, http_get=_recording_transport([])
+    )
+    assert client.url == "https://geo.example/r"
+    assert client.host == "geo.example"
+    assert client.api_keys == ["a", "b"]
+
+
+def test_http_geocode_client_through_enrich_locations(spark):
+    """S8 end-to-end: the REAL client class (canned transport) rides
+    the mapInPandas enrichment; rows come back with fixture fields and
+    the error-row filter still applies."""
+    trips = fixtures.trips_df(spark)
+    cand = geocode.candidate_coordinates(trips, None)
+    client = geocode.HttpReverseGeocodeClient(
+        url="u", host="h", api_keys=["k1", "k2"], min_interval=0.0,
+        http_get=_recording_transport([]),
+    )
+    got = geocode.enrich_locations(cand, client, min_interval=0.0).collect()
+    assert len(got) == cand.count()
+    assert all(r.city == "San Francisco" for r in got)
+    assert all(r.location_id == "143081086" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 — bucket listing + download to landing (canned transport)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_fixture(tmp_path):
+    """A canned two-object bucket: one zip (containing a csv), one csv."""
+    inner = tmp_path / "inner-201802-data.csv"
+    _write_csv(inner, fixtures.make_trips(n=2))
+    zip_bytes_path = tmp_path / "payload.zip"
+    with zipfile.ZipFile(zip_bytes_path, "w") as zf:
+        zf.write(inner, arcname="201802-data.csv")
+    csv_path = tmp_path / "201803-data.csv"
+    _write_csv(csv_path, fixtures.make_trips(n=2))
+    listing = b"""<?xml version="1.0"?>
+    <ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+      <Contents><Key>201802-data.csv.zip</Key></Contents>
+      <Contents><Key>201803-data.csv</Key></Contents>
+      <Contents><Key>index.html</Key></Contents>
+    </ListBucketResult>"""
+    objects = {
+        "https://bucket/": listing,
+        "https://bucket/201802-data.csv.zip": zip_bytes_path.read_bytes(),
+        "https://bucket/201803-data.csv": csv_path.read_bytes(),
+    }
+    return objects
+
+
+def test_download_and_extract_end_to_end(tmp_path):
+    objects = _bucket_fixture(tmp_path)
+    fetches = []
+
+    def fetch(url):
+        fetches.append(url)
+        return objects[url]
+
+    raw = str(tmp_path / "raw")
+    extracted = str(tmp_path / "extracted")
+    archive = str(tmp_path / "archive")
+    processed = csv_source.download_and_extract(
+        raw, extracted, archive, "https://bucket/", fetch_fn=fetch
+    )
+    assert sorted(processed) == ["201802-data.csv.zip", "201803-data.csv"]
+    assert sorted(os.listdir(extracted)) == ["201802-data.csv", "201803-data.csv"]
+    # both objects archived, landing dir drained
+    assert sorted(os.listdir(archive)) == ["201802-data.csv.zip", "201803-data.csv"]
+    assert os.listdir(raw) == []
+    # idempotent: the archive is the download ledger (get_data.py:50-51)
+    n_fetches = len(fetches)
+    assert csv_source.download_and_extract(
+        raw, extracted, archive, "https://bucket/", fetch_fn=fetch
+    ) == []
+    assert len(fetches) == n_fetches + 1  # only the listing re-fetched
+
+
+def test_download_and_extract_skips_failed_download(tmp_path):
+    objects = _bucket_fixture(tmp_path)
+
+    def fetch(url):
+        if url.endswith(".zip"):
+            raise OSError("503")
+        return objects[url]
+
+    processed = csv_source.download_and_extract(
+        str(tmp_path / "raw"), str(tmp_path / "x"), str(tmp_path / "a"),
+        "https://bucket/", fetch_fn=fetch,
+    )
+    assert processed == ["201803-data.csv"]  # bad object skipped (:58-60)
+
+
+# ---------------------------------------------------------------------------
+# S9 — report email sink (fake webhook transport)
+# ---------------------------------------------------------------------------
+
+
+def test_send_report_posts_one_payload_per_receiver():
+    posts = []
+
+    def fake_post(url, payload, timeout):
+        posts.append((url, payload, timeout))
+        return {"status": "sent"}
+
+    results = email_sink.send_report_via_api(
+        "the report", "http://mailer/send",
+        receiver_emails=["a@x.test", "b@x.test"],
+        sender_email="pipeline@x.test", sender_name="Pipeline",
+        subject="Run report", http_post=fake_post,
+    )
+    assert results == [
+        ("a@x.test", True, "{'status': 'sent'}"),
+        ("b@x.test", True, "{'status': 'sent'}"),
+    ]
+    assert [p[1]["receiver_email"] for p in posts] == ["a@x.test", "b@x.test"]
+    # payload shape matches sender.py:23-29
+    assert posts[0][1] == {
+        "name": "Pipeline", "email": "pipeline@x.test", "subject": "Run report",
+        "message": "the report", "receiver_email": "a@x.test",
+    }
+    assert posts[0][2] == 10.0
+
+
+def test_send_report_failure_does_not_stop_remaining_receivers():
+    def flaky_post(url, payload, timeout):
+        if payload["receiver_email"] == "bad@x.test":
+            raise OSError("mailer down")
+        return {"ok": True}
+
+    results = email_sink.send_report_via_api(
+        "r", "http://mailer/send",
+        receiver_emails=["bad@x.test", "good@x.test"], http_post=flaky_post,
+    )
+    assert [(r[0], r[1]) for r in results] == [
+        ("bad@x.test", False), ("good@x.test", True),
+    ]
+    assert "mailer down" in results[0][2]
+
+
+def test_send_report_from_env(monkeypatch):
+    monkeypatch.setenv("RECEIVER_EMAILS", " a@x.test, , b@x.test ")
+    monkeypatch.setenv("SENDER_EMAIL", "s@x.test")
+    monkeypatch.setenv("EMAIL_NAME", "Bot")
+    monkeypatch.setenv("EMAIL_SUBJ", "Daily")
+    posts = []
+
+    def fake_post(url, payload, timeout):
+        posts.append(payload)
+        return {}
+
+    results = email_sink.send_report_from_env("m", "http://m/send", http_post=fake_post)
+    assert [r[0] for r in results] == ["a@x.test", "b@x.test"]  # blanks dropped
+    assert posts[0]["name"] == "Bot" and posts[0]["subject"] == "Daily"
