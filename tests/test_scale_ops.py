@@ -608,6 +608,19 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
     )
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
 
+    # ...and query_ivf_index's OWN plan (not just a hand-built scan)
+    # must carry the same partition filter on the lists read — the
+    # contract that keeps a probe O(probed lists), not O(index)
+    got_plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pruned_scans = [
+        seg[:200]
+        for seg in got_plan.split("PartitionFilters")[1:]
+        if "list_id" in seg[:200]
+    ]
+    assert pruned_scans, "query_ivf_index lists scan lost its partition filter"
+
 
 def test_char_entropy_known_values(spark):
     docs = spark.createDataFrame(
