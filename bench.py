@@ -88,6 +88,9 @@ HEADLINE = [
     "q_chat_flatten",
     "q_embed_dim_stats",
     "q_source_drift",
+    # round-5 additions
+    "q_decontaminate_near",
+    "q_bpe_seeded",
 ]
 
 
