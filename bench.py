@@ -17,7 +17,14 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# executor python workers unpickle pandas UDFs by importing the package;
+# when bench runs from a foreign cwd they need the repo on THEIR path
+# too (set before the JVM launches so workers inherit it)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO_ROOT, os.environ.get("PYTHONPATH")) if p
+)
 
 from fordgobike_data_pipeline_spark import harness  # noqa: E402
 from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402

@@ -56,7 +56,12 @@ def query(name: str, oracle: str | None = None):
 
 
 def _ensure_extensions_loaded() -> None:
-    from . import harness_curation, harness_quality, harness_scale  # noqa: F401  (register queries)
+    from . import (  # noqa: F401  (register queries)
+        harness_curation,
+        harness_quality,
+        harness_scale,
+        harness_warehouse,
+    )
 
 
 # The correctness driver adjudicates queries in dict order and records a

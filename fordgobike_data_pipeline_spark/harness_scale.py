@@ -479,6 +479,62 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6)
 
 
+@query(
+    "q_ann_recall",
+    f"""
+    WITH {_lsh_sgn_ctes()},
+    {_NORM_CTE},
+    q AS (SELECT vec_id, nv FROM n WHERE vec_id < 5),
+    ex AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_NDOT.format(a='q', b='c')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM q JOIN n c ON c.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    qb AS (SELECT vec_id, bucket FROM sgn WHERE vec_id < 5),
+    ap AS (
+        SELECT query_id, cand_id FROM (
+            SELECT cands.query_id, cands.cand_id,
+                   row_number() OVER (
+                       PARTITION BY cands.query_id
+                       ORDER BY round({_NDOT.format(a='nq', b='nc')}, 6) DESC,
+                                cands.cand_id) AS rank
+            FROM (
+                SELECT qb.vec_id AS query_id, c.vec_id AS cand_id
+                FROM qb JOIN sgn c ON c.bucket = qb.bucket AND c.vec_id != qb.vec_id
+            ) cands
+            JOIN n nq ON nq.vec_id = cands.query_id
+            JOIN n nc ON nc.vec_id = cands.cand_id
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS n
+        FROM ap a JOIN ex e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+        GROUP BY a.query_id
+    )
+    SELECT query_id,
+           CAST(coalesce(n, 0) AS INT) AS n_hits,
+           round(coalesce(n, 0) / 10.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits USING (query_id)
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN path against the exact scan — the
+    quality gauge every approximate index needs running alongside it.
+    Both paths are deterministic (seeded hyperplanes, rounded-cosine
+    tiebreaks), so the oracle reproduces the recall numbers exactly
+    rather than merely bounding them."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6)
+    return similarity.ann_recall_at_k(exact, approx, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1681,6 +1737,76 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_CODES[key] = codes
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64, n_subspaces=4)
+
+
+@query(
+    "q_ivfpq",
+    f"""
+    WITH {_NORM_CTE},
+    {_PQ_CTES},
+    cent AS (SELECT vec_id AS centroid_id, nv FROM n WHERE vec_id % 25 = 0),
+    cs AS (
+        SELECT n.vec_id, cent.centroid_id,
+               round({_NDOT.format(a='n', b='cent')}, 6) AS sim
+        FROM n CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id AS list_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM cs
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, centroid_id AS list_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM cs WHERE vec_id < 5
+        ) WHERE rn <= 3
+    ),
+    lut AS (
+        SELECT vec_id AS query_id, subspace, code_id,
+               CAST(round(dist * 1000000) AS BIGINT) AS ld6
+        FROM dists WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT l.query_id, b.vec_id AS cand_id,
+               round(sum(l.ld6) / 1000000.0, 6) AS approx_dist
+        FROM best b
+        JOIN assign a ON a.vec_id = b.vec_id
+        JOIN probes p ON p.list_id = a.list_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.subspace = b.subspace AND l.code_id = b.code_id
+        WHERE b.vec_id <> l.query_id
+        GROUP BY l.query_id, b.vec_id
+    ),
+    r AS (
+        SELECT query_id, cand_id, approx_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist, cand_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, approx_dist
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (oracle mode): coarse-quantizer list pruning composed
+    with fixed-point LUT-sum scoring — the FAISS ``IVFx,PQy`` shape. A
+    query touches nprobe/25ths of the corpus and every row it touches
+    is a 4-code tuple, not a 64-float vector; candidate generation is
+    the seeded-IVF inverted-list join, scoring the seeded-PQ integer
+    ADC, both already individually adjudicated (q_ann_ivf_seeded,
+    q_pq_adc) — this entry pins their composition."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_adc_topk(
+        emb, queries, cb, k=10, centroid_mod=25, nprobe=3,
+        kmeans_iters=0, exact_assign=True,
+    )
 
 
 @query(

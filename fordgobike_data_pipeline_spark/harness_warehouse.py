@@ -1,0 +1,146 @@
+"""Harness entries for the warehouse-lifecycle operators
+(operators/warehouse.py): SCD Type-2 history, incremental
+aggregate-merge MV maintenance, Z-order clustering keys, and
+bucket-pruned exact heavy hitters.
+
+These extend the reference's lifecycle model (current-state upserts +
+full MV recompute, silver_load.sql:240-262 / gold_ddl.sql:201-244)
+with the scale-grade equivalents; each is oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import query
+from .io import load_tables
+from .operators import warehouse
+
+
+@query(
+    "q_scd2",
+    """
+    WITH c AS (
+        SELECT o_custkey AS cust_id, o_orderstatus AS status,
+               o_orderpriority AS priority, o_orderdate AS ts,
+               o_orderkey AS tb
+        FROM orders
+    ),
+    l AS (
+        SELECT cust_id, status, priority, ts, tb,
+               row_number() OVER w AS rn,
+               lag(status) OVER w AS p_status,
+               lag(priority) OVER w AS p_priority
+        FROM c WINDOW w AS (PARTITION BY cust_id ORDER BY ts, tb)
+    ),
+    s AS (
+        SELECT * FROM l
+        WHERE rn = 1 OR status IS DISTINCT FROM p_status
+           OR priority IS DISTINCT FROM p_priority
+    ),
+    v AS (
+        SELECT cust_id, status, priority, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY cust_id ORDER BY ts, tb) AS valid_to
+        FROM s
+    )
+    SELECT cust_id, status, priority, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the orders change log: track
+    each customer's (status, priority) state as validity intervals.
+    Null-safe per-attribute change detection, deterministic same-day
+    tiebreak on the order key, one shuffle on the dimension key."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    changes = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    return warehouse.scd2_history(
+        changes, ["cust_id"], ["status", "priority"], "ts", ["tb"]
+    )
+
+
+@query(
+    "q_mv_merge",
+    """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month_id,
+           count(o_totalprice) AS n_rows,
+           round(sum(o_totalprice), 2) AS total,
+           round(sum(o_totalprice) / count(o_totalprice), 6) AS mean,
+           min(o_totalprice) AS vmin,
+           max(o_totalprice) AS vmax
+    FROM orders
+    GROUP BY month_id
+    """,
+)
+def q_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance: per-batch partial aggregates
+    (count/sum/min/max — the mergeable algebra; avg derived at merge
+    time) folded into the published monthly revenue MV. The oracle is
+    the DIRECT aggregation over all rows — passing pins the
+    partial-merge algebra as equivalent to full recompute, which is
+    what lets a 100 TB refresh touch only the new batch's partials.
+    Batches are simulated by o_orderkey % 4."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month_id"),
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("batch_id"),
+    )
+    partials = warehouse.aggregate_partials(
+        base, ["month_id"], "o_totalprice", "batch_id"
+    )
+    return warehouse.merge_aggregate_partials(partials, ["month_id"])
+
+
+@query(
+    "q_zorder",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {warehouse.zorder_key2_sql('l_partkey', 'l_suppkey', 16)} AS zval
+    FROM lineitem
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    the multi-dimension file-clustering layout, as 64 pure-codegen
+    shift/mask/or ops per row — no UDF, no shuffle. The write-side
+    layout (range-partition by zval → tight per-file min/max on both
+    dims) is exercised in tests/test_warehouse.py; this query
+    adjudicates the key itself bit-for-bit."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        warehouse.zorder_key2(F.col("l_partkey"), F.col("l_suppkey"), 16).alias(
+            "zval"
+        ),
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    """
+    SELECT user_id AS key, count(*) AS n_occurrences
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 70
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (users with ≥70 events) via two-phase
+    bucket pruning: count bounded hash buckets first, then exact-count
+    only keys in provably-qualifying buckets — the long tail never
+    shuffles. Oracle is the plain GROUP BY ... HAVING, pinning that the
+    pruning is lossless."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return warehouse.heavy_hitters(events, "user_id", min_count=70)

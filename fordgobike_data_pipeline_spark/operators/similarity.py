@@ -1257,3 +1257,160 @@ def source_centroid_drift(
         )
         .select(F.col("grp").alias(group_col), "n_docs", "dist_to_global")
     )
+
+
+def ann_recall_at_k(exact_topk: DataFrame, approx_topk: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact top-k —
+    the standard quality gauge for every sketch path here (LSH, IVF,
+    PQ). Both inputs are (query_id, rank, cand_id, ...) frames; output
+    is one row per query with hit count and recall fraction.
+
+    Joins are per-(query, candidate) — ``|queries|·k`` rows on both
+    sides, so the evaluation costs nothing at corpus scale; queries
+    missing entirely from the approximate result (empty bucket) still
+    appear, at recall 0."""
+    hits = approx_topk.select("query_id", "cand_id").join(
+        exact_topk.select("query_id", "cand_id"),
+        ["query_id", "cand_id"],
+        "left_semi",
+    )
+    per_q = exact_topk.select("query_id").distinct().join(
+        hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+        "query_id",
+        "left",
+    )
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return per_q.select(
+        "query_id",
+        n_hits.cast("int").alias("n_hits"),
+        F.round(n_hits / F.lit(k), 6).alias("recall_at_k"),
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    nprobe: int = 3,
+    kmeans_iters: int = 2,
+    centroids: DataFrame | None = None,
+    dim: int = 64,
+    n_subspaces: int = 4,
+    exact_assign: bool = False,
+    n_salt: int = 32,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer list pruning (IVF) composed with
+    LUT-sum scoring over codes (PQ ADC) — the production ANN-index
+    shape (FAISS ``IVFx,PQy``): a query touches ``nprobe/|centroids|``
+    of the corpus and the rows it touches are m-byte codes, not float
+    vectors. Candidate generation is the inverted-list equi-join from
+    :func:`ivf_ann_topk`; scoring is the fixed-point LUT sum from
+    :func:`pq_adc_topk`; each candidate lives in exactly one list, so
+    no dedup stage is needed between them.
+
+    ``exact_assign=True`` + ``kmeans_iters=0`` is ORACLE mode, same
+    convention as both parents: seeded centroids/codebooks and
+    relational argmin over 6dp-rounded distances make every stage —
+    list membership, probes, codes, ADC scores — SQL-reproducible.
+    Production mode uses the numpy projection for assignment and the
+    Arrow einsum encoder."""
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, id_col, vec_col, centroid_mod, kmeans_iters)
+    )
+    if exact_assign:
+        from pyspark.sql import Window
+
+        csim = F.round(dot(F.col("_nv"), F.col("cent_vec")), 6)
+        pick = F.struct((-F.col("_sim")).alias("ns"), F.col("centroid_id").alias("cid"))
+        assign = (
+            corpus.select(
+                F.col(id_col).alias("cand_id"),
+                unit_normalize(F.col(vec_col)).alias("_nv"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select("cand_id", "centroid_id", csim.alias("_sim"))
+            .groupBy("cand_id")
+            .agg(F.min_by("centroid_id", pick).alias("list_id"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_sim").desc(), F.col("centroid_id").asc()
+        )
+        probes = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                unit_normalize(F.col(vec_col)).alias("_nv"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select("query_id", "centroid_id", csim.alias("_sim"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", F.col("centroid_id").alias("list_id"))
+        )
+    else:
+        ids, m = _collect_centers(cent)
+        assign = corpus.select(
+            F.col(id_col).alias("cand_id"),
+            _nearest_centroid_udf(ids, m, nprobe=1)(F.col(vec_col)).alias("list_id"),
+        )
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                _nearest_centroid_udf(ids, m, nprobe=nprobe)(F.col(vec_col))
+            ).alias("list_id"),
+        )
+    codes = pq_encode(
+        corpus, codebooks, id_col, vec_col, dim, n_subspaces, exact_assign=exact_assign
+    ).select(F.col(id_col).alias("cand_id"), "subspace", "code_id")
+    # listed codes = the persisted IVF-PQ artifact (codes stored inside
+    # their inverted list); one equi-join at build time
+    listed = codes.join(assign, "cand_id")
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_subvector_slices(F.col(vec_col), dim, n_subspaces)).alias("s"),
+        )
+        .select(
+            "query_id",
+            F.col("s.subspace").alias("subspace"),
+            F.col("s.sub_vec").alias("sub_vec"),
+        )
+        .join(F.broadcast(codebooks), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code_id",
+            F.round(F.round(sq_l2(F.col("sub_vec"), F.col("code_vec")), 6) * 1e6)
+            .cast("long")
+            .alias("ld6"),
+        )
+    )
+    scored = (
+        listed.join(F.broadcast(probes), "list_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code_id"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("ld6") / 1e6, 6).alias("approx_dist"))
+    )
+    entry = F.struct(F.col("approx_dist"), F.col("cand_id"))
+    partial = (
+        scored.withColumn("salt", F.pmod(F.xxhash64("cand_id"), F.lit(n_salt)))
+        .groupBy("query_id", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
+    )
+    final = (
+        partial.select("query_id", F.explode("top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+    )
+    return final.select("query_id", F.posexplode("top").alias("pos", "e")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        F.col("e.approx_dist").alias("approx_dist"),
+    )

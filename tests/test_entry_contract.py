@@ -43,7 +43,10 @@ def test_oracle_sql_references_only_registered_views():
 
     allowed = set(TESTDATA_TABLES)
     for name, sql in entry_mod.oracle_sql().items():
-        froms = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE)
+        # (?<!DISTINCT\s) keeps `x IS DISTINCT FROM y` from reading as a relation
+        froms = re.findall(
+            r"(?:(?<!DISTINCT\s)FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE
+        )
         for t in froms:
             # CTE names and derived aliases are fine; only flag unknown
             # bare names that also aren't defined as CTEs in the query

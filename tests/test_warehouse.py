@@ -1,0 +1,211 @@
+"""Warehouse-lifecycle operators (operators/warehouse.py): SCD2
+semantics on crafted change logs, partial-merge == full-recompute,
+Z-order key correctness + file pruning, heavy-hitter pruning
+losslessness, and the IVF-PQ / recall evaluation pair."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fordgobike_data_pipeline_spark.io import load_tables
+from fordgobike_data_pipeline_spark.operators import similarity, warehouse
+
+from .conftest import SF_SMOKE
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2020, 1, day)
+
+
+def test_scd2_change_detection_null_safe(spark):
+    """Versions open on any attribute change including NULL→value and
+    value→NULL; unchanged rows collapse into the open version."""
+    rows = [
+        ("a", "x", _ts(1), 1),
+        ("a", "x", _ts(2), 2),   # no change — collapsed
+        ("a", "y", _ts(3), 3),   # change
+        ("a", None, _ts(4), 4),  # value→NULL opens a version
+        ("a", None, _ts(5), 5),  # NULL→NULL is no change
+        ("a", "y", _ts(6), 6),   # NULL→value opens a version
+        ("b", None, _ts(1), 7),  # first row with NULL attr
+    ]
+    df = spark.createDataFrame(rows, "key string, attr string, ts timestamp, tb int")
+    hist = warehouse.scd2_history(df, ["key"], ["attr"], "ts", ["tb"]).collect()
+    a = sorted(
+        [(r.attr, r.valid_from, r.valid_to, r.is_current) for r in hist if r.key == "a"],
+        key=lambda t: t[1],
+    )
+    assert a == [
+        ("x", _ts(1), _ts(3), False),
+        ("y", _ts(3), _ts(4), False),
+        (None, _ts(4), _ts(6), False),
+        ("y", _ts(6), None, True),
+    ]
+    b = [(r.attr, r.is_current) for r in hist if r.key == "b"]
+    assert b == [(None, True)]
+
+
+def test_scd2_same_ts_tiebreak_deterministic(spark):
+    """Two changes at the same timestamp order by the tiebreak column,
+    so reruns produce identical histories."""
+    rows = [("k", "v1", _ts(1), 10), ("k", "v2", _ts(1), 20)]
+    df = spark.createDataFrame(rows, "key string, attr string, ts timestamp, tb int")
+    out1 = warehouse.scd2_history(df, ["key"], ["attr"], "ts", ["tb"])
+    got = sorted([(r.attr, r.is_current) for r in out1.collect()])
+    assert got == [("v1", False), ("v2", True)]
+
+
+def test_scd2_intervals_tile(spark):
+    """On real data: per key exactly one current row, and each
+    valid_to equals the next version's valid_from (no gaps/overlaps)."""
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    changes = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderstatus").alias("attr"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    hist = warehouse.scd2_history(changes, ["key"], ["attr"], "ts", ["tb"])
+    per_key = hist.groupBy("key").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.count("*").alias("n_versions"),
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    # interval chaining: every non-current valid_to opens the next row
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("valid_from")
+    chained = hist.withColumn("next_from", F.lead("valid_from").over(w))
+    bad = chained.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert bad.count() == 0
+
+
+def test_mv_merge_equals_full_recompute_incrementally(spark):
+    """Folding a NEW batch's partials into previously-merged state must
+    equal the direct aggregation over all rows — the MV-refresh
+    algebra."""
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    base = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("k"),
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).alias("batch_id"),
+    )
+    old = warehouse.aggregate_partials(
+        base.filter("batch_id < 2"), ["k"], "o_totalprice", "batch_id"
+    )
+    new = warehouse.aggregate_partials(
+        base.filter("batch_id = 2"), ["k"], "o_totalprice", "batch_id"
+    )
+    merged = warehouse.merge_aggregate_partials(old.unionByName(new), ["k"])
+    direct = (
+        base.groupBy("k")
+        .agg(
+            F.count("o_totalprice").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum("o_totalprice") / F.count("o_totalprice"), 6).alias("mean"),
+            F.min("o_totalprice").alias("vmin"),
+            F.max("o_totalprice").alias("vmax"),
+        )
+    )
+    m = {r.k: (r.n_rows, r.total, r.mean, r.vmin, r.vmax) for r in merged.collect()}
+    d = {r.k: (r.n_rows, r.total, r.mean, r.vmin, r.vmax) for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k][0] == d[k][0] and m[k][3] == d[k][3] and m[k][4] == d[k][4]
+        assert abs(m[k][1] - d[k][1]) < 0.02  # sum order differs pre-round
+        assert abs(m[k][2] - d[k][2]) < 1e-5
+
+
+def _py_morton(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (1234, 4321)]
+    df = spark.createDataFrame(cases, "a long, b long").select(
+        "a", "b", warehouse.zorder_key2(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _py_morton(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_write_prunes_files(spark, tmp_path):
+    """Z-ordered layout confines a 2-D box predicate to a subset of
+    files; a hash-scattered layout smears it across all of them."""
+    li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
+    n_files = 8
+    zpath = str(tmp_path / "z")
+    hpath = str(tmp_path / "h")
+    warehouse.zorder_write(li, zpath, "l_partkey", "l_suppkey", n_files)
+    li.repartition(n_files).write.mode("overwrite").parquet(hpath)
+    # ~1/8 × ~1/4 of each key range (keys span 0..199 / 0..9 at sf0.001)
+    box = "l_partkey < 25 AND l_suppkey < 3"
+
+    def files_touched(path: str) -> int:
+        hit = (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        return hit
+
+    z_hit, h_hit = files_touched(zpath), files_touched(hpath)
+    assert h_hit == n_files  # scattered layout: every file has box rows
+    assert z_hit <= n_files // 2  # clustered: the box lives in few files
+
+
+def test_heavy_hitters_pruning_is_lossless(spark):
+    """Bucket pruning must not change the answer, even with heavy
+    collision pressure (tiny bucket table)."""
+    events = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    direct = {
+        (r.user_id, r["count"])
+        for r in events.groupBy("user_id").count().filter("count >= 60").collect()
+    }
+    for n_buckets in (16, 1 << 14):
+        got = {
+            (r.key, r.n_occurrences)
+            for r in warehouse.heavy_hitters(
+                events, "user_id", 60, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == direct, n_buckets
+
+
+def test_ivfpq_production_matches_oracle_mode(spark):
+    """The numpy-assignment + einsum-encode production path must return
+    the same ranked lists as the relational exact_assign oracle path
+    (seeded quantizers on both sides)."""
+    emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=10, centroid_mod=25, nprobe=3, kmeans_iters=0)
+    oracle = similarity.ivfpq_adc_topk(emb, queries, cb, exact_assign=True, **kw)
+    prod = similarity.ivfpq_adc_topk(emb, queries, cb, exact_assign=False, **kw)
+    o = {(r.query_id, r.rank, r.cand_id) for r in oracle.collect()}
+    p = {(r.query_id, r.rank, r.cand_id) for r in prod.collect()}
+    assert o == p
+
+
+def test_ann_recall_bounds_and_exact_self_recall(spark):
+    """recall(exact, exact) = 1.0 per query; recall of the LSH path is
+    in [0, 1] and counts only true top-k members."""
+    emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    self_recall = similarity.ann_recall_at_k(exact, exact, k=10).collect()
+    assert {r.recall_at_k for r in self_recall} == {1.0}
+    approx = similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6)
+    rec = similarity.ann_recall_at_k(exact, approx, k=10).collect()
+    assert len(rec) == 5
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rec)

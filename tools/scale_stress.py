@@ -1,9 +1,19 @@
 """Stress the scale operators beyond the provided scale factors by
 replicating the sf0.1 corpus N× (id-offset copies — deliberately
 creates cross-copy exact/near duplicates, which is exactly the dedup
-workload). Prints per-operator wall times.
+workload). Prints per-operator wall times and task-skew stats, and
+(optionally) writes one JSON record per operator for SCALE.md.
 
     python tools/scale_stress.py [replication]
+    SCALE_STRESS_JSON=/tmp/stress10.json python tools/scale_stress.py 10
+
+Skew measurement: the session writes a Spark event log; each operator
+runs under its own job group, so after `spark.stop()` the log maps
+stages → operators and TaskEnd events give per-task executor run
+times. Reported skew is max/median run time of the operator's worst
+qualifying stage (≥8 tasks and ≥100 ms median — sub-100 ms stages are
+scheduler noise where a 6× "skew" is 30 ms of JIT warmup, not a hot
+partition).
 
 Interpretation note: on this workload every doc has N-1 identical
 copies, so EXACT pairwise metrics (containment_pairs, and
@@ -17,8 +27,10 @@ survivor per group without materializing all pairs."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,6 +41,9 @@ from fordgobike_data_pipeline_spark.operators import dedup, similarity, text  # 
 from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+MIN_TASKS = 8  # stages below this can't exhibit partition skew
+MIN_MEDIAN_MS = 100  # ignore scheduler-noise stages
 
 
 def replicate(df, id_col, n):
@@ -41,15 +56,87 @@ def replicate(df, id_col, n):
     return out
 
 
-def timed(name, df):
+RESULTS: list[dict] = []
+
+
+def timed(spark, name, df):
+    sc = spark.sparkContext
+    sc.setJobGroup(name, name)
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    print(f"  {name:<24} {time.perf_counter() - t0:>7.2f}s")
+    wall = time.perf_counter() - t0
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    print(f"  {name:<24} {wall:>7.2f}s")
+    RESULTS.append({"op": name, "wall_sec": round(wall, 3)})
+
+
+def parse_event_log(evdir: str) -> None:
+    """Attach per-op task-skew stats to RESULTS from the event log."""
+    files = [
+        os.path.join(evdir, f)
+        for f in os.listdir(evdir)
+        if not f.startswith(".") and not f.endswith(".inprogress.crc")
+    ]
+    stage_group: dict[int, str] = {}
+    stage_tasks: dict[int, list[float]] = {}
+    for path in files:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                    if group:
+                        for si in ev.get("Stage Infos", []):
+                            stage_group[si["Stage ID"]] = group
+                elif kind == "SparkListenerTaskEnd":
+                    metrics = ev.get("Task Metrics") or {}
+                    run_ms = metrics.get("Executor Run Time")
+                    if run_ms is not None:
+                        stage_tasks.setdefault(ev["Stage ID"], []).append(float(run_ms))
+    by_op: dict[str, list[dict]] = {}
+    for sid, times in stage_tasks.items():
+        op = stage_group.get(sid)
+        if op is None or len(times) < MIN_TASKS:
+            continue
+        times.sort()
+        med = times[len(times) // 2]
+        if med < MIN_MEDIAN_MS:
+            continue
+        by_op.setdefault(op, []).append(
+            {
+                "stage": sid,
+                "tasks": len(times),
+                "median_ms": round(med, 1),
+                "max_ms": round(times[-1], 1),
+                "skew": round(times[-1] / med, 2) if med else None,
+            }
+        )
+    for rec in RESULTS:
+        stages = by_op.get(rec["op"], [])
+        if stages:
+            worst = max(stages, key=lambda s: s["skew"])
+            rec["n_stages_measured"] = len(stages)
+            rec["worst_skew"] = worst["skew"]
+            rec["worst_stage"] = worst
+        else:
+            rec["n_stages_measured"] = 0
+            rec["worst_skew"] = None
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    spark = get_spark(app_name="scale-stress")
+    evdir = tempfile.mkdtemp(prefix="stress_evlog_")
+    spark = get_spark(
+        app_name=f"scale-stress-{n}x",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs = replicate(
         spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text"),
@@ -63,38 +150,59 @@ def main() -> None:
     )
     n_docs, n_vecs = docs.count(), emb.count()
     print(f"stress at {n}x sf0.1: {n_docs} docs, {n_vecs} vectors")
-    timed("exact_dedup", dedup.exact_dedup(docs, ["text"]))
-    timed("minhash_lsh_pairs", dedup.minhash_lsh_pairs(docs, threshold=0.8))
-    timed("simhash_pairs", dedup.simhash_pairs(docs, max_hamming=3))
-    timed("winnow(xxhash64)", text.winnowing_fingerprints(docs))
-    timed("tfidf_top_terms", text.tf_idf_top_terms(docs))
-    timed("cosine_pairs_lsh", similarity.cosine_pairs_lsh(emb, threshold=0.9, n_planes=10))
+    timed(spark, "exact_dedup", dedup.exact_dedup(docs, ["text"]))
+    timed(spark, "minhash_lsh_pairs", dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    timed(spark, "simhash_pairs", dedup.simhash_pairs(docs, max_hamming=3))
+    timed(spark, "winnow(xxhash64)", text.winnowing_fingerprints(docs))
+    timed(spark, "tfidf_top_terms", text.tf_idf_top_terms(docs))
+    timed(
+        spark,
+        "cosine_pairs_lsh",
+        similarity.cosine_pairs_lsh(emb, threshold=0.9, n_planes=10),
+    )
     queries = emb.filter(F.col("vec_id") < 5)
-    timed("lsh_ann_topk(mp=1)", similarity.lsh_ann_topk(emb, queries, n_planes=8, multiprobe=1))
+    timed(
+        spark,
+        "lsh_ann_topk(mp=1)",
+        similarity.lsh_ann_topk(emb, queries, n_planes=8, multiprobe=1),
+    )
     # round-3 operators
     from fordgobike_data_pipeline_spark.operators import curation  # noqa: E402
 
     sh = dedup.token_shingles(docs, k=3)
-    timed("containment_pairs", dedup.containment_pairs(sh, threshold=0.9, max_shingle_freq=50 * n))
-    timed("top_ngrams", text.top_ngrams(docs, n=2, k=20))
     timed(
+        spark,
+        "containment_pairs",
+        dedup.containment_pairs(sh, threshold=0.9, max_shingle_freq=50 * n),
+    )
+    timed(spark, "top_ngrams", text.top_ngrams(docs, n=2, k=20))
+    timed(
+        spark,
         "semantic_dedup_pairs",
         similarity.semantic_dedup_pairs(emb, threshold=0.95, centroid_mod=200),
     )
-    timed("chunk_documents", curation.chunk_documents(docs, chunk_tokens=128, stride=64))
+    timed(
+        spark,
+        "chunk_documents",
+        curation.chunk_documents(docs, chunk_tokens=128, stride=64),
+    )
     # scale B with the corpus (constant per-bucket size) — the sizing
     # rule negative_samples documents; fixed B goes quadratic
-    timed("negative_samples", curation.negative_samples(docs, k=4, n_buckets=256 * n))
+    timed(
+        spark,
+        "negative_samples",
+        curation.negative_samples(docs, k=4, n_buckets=256 * n),
+    )
     # round-4 operators: span dedup is Θ(tokens) whatever the dup rate
     # (replication multiplies FLAGGED tokens, not candidate pairs); PQ
     # encode is one einsum pass; ADC joins 8-byte codes against a
     # bounded LUT; URL dedup is one hash agg
-    timed("dup_span_stats", dedup.duplicated_span_stats(docs, k=5))
-    timed("remove_dup_spans", dedup.remove_duplicated_spans(docs, k=5))
+    timed(spark, "dup_span_stats", dedup.duplicated_span_stats(docs, k=5))
+    timed(spark, "remove_dup_spans", dedup.remove_duplicated_spans(docs, k=5))
     cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40 * n, n_iter=1)
-    timed("pq_encode(einsum)", similarity.pq_encode(emb, cb, dim=64))
+    timed(spark, "pq_encode(einsum)", similarity.pq_encode(emb, cb, dim=64))
     codes = similarity.pq_encode(emb, cb, dim=64).localCheckpoint(eager=True)
-    timed("pq_adc_topk", similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64))
+    timed(spark, "pq_adc_topk", similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64))
     with_url = docs.select(
         "doc_id",
         F.concat(
@@ -103,9 +211,23 @@ def main() -> None:
             F.lit("?utm_source=x&id=1"),
         ).alias("url"),
     )
-    timed("url_dedup", curation.url_dedup(with_url))
-    timed("bigram_cross_entropy", text.bigram_cross_entropy(docs))
-    timed("gopher_quality_flags", text.gopher_quality_flags(docs))
+    timed(spark, "url_dedup", curation.url_dedup(with_url))
+    timed(spark, "bigram_cross_entropy", text.bigram_cross_entropy(docs))
+    timed(spark, "gopher_quality_flags", text.gopher_quality_flags(docs))
+
+    spark.stop()  # flush the event log
+    parse_event_log(evdir)
+    skews = [r["worst_skew"] for r in RESULTS if r["worst_skew"] is not None]
+    print(f"worst task skew across measured stages: {max(skews) if skews else None}")
+    out_path = os.environ.get("SCALE_STRESS_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {"replication": n, "n_docs": n_docs, "n_vecs": n_vecs, "ops": RESULTS},
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
