@@ -98,6 +98,12 @@ HEADLINE = [
     # round-5 additions
     "q_decontaminate_near",
     "q_bpe_seeded",
+    "q_scd2",
+    "q_mv_merge",
+    "q_zorder",
+    "q_heavy_hitters",
+    "q_ann_recall",
+    "q_ivfpq",
 ]
 
 

@@ -72,11 +72,15 @@ def timed(spark, name, df):
 
 def parse_event_log(evdir: str) -> None:
     """Attach per-op task-skew stats to RESULTS from the event log."""
-    files = [
-        os.path.join(evdir, f)
-        for f in os.listdir(evdir)
-        if not f.startswith(".") and not f.endswith(".inprogress.crc")
-    ]
+    # Spark 4 event logs are rolling DIRECTORIES (eventlog_v2_<appid>/
+    # containing events_* parts); walk everything that looks like a line
+    # file and skip markers/crcs
+    files = []
+    for root, _dirs, names in os.walk(evdir):
+        for f in names:
+            if f.startswith(".") or f.endswith(".crc") or f.startswith("appstatus"):
+                continue
+            files.append(os.path.join(root, f))
     stage_group: dict[int, str] = {}
     stage_tasks: dict[int, list[float]] = {}
     for path in files:
@@ -135,6 +139,9 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            # plain single-file JSON lines so parse_event_log can read it
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
