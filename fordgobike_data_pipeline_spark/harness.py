@@ -72,19 +72,26 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-5 priority: re-certify the stalest official rows. The window
-# (first 50) = the 2 queries NEW this round (seeded BPE oracle twin,
-# near-dup decontamination), the 2 whose only green row is r01, all 31
-# whose latest official row is r02 (the round-4 deferred list — every
-# one green at its last driver check and locally mirror-green since,
-# including the 4 rows-only media/BPE probes), and the 15 stalest
-# r03-green entries (the §2.6 scalar-function family + three core
-# relational rows). Deferred to r6: the remaining r03-green entries
-# and everything certified in r04 (tail comment).
+# Round-5 priority: never-driver-checked queries first, then the
+# stalest official rows. The window (first 50) = the 8 queries NEW
+# this round (seeded BPE oracle twin, near-dup decontamination, and
+# the six warehouse/ANN-composition entries), the 2 whose only green
+# row is r01, all 31 whose latest official row is r02 (the round-4
+# deferred list — every one green at its last driver check and
+# locally mirror-green since, including the 4 rows-only media/BPE
+# probes), and the 9 stalest r03-green entries (the §2.6
+# scalar-function family head). Deferred to r6: the remaining
+# r03-green entries and everything certified in r04 (tail comment).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round (2): never driver-checked
+    # new this round (8): never driver-checked
     "q_bpe_seeded",
     "q_decontaminate_near",
+    "q_scd2",
+    "q_mv_merge",
+    "q_zorder",
+    "q_heavy_hitters",
+    "q_ann_recall",
+    "q_ivfpq",
     # last official row r01 (2)
     "q_scan_csv_literal",
     "q_string_funcs",
@@ -120,8 +127,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_token_count",
     "q_image_features",
     "q_resize_images",
-    # last official row r03 (15): the §2.6 scalar family + core
-    # relational refreshers
+    # last official row r03 (9): the §2.6 scalar family head
     "q_hash_key",
     "q_weekend_flag",
     "q_date_parts",
@@ -131,16 +137,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_generate_series",
     "q_round_minutes",
     "q_string_concat",
-    "q_coalesce_defaults",
-    "q_nullif_sentinel",
-    "q_case_age_clean",
-    "q_join_inner",
-    "q_summary_stats",
-    "q_project_rename",
-    # (deferred to r6, every one green at its latest official check:
-    # the rest of the r03 window — q_agg_expr_key, q_agg_first,
-    # q_agg_max_dedup, q_agg_minmax_bounds, q_agg_null_audit,
-    # q_agg_routes, q_approx_sketches, q_asof_join, q_audio_features,
+    # (deferred to r6, every one green at its latest official check
+    # AND locally green this session (tests/driver simulation): the
+    # rest of the r03 window — q_coalesce_defaults, q_nullif_sentinel,
+    # q_case_age_clean, q_join_inner, q_summary_stats,
+    # q_project_rename, q_agg_expr_key, q_agg_first, q_agg_max_dedup,
+    # q_agg_minmax_bounds, q_agg_null_audit, q_agg_routes,
+    # q_approx_sketches, q_asof_join, q_audio_features,
     # q_char_entropy, q_chunk_docs, q_cross_join,
     # q_deterministic_sample, q_filter_compound, q_filter_eq,
     # q_filter_flag, q_filter_notnull, q_json_extract, q_lang_id,
