@@ -104,6 +104,7 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_ann_recall",
     "q_ivfpq",
+    "q_jsonl_roundtrip",
 ]
 
 

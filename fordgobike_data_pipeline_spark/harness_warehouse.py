@@ -144,3 +144,48 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning is lossless."""
     events = load_tables(spark, sf_dir, ("events",))["events"]
     return warehouse.heavy_hitters(events, "user_id", min_count=70)
+
+
+@query(
+    "q_jsonl_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS text_md5, CAST(length(text) AS INT) AS n_chars,
+           lang, source
+    FROM documents
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → source fidelity (sources/jsonl.py): write the
+    corpus as gzip JSONL shards, read it back schema-explicit, emit
+    per-doc content hashes. The oracle reads the ORIGINAL parquet, so a
+    hash match proves byte-exact text round-trip through JSON escaping
+    (embedded newlines, quotes, unicode) plus lossless id/metadata
+    columns — the interchange guarantee an LLM corpus pipeline needs
+    before it ships shards between systems."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources import jsonl
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    jsonl.write_jsonl(docs, path, compression="gzip")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = jsonl.read_jsonl(spark, path, schema)
+    return back.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("int").alias("n_chars"),
+        "lang",
+        "source",
+    )

@@ -126,31 +126,25 @@ def merge_aggregate_partials(partials: DataFrame, key_cols: list[str]) -> DataFr
 
 
 def zorder_key2(a: Column, b: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative integer
-    columns into one Z-value (Morton code): bit i of ``a`` lands at
-    position 2i, bit i of ``b`` at 2i+1. Rows sorted by the Z-value are
-    clustered in BOTH dimensions at once, so parquet min/max footers
-    prune files for 2-D box predicates — the lakehouse multi-dimension
-    layout (Delta/Iceberg ``OPTIMIZE ZORDER BY``) as a pure codegen
-    expression: ``2·bits`` shift/mask/or ops, no UDF, no shuffle."""
-    mask = (1 << bits) - 1
-    am = a.cast("long").bitwiseAND(F.lit(mask))
-    bm = b.cast("long").bitwiseAND(F.lit(mask))
-    parts = []
-    for i in range(bits):
-        parts.append(
-            F.shiftleft(F.shiftright(am, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-        parts.append(
-            F.shiftleft(F.shiftright(bm, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return reduce(lambda x, y: x.bitwiseOR(y), parts)
+    """Two-column Morton code: masks each input to its low ``bits``
+    bits and delegates to :func:`..io.zorder_value` — the SAME curve
+    ``io.publish_zordered`` clusters writes along, so the q_zorder
+    oracle adjudicates the production layout's key bit-for-bit (bit i
+    of ``a`` lands at position 2i, bit i of ``b`` at 2i+1). Pure
+    codegen shift/mask/or ops, no UDF, no shuffle."""
+    from ..io import zorder_value
+
+    mask = F.lit((1 << bits) - 1)
+    return zorder_value(
+        [a.cast("long").bitwiseAND(mask), b.cast("long").bitwiseAND(mask)], bits
+    )
 
 
 def zorder_key2_sql(a: str, b: str, bits: int = 16) -> str:
     """The identical Morton interleave as ANSI SQL text (DuckDB/oracle
-    twin of :func:`zorder_key2`) — generated from the same loop so the
-    two can't drift."""
+    twin of :func:`zorder_key2`, i.e. of io.zorder_value's 2-column
+    bit layout) — generated from the same loop shape so the two can't
+    drift."""
     mask = (1 << bits) - 1
     am = f"(CAST({a} AS BIGINT) & {mask})"
     bm = f"(CAST({b} AS BIGINT) & {mask})"
@@ -159,28 +153,6 @@ def zorder_key2_sql(a: str, b: str, bits: int = 16) -> str:
         parts.append(f"((({am} >> {i}) & 1) << {2 * i})")
         parts.append(f"((({bm} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(parts) + ")"
-
-
-def zorder_write(
-    df: DataFrame,
-    path: str,
-    col_a: str,
-    col_b: str,
-    n_files: int,
-    bits: int = 16,
-) -> None:
-    """Cluster-and-write: range-partition by the Z-value (contiguous
-    Z-ranges per file → tight per-file min/max on BOTH dimensions),
-    sort within partitions, drop the key. One shuffle; thereafter every
-    2-D box predicate skips the files whose footer ranges miss it."""
-    keyed = df.withColumn("_z", zorder_key2(F.col(col_a), F.col(col_b), bits))
-    (
-        keyed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -339,3 +339,79 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_maintain_mv(
+    spark: SparkSession,
+    landing_dir: str,
+    partials_path: str,
+    mv_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    schema: StructType | None = None,
+) -> None:
+    """Streaming materialized-view maintenance: the SAME mergeable
+    algebra as the batch q_mv_merge path (warehouse.aggregate_partials
+    / merge_aggregate_partials), driven by a file stream.
+
+    Each micro-batch aggregates itself into per-key count/sum/min/max
+    partials, overwrites its own ``_mv_batch=N`` partition under
+    ``partials_path``, then atomically republishes the merged MV from
+    ALL durable partials. Per-refresh cost is O(|batch| + keys×batches)
+    — the raw history is never rescanned, which is the entire point of
+    the partial-merge algebra at 100 TB (the reference instead
+    re-runs the full mart query per refresh, gold_ddl.sql:201-244).
+
+    Crash contract (same idempotent-foreachBatch shape as
+    stream_curate_documents): the partials write converges under
+    replay because it overwrites the batch's own partition; the MV is
+    a pure function of the partials table and is published with the
+    temp-dir-and-swap, so readers always see a complete MV — at worst
+    one batch stale between the partials write and the republish, and
+    the replay closes exactly that gap."""
+    if schema is None:
+        schema = StructType.fromDDL("k INT, v DOUBLE")
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        _mv_batch(batch, batch_id, partials_path, mv_path, key_cols, value_col)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _mv_batch(
+    batch: DataFrame,
+    batch_id: int,
+    partials_path: str,
+    mv_path: str,
+    key_cols: list[str],
+    value_col: str,
+) -> None:
+    """One idempotent MV-maintenance micro-batch (module-level so
+    replay semantics are directly testable)."""
+    import os
+
+    from ..io import publish_overwrite
+    from ..operators import warehouse
+
+    partials = warehouse.aggregate_partials(
+        batch.withColumn("_mv_batch", F.lit(batch_id)),
+        key_cols,
+        value_col,
+        "_mv_batch",
+    ).drop("_mv_batch")
+    partials.write.mode("overwrite").parquet(
+        os.path.join(partials_path, f"_mv_batch={batch_id}")
+    )
+    spark = batch.sparkSession
+    all_partials = spark.read.parquet(partials_path)
+    publish_overwrite(
+        warehouse.merge_aggregate_partials(all_partials, key_cols), mv_path
+    )

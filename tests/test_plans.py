@@ -84,3 +84,40 @@ def test_incremental_read_prunes_partitions(spark, tmp_path):
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "_batch_id" in pf
     assert scan.count() == 25
+
+
+def test_zorder_key_is_shuffle_free_codegen(spark):
+    """The Morton key must compile to scan→project inside one codegen
+    stage: zero Exchange, zero UDF (it's the expression every clustered
+    write computes over the full table)."""
+    plan = explain(spark, "q_zorder")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_shares_one_exchange_across_windows(spark):
+    """Change detection and interval assembly partition identically, so
+    Catalyst must reuse a single Exchange+Sort for both Window ops —
+    two shuffles here would double the cost of every history build."""
+    plan = explain(spark, "q_scd2")
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("+- Window") == 2
+
+
+def test_heavy_hitters_prunes_via_broadcast_semi_join(spark):
+    """Phase-2 must consume the heavy-bucket table as a broadcast
+    LeftSemi (map-side tail pruning); a shuffled semi-join would move
+    the whole long tail — the thing the operator exists to avoid."""
+    plan = explain(spark, "q_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_corpus_side_joins_are_broadcast(spark):
+    """Probes and LUT are query-batch-bounded control data: every join
+    against the coded corpus must broadcast them. A shuffled join on
+    the corpus side would move the codes — tolerable — but also
+    defeats list pruning by repartitioning everything."""
+    plan = explain(spark, "q_ivfpq")
+    # corpus-side scoring joins: listed⨝probes and ⨝lut are broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -391,3 +391,62 @@ def test_send_report_from_env(monkeypatch):
     results = email_sink.send_report_from_env("m", "http://m/send", http_post=fake_post)
     assert [r[0] for r in results] == ["a@x.test", "b@x.test"]  # blanks dropped
     assert posts[0]["name"] == "Bot" and posts[0]["subject"] == "Daily"
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink (sources/jsonl.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_preserves_hostile_text(spark, tmp_path):
+    """Embedded newlines, quotes, tabs, unicode, and NULLs must survive
+    the JSON escape/unescape cycle byte-exactly."""
+    from pyspark.sql import types as T
+
+    from fordgobike_data_pipeline_spark.sources import jsonl
+
+    rows = [
+        (1, 'line1\nline2\t"quoted" \\backslash\\', "en"),
+        (2, "ünïcødé — 中文 🚲", "zh"),
+        (3, None, None),  # null text and metadata
+        (4, "", "en"),  # empty string is NOT null
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "shards")
+    jsonl.write_jsonl(df, path, compression="gzip")
+    back = {r.doc_id: (r.text, r.lang) for r in jsonl.read_jsonl(spark, path, schema).collect()}
+    want = {i: (t, l) for i, t, l in rows}
+    # Spark's json sink omits null fields; they read back as null —
+    # but an empty string must stay an empty string
+    assert back == want
+    assert back[4][0] == ""
+
+
+def test_jsonl_corrupt_lines_quarantine_not_fail(spark, tmp_path):
+    """A malformed line degrades to a quarantine row (keep_corrupt) or
+    is dropped (default); it never fails the scan."""
+    from pyspark.sql import types as T
+
+    from fordgobike_data_pipeline_spark.sources import jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    clean = jsonl.read_jsonl(spark, str(p), schema)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    kept = jsonl.read_jsonl(spark, str(p), schema, keep_corrupt=True)
+    corrupt = [r for r in kept.collect() if r[jsonl.CORRUPT_COL] is not None]
+    assert len(corrupt) == 1 and "not json" in corrupt[0][jsonl.CORRUPT_COL]

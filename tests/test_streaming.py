@@ -426,3 +426,50 @@ def test_curate_batch_metrics_sink(spark, tmp_path):
     # replay overwrites the same row, never double-counts
     incremental._curate_batch(b0, 0, accepted, index, 0.3, metrics_path=metrics)
     assert spark.read.parquet(metrics).count() == 1
+
+
+def test_stream_maintain_mv_two_waves_and_replay(spark, tmp_path):
+    """Streaming MV maintenance: after each wave the published MV must
+    equal the direct aggregation over everything ingested so far, and
+    replaying a batch (crash recovery) must not change the MV."""
+    import json as _json
+    import os
+
+    landing = str(tmp_path / "landing")
+    partials = str(tmp_path / "partials")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def write_wave(name, rows):
+        with open(f"{landing}/{name}.json", "w") as f:
+            for k, v in rows:
+                f.write(_json.dumps({"k": k, "v": v}) + "\n")
+
+    def mv_state():
+        return {
+            r.k: (r.n_rows, r.total, r.vmin, r.vmax)
+            for r in spark.read.parquet(mv).collect()
+        }
+
+    wave1 = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    write_wave("w1", wave1)
+    incremental.stream_maintain_mv(
+        spark, landing, partials, mv, ckpt, ["k"], "v"
+    )
+    assert mv_state() == {1: (2, 30.0, 10.0, 20.0), 2: (1, 5.0, 5.0, 5.0)}
+
+    wave2 = [(1, 40.0), (3, 7.0)]
+    write_wave("w2", wave2)
+    incremental.stream_maintain_mv(
+        spark, landing, partials, mv, ckpt, ["k"], "v"
+    )
+    want = {1: (3, 70.0, 10.0, 40.0), 2: (1, 5.0, 5.0, 5.0), 3: (1, 7.0, 7.0, 7.0)}
+    assert mv_state() == want
+
+    # crash-replay: re-running batch 1's body must converge, not double
+    b1 = spark.createDataFrame(wave2, "k int, v double")
+    incremental._mv_batch(b1, 1, partials, mv, ["k"], "v")
+    assert mv_state() == want
+    incremental._mv_batch(b1, 1, partials, mv, ["k"], "v")
+    assert mv_state() == want

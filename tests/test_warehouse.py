@@ -138,13 +138,16 @@ def test_zorder_key_matches_reference(spark):
 
 
 def test_zorder_write_prunes_files(spark, tmp_path):
-    """Z-ordered layout confines a 2-D box predicate to a subset of
-    files; a hash-scattered layout smears it across all of them."""
+    """The production clustered publish (io.publish_zordered) confines
+    a 2-D box predicate to a subset of files; a hash-scattered layout
+    smears it across all of them."""
+    from fordgobike_data_pipeline_spark.io import publish_zordered
+
     li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
     n_files = 8
     zpath = str(tmp_path / "z")
     hpath = str(tmp_path / "h")
-    warehouse.zorder_write(li, zpath, "l_partkey", "l_suppkey", n_files)
+    publish_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=n_files)
     li.repartition(n_files).write.mode("overwrite").parquet(hpath)
     # ~1/8 × ~1/4 of each key range (keys span 0..199 / 0..9 at sf0.001)
     box = "l_partkey < 25 AND l_suppkey < 3"
