@@ -105,6 +105,9 @@ HEADLINE = [
     "q_ann_recall",
     "q_ivfpq",
     "q_jsonl_roundtrip",
+    "q_rolling_range",
+    "q_ntile",
+    "q_funnel",
 ]
 
 

@@ -73,16 +73,16 @@ def _ensure_extensions_loaded() -> None:
 # rest follow in registration order and rotate into later rounds.
 #
 # Round-5 priority: never-driver-checked queries first, then the
-# stalest official rows. The window (first 50) = the 9 queries NEW
+# stalest official rows. The window (first 50) = the 12 queries NEW
 # this round (seeded BPE oracle twin, near-dup decontamination, the
-# six warehouse/ANN-composition entries, and the JSONL roundtrip),
-# the 2 whose only green row is r01, all 31 whose latest official row
-# is r02 (the round-4 deferred list — every one green at its last
-# driver check and locally mirror-green since, including the 4
-# rows-only media/BPE probes), and the 8 stalest r03-green entries
-# (the §2.6 scalar-function family head). Deferred to r6: the
-# remaining r03-green entries and everything certified in r04 (tail
-# comment).
+# six warehouse/ANN-composition entries, the JSONL roundtrip, and the
+# three analytics-window entries), the 2 whose only green row is r01,
+# all 31 whose latest official row is r02 (the round-4 deferred list —
+# every one green at its last driver check and locally mirror-green
+# since, including the 4 rows-only media/BPE probes), and the 5
+# stalest r03-green entries (the §2.6 scalar-function family head).
+# Deferred to r6: the remaining r03-green entries and everything
+# certified in r04 (tail comment).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round (9): never driver-checked
     "q_bpe_seeded",
@@ -94,6 +94,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ann_recall",
     "q_ivfpq",
     "q_jsonl_roundtrip",
+    "q_rolling_range",
+    "q_ntile",
+    "q_funnel",
     # last official row r01 (2)
     "q_scan_csv_literal",
     "q_string_funcs",
@@ -129,18 +132,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_token_count",
     "q_image_features",
     "q_resize_images",
-    # last official row r03 (8): the §2.6 scalar family head
+    # last official row r03 (5): the §2.6 scalar family head
     "q_hash_key",
     "q_weekend_flag",
     "q_date_parts",
     "q_date_names",
     "q_smart_date_key",
-    "q_key_to_date",
-    "q_generate_series",
-    "q_round_minutes",
     # (deferred to r6, every one green at its latest official check
     # AND locally green this session (tests/driver simulation): the
-    # rest of the r03 window — q_string_concat, q_coalesce_defaults, q_nullif_sentinel,
+    # rest of the r03 window — q_key_to_date, q_generate_series,
+    # q_round_minutes, q_string_concat, q_coalesce_defaults, q_nullif_sentinel,
     # q_case_age_clean, q_join_inner, q_summary_stats,
     # q_project_rename, q_agg_expr_key, q_agg_first, q_agg_max_dedup,
     # q_agg_minmax_bounds, q_agg_null_audit, q_agg_routes,
@@ -1269,6 +1270,139 @@ def q_window_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+    )
+
+
+@query(
+    "q_rolling_range",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER w, 2) AS rolling_7d_total,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_7d_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window (SURVEY §2.7 extension): per-customer
+    trailing-7-day order total/count. RANGE (not ROWS) frames are
+    tie-insensitive — every row with the same timestamp shares one
+    frame, so no tiebreak column is needed for determinism. Ordering is
+    epoch seconds on both engines (Spark's interval range frames want a
+    numeric sort key)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_total"),
+        F.count("*").over(w).alias("rolling_7d_orders"),
+    )
+
+
+@query(
+    "q_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics windows: quartile bucket, percent_rank,
+    cume_dist over the global price order (unique-key tiebreak pins
+    every rank). The single unpartitioned window is the one inherently
+    serial operator here — at 100 TB the same statistics come from
+    approx_percentile buckets (q_percentiles documents the swap); this
+    entry pins the exact semantics."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = c.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view → click-after-view →
+    purchase-after-click) per user: three min-aggregations chained by
+    strictly-later joins — each stage is one partial-agg-friendly
+    groupBy plus an equi-join on the shrinking survivor set, no window
+    over full event history. The product-analytics query every events
+    table eventually gets asked."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.cast("int").alias("stage_reached"),
+        )
     )
 
 

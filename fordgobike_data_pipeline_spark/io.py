@@ -100,6 +100,97 @@ def publish_overwrite(df: DataFrame, path: str, partition_by: list[str] | None =
     os.rename(tmp, path)
 
 
+_CURRENT_PTR = "_CURRENT"
+
+
+def publish_versioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    keep: int = 3,
+) -> int:
+    """Snapshot publish: write an immutable ``v=N`` directory, then
+    atomically repoint the ``_CURRENT`` file — the minimal table-format
+    core (versioned snapshots + atomic commit + time travel + rollback)
+    that Delta/Iceberg build on, over plain parquet.
+
+    Compared to :func:`publish_overwrite` (which destroys the previous
+    table during the swap window for any reader that re-lists the
+    path), versions are never mutated after the pointer moves: a reader
+    resolves ``_CURRENT`` once and reads a directory no writer will
+    touch again, so long-running queries survive concurrent republishes
+    — the isolation the reference gets from Postgres MVCC and plain
+    parquet directories lack. The pointer write is a same-filesystem
+    ``os.replace`` (atomic); crash before the repoint leaves a dangling
+    version directory that the next publish prunes, never a corrupt
+    table.
+
+    Old versions beyond ``keep`` are pruned (the current pointer's
+    target is always retained) — the vacuum knob: larger ``keep`` =
+    longer time-travel horizon, more storage. Returns the new version
+    number."""
+    versions = list_versions(path)
+    version = (max(versions) + 1) if versions else 1
+    vdir = os.path.join(path, f"v={version}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
+    _repoint(path, version)
+    current = _read_pointer(path)
+    for old in sorted(list_versions(path))[:-keep]:
+        if old != current:
+            shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+    return version
+
+
+def _repoint(path: str, version: int) -> None:
+    tmp = os.path.join(path, f".{_CURRENT_PTR}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, _CURRENT_PTR))
+
+
+def _read_pointer(path: str) -> int:
+    with open(os.path.join(path, _CURRENT_PTR)) as f:
+        return int(f.read().strip())
+
+
+def list_versions(path: str) -> list[int]:
+    """All snapshot versions present on disk (ascending)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    v = version if version is not None else _read_pointer(path)
+    vdir = os.path.join(path, f"v={v}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {v} of {path} not found (pruned or never written); "
+            f"available: {list_versions(path)}"
+        )
+    return spark.read.parquet(vdir)
+
+
+def rollback(path: str, version: int) -> None:
+    """Repoint ``_CURRENT`` at an older retained snapshot — the undo
+    for a bad publish. The bad version stays on disk (forensics) until
+    version pruning retires it."""
+    if version not in list_versions(path):
+        raise FileNotFoundError(
+            f"cannot roll back {path} to pruned/unknown version {version}; "
+            f"available: {list_versions(path)}"
+        )
+    _repoint(path, version)
+
+
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Append-only bronze write (stand-in for COPY, load_bronze.py:81-95)."""
     writer = df.write.mode("append")

@@ -47,19 +47,27 @@ def read_jsonl(
     schema: T.StructType,
     keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Schema-explicit JSONL scan. Malformed lines surface in
-    ``_corrupt_record`` (PERMISSIVE mode) rather than failing the task;
-    by default they're dropped after a filter, with ``keep_corrupt``
-    exposing them for quarantine sinks. Compression is inferred from
-    the file extension per file, so mixed .jsonl/.jsonl.gz/.jsonl.zst
-    shards read in one pass."""
-    full = schema.add(CORRUPT_COL, T.StringType()) if CORRUPT_COL not in schema.names else schema
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
+    """Schema-explicit JSONL scan; malformed lines never fail the task.
+
+    Default: DROPMALFORMED — bad lines vanish at parse time, no
+    synthetic column in the result (a PERMISSIVE scan filtered on the
+    corrupt column would break under aggressive column pruning:
+    Spark disallows raw-JSON queries whose only referenced column is
+    ``_corrupt_record``, which is exactly what ``count()`` prunes such
+    a plan to). ``keep_corrupt=True``: PERMISSIVE with the quarantine
+    column exposed, for routing rejects to a dead-letter sink.
+    Compression is inferred per file from the extension, so mixed
+    .jsonl/.jsonl.gz shards read in one pass."""
     if keep_corrupt:
-        return df
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        full = (
+            schema.add(CORRUPT_COL, T.StringType())
+            if CORRUPT_COL not in schema.names
+            else schema
+        )
+        return (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)

@@ -350,10 +350,15 @@ def stream_maintain_mv(
     key_cols: list[str],
     value_col: str,
     schema: StructType | None = None,
+    distinct_col: str | None = None,
 ) -> None:
     """Streaming materialized-view maintenance: the SAME mergeable
     algebra as the batch q_mv_merge path (warehouse.aggregate_partials
-    / merge_aggregate_partials), driven by a file stream.
+    / merge_aggregate_partials), driven by a file stream. With
+    ``distinct_col``, per-batch HLL sketches ride alongside the numeric
+    partials (warehouse.aggregate_distinct_partials) and the MV gains
+    an ``approx_distinct`` column — COUNT(DISTINCT) maintained
+    incrementally, which the plain count/sum algebra cannot do.
 
     Each micro-batch aggregates itself into per-key count/sum/min/max
     partials, overwrites its own ``_mv_batch=N`` partition under
@@ -375,7 +380,10 @@ def stream_maintain_mv(
     stream = spark.readStream.schema(schema).json(landing_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        _mv_batch(batch, batch_id, partials_path, mv_path, key_cols, value_col)
+        _mv_batch(
+            batch, batch_id, partials_path, mv_path, key_cols, value_col,
+            distinct_col=distinct_col,
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -393,25 +401,41 @@ def _mv_batch(
     mv_path: str,
     key_cols: list[str],
     value_col: str,
+    distinct_col: str | None = None,
 ) -> None:
     """One idempotent MV-maintenance micro-batch (module-level so
-    replay semantics are directly testable)."""
+    replay semantics are directly testable). The sketch partials (when
+    ``distinct_col`` is set) are a second batch-partitioned sink under
+    the same overwrite contract — replay rewrites identical registers
+    (HLL union is order-insensitive), never double-counts."""
     import os
 
     from ..io import publish_overwrite
     from ..operators import warehouse
 
+    keyed = batch.withColumn("_mv_batch", F.lit(batch_id))
     partials = warehouse.aggregate_partials(
-        batch.withColumn("_mv_batch", F.lit(batch_id)),
-        key_cols,
-        value_col,
-        "_mv_batch",
+        keyed, key_cols, value_col, "_mv_batch"
     ).drop("_mv_batch")
     partials.write.mode("overwrite").parquet(
         os.path.join(partials_path, f"_mv_batch={batch_id}")
     )
     spark = batch.sparkSession
-    all_partials = spark.read.parquet(partials_path)
-    publish_overwrite(
-        warehouse.merge_aggregate_partials(all_partials, key_cols), mv_path
+    if distinct_col is not None:
+        sketch_root = f"{partials_path}_distinct"
+        warehouse.aggregate_distinct_partials(
+            keyed, key_cols, distinct_col, "_mv_batch"
+        ).drop("_mv_batch").write.mode("overwrite").parquet(
+            os.path.join(sketch_root, f"_mv_batch={batch_id}")
+        )
+    mv = warehouse.merge_aggregate_partials(
+        spark.read.parquet(partials_path), key_cols
     )
+    if distinct_col is not None:
+        mv = mv.join(
+            warehouse.merge_distinct_partials(
+                spark.read.parquet(sketch_root), key_cols
+            ),
+            key_cols,
+        )
+    publish_overwrite(mv, mv_path)

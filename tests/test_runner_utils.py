@@ -71,3 +71,59 @@ def test_publish_overwrite_atomic_swap(spark, tmp_path):
     publish_overwrite(merged, path)
     assert spark.read.parquet(path).count() == 15
     assert not [p for p in os.listdir(str(tmp_path)) if "_tmp_" in p]
+
+
+# ---------------------------------------------------------------------------
+# Versioned publish (io.publish_versioned): snapshots, time travel,
+# rollback, pruning
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_publish_time_travel_and_rollback(spark, tmp_path):
+    from fordgobike_data_pipeline_spark import io as io_mod
+
+    path = str(tmp_path / "t")
+
+    def df_of(n):
+        return spark.range(n).withColumnRenamed("id", "x")
+
+    v1 = io_mod.publish_versioned(df_of(3), path)
+    v2 = io_mod.publish_versioned(df_of(5), path)
+    assert (v1, v2) == (1, 2)
+    # current reads the newest snapshot; time travel reads the old one
+    assert io_mod.read_versioned(spark, path).count() == 5
+    assert io_mod.read_versioned(spark, path, version=1).count() == 3
+    # rollback repoints without destroying the newer version
+    io_mod.rollback(path, 1)
+    assert io_mod.read_versioned(spark, path).count() == 3
+    assert io_mod.read_versioned(spark, path, version=2).count() == 5
+
+
+def test_versioned_publish_prunes_beyond_keep(spark, tmp_path):
+    from fordgobike_data_pipeline_spark import io as io_mod
+
+    path = str(tmp_path / "t")
+    for n in range(1, 6):
+        io_mod.publish_versioned(spark.range(n), path, keep=2)
+    assert io_mod.list_versions(path) == [4, 5]
+    assert io_mod.read_versioned(spark, path).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="available"):
+        io_mod.read_versioned(spark, path, version=1)
+    with _pytest.raises(FileNotFoundError):
+        io_mod.rollback(path, 1)
+
+
+def test_versioned_reader_survives_concurrent_republish(spark, tmp_path):
+    """The isolation contract: a reader that resolved the pointer keeps
+    a valid immutable directory even after a new version publishes
+    (publish_overwrite would have deleted the directory under it)."""
+    from fordgobike_data_pipeline_spark import io as io_mod
+
+    path = str(tmp_path / "t")
+    io_mod.publish_versioned(spark.range(7), path)
+    snapshot = io_mod.read_versioned(spark, path)  # resolves v=1
+    io_mod.publish_versioned(spark.range(9), path)  # v=2 publishes
+    assert snapshot.count() == 7  # still readable, bit-identical
+    assert io_mod.read_versioned(spark, path).count() == 9

@@ -473,3 +473,46 @@ def test_stream_maintain_mv_two_waves_and_replay(spark, tmp_path):
     assert mv_state() == want
     incremental._mv_batch(b1, 1, partials, mv, ["k"], "v")
     assert mv_state() == want
+
+
+def test_stream_maintain_mv_with_distinct_sketches(spark, tmp_path):
+    """COUNT(DISTINCT) via per-batch HLL sketch partials: across two
+    waves the MV's approx_distinct must equal the exact distinct count
+    (tiny cardinalities are exact in HLL), and batch replay converges."""
+    import json as _json
+    import os
+
+    landing = str(tmp_path / "landing")
+    partials = str(tmp_path / "partials")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def write_wave(name, rows):
+        with open(f"{landing}/{name}.json", "w") as f:
+            for k, v, u in rows:
+                f.write(_json.dumps({"k": k, "v": v, "u": u}) + "\n")
+
+    schema = __import__("pyspark.sql.types", fromlist=["StructType"]).StructType.fromDDL(
+        "k INT, v DOUBLE, u BIGINT"
+    )
+    # user 101 appears in BOTH waves for k=1 — a plain count of
+    # per-batch distincts would double-count it; sketch union must not
+    write_wave("w1", [(1, 10.0, 101), (1, 20.0, 102), (2, 5.0, 103)])
+    incremental.stream_maintain_mv(
+        spark, landing, partials, mv, ckpt, ["k"], "v",
+        schema=schema, distinct_col="u",
+    )
+    write_wave("w2", [(1, 40.0, 101), (1, 1.0, 104)])
+    incremental.stream_maintain_mv(
+        spark, landing, partials, mv, ckpt, ["k"], "v",
+        schema=schema, distinct_col="u",
+    )
+    state = {r.k: (r.n_rows, r.approx_distinct) for r in spark.read.parquet(mv).collect()}
+    assert state == {1: (4, 3), 2: (1, 1)}
+    # replay wave-2's batch body: registers rewrite identically
+    b1 = spark.createDataFrame([(1, 40.0, 101), (1, 1.0, 104)], schema)
+    incremental._mv_batch(b1, 1, partials, mv, ["k"], "v", distinct_col="u")
+    assert {
+        r.k: (r.n_rows, r.approx_distinct) for r in spark.read.parquet(mv).collect()
+    } == state

@@ -212,3 +212,54 @@ def test_ann_recall_bounds_and_exact_self_recall(spark):
     rec = similarity.ann_recall_at_k(exact, approx, k=10).collect()
     assert len(rec) == 5
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in rec)
+
+
+def test_distinct_partials_merge_is_register_exact(spark):
+    """Merging per-batch HLL sketches must equal sketching the union
+    EXACTLY (same registers, not approximately) — and be invariant to
+    how rows were batched. That's the property that makes incremental
+    COUNT(DISTINCT) refresh sound."""
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    base = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("k"),
+        "o_custkey",
+    )
+    direct = {
+        r.k: r.approx_distinct
+        for r in base.withColumn("b", F.lit(0))
+        .transform(lambda d: warehouse.aggregate_distinct_partials(d, ["k"], "o_custkey", "b"))
+        .transform(lambda d: warehouse.merge_distinct_partials(d, ["k"]))
+        .collect()
+    }
+    for n_batches in (3, 7):
+        batched = base.withColumn("b", F.col("o_custkey") % n_batches)
+        merged = {
+            r.k: r.approx_distinct
+            for r in warehouse.merge_distinct_partials(
+                warehouse.aggregate_distinct_partials(batched, ["k"], "o_custkey", "b"),
+                ["k"],
+            ).collect()
+        }
+        assert merged == direct, n_batches
+
+
+def test_distinct_partials_estimate_close_to_exact(spark):
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    base = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("k"),
+        "o_custkey",
+        (F.col("o_orderkey") % 4).alias("b"),
+    )
+    est = {
+        r.k: r.approx_distinct
+        for r in warehouse.merge_distinct_partials(
+            warehouse.aggregate_distinct_partials(base, ["k"], "o_custkey", "b"), ["k"]
+        ).collect()
+    }
+    exact = {
+        r.k: r.x
+        for r in base.groupBy("k").agg(F.countDistinct("o_custkey").alias("x")).collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, est[k], exact[k])
