@@ -108,6 +108,7 @@ HEADLINE = [
     "q_rolling_range",
     "q_ntile",
     "q_funnel",
+    "q_fuzzy_match",
 ]
 
 

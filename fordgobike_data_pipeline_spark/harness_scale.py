@@ -2036,3 +2036,69 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     euclidean distance (the repo's standard float-agg contract)."""
     t = load_tables(spark, sf_dir, ("documents", "embeddings"))
     return similarity.source_centroid_drift(t["documents"], t["embeddings"])
+
+
+# dirty-record position expression shared by both engines: delete the
+# ((p_partkey div 5) mod len)-th character — deterministic per row
+_FUZZY_POS = "CAST((p_partkey {div} 5) % length(p_name) AS INT)"
+
+
+@query(
+    "q_fuzzy_match",
+    f"""
+    WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+    dirty AS (
+        SELECT p_partkey + 1000000 AS dirty_id,
+               substr(p_name, 1, {_FUZZY_POS.format(div='//')}) ||
+               substr(p_name, {_FUZZY_POS.format(div='//')} + 2) AS name
+        FROM part WHERE p_partkey % 5 = 0
+    ),
+    vl AS (
+        SELECT clean_id, v FROM clean,
+        UNNEST(list_distinct(list_append(
+            list_transform(range(length(name)),
+                           i -> substr(name, 1, i) || substr(name, i + 2)),
+            name))) AS t(v)
+    ),
+    vr AS (
+        SELECT dirty_id, v FROM dirty,
+        UNNEST(list_distinct(list_append(
+            list_transform(range(length(name)),
+                           i -> substr(name, 1, i) || substr(name, i + 2)),
+            name))) AS t(v)
+    ),
+    c AS (SELECT DISTINCT vl.clean_id, vr.dirty_id FROM vl JOIN vr ON vl.v = vr.v)
+    SELECT c.clean_id, c.dirty_id,
+           CAST(levenshtein(cl.name, d.name) AS INT) AS distance
+    FROM c
+    JOIN clean cl ON cl.clean_id = c.clean_id
+    JOIN dirty d ON d.dirty_id = c.dirty_id
+    WHERE levenshtein(cl.name, d.name) <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution (dedup.edit_distance_join): match
+    deterministically-corrupted part names (one character deleted)
+    back to the clean master within Levenshtein distance 1, via
+    SymSpell deletion-neighborhood blocking — an equi-join on ≤len
+    deletion variants per string, never an all-pairs scan. The oracle
+    regenerates the same neighborhoods and verifies with DuckDB's
+    levenshtein, adjudicating candidate generation AND the verify
+    threshold."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    clean = part.select(
+        F.col("p_partkey").alias("clean_id"), F.col("p_name").alias("name")
+    )
+    pos = _FUZZY_POS.format(div="div")
+    dirty = part.filter("p_partkey % 5 = 0").select(
+        (F.col("p_partkey") + 1000000).alias("dirty_id"),
+        F.expr(
+            f"concat(substring(p_name, 1, {pos}), "
+            f"substring(p_name, {pos} + 2, length(p_name)))"
+        ).alias("name"),
+    )
+    from .operators import dedup as dedup_mod
+
+    return dedup_mod.edit_distance_join(
+        clean, dirty, "clean_id", "dirty_id", "name", max_dist=1
+    )

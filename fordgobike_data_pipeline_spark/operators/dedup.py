@@ -751,3 +751,73 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join (SymSpell deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def _deletion_variants(col: str) -> "F.Column":
+    """All single-character deletions of a string column (array)."""
+    return F.expr(
+        f"CASE WHEN length({col}) = 0 THEN array() "
+        f"ELSE transform(sequence(0, length({col}) - 1), "
+        f"i -> concat(substring({col}, 1, i), substring({col}, i + 2, length({col})))) END"
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    str_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy entity-resolution join: all (left, right) pairs whose
+    ``str_col`` values are within Levenshtein distance ``max_dist``.
+
+    Candidate generation is the SymSpell/FastSS deletion-neighborhood
+    scheme: each string expands to every variant reachable by ≤k
+    character deletions (O(len^k) short strings per row); two strings
+    within edit distance k always share a neighborhood member, so an
+    EQUI-join on the variant string finds every true pair — no
+    all-pairs comparison, no similarity shuffle wider than the variant
+    table. Candidates then verify with one exact ``levenshtein`` call
+    (neighborhood collision only bounds the distance by 2k, so the
+    verify is load-bearing, not belt-and-braces).
+
+    The variant join is the same inverted-index shape as the shingle/
+    band joins above: skew lives in hot variants, which only arise
+    from large groups of near-identical strings — exactly the rows an
+    entity-resolution job MUST pair up anyway (true-output mass, not
+    wasted candidates)."""
+    def neighborhood(df: DataFrame, id_col: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+        vs = base.select("_id", F.col("_s").alias("_v"))
+        frontier = vs
+        for _ in range(max_dist):
+            frontier = frontier.select(
+                "_id", F.explode(_deletion_variants("_v")).alias("_v")
+            )
+            vs = vs.unionByName(frontier)
+        return vs.distinct()
+    cands = (
+        neighborhood(left, left_id)
+        .withColumnRenamed("_id", left_id)
+        .join(
+            neighborhood(right, right_id).withColumnRenamed("_id", right_id), "_v"
+        )
+        .select(left_id, right_id)
+        .distinct()
+    )
+    ln = left.select(F.col(left_id), F.col(str_col).alias("_ls"))
+    rn = right.select(F.col(right_id), F.col(str_col).alias("_rs"))
+    return (
+        cands.join(ln, left_id)
+        .join(rn, right_id)
+        .withColumn("distance", F.levenshtein("_ls", "_rs"))
+        .filter(F.col("distance") <= max_dist)
+        .select(left_id, right_id, "distance")
+    )

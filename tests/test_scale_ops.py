@@ -1013,3 +1013,33 @@ def test_source_centroid_drift_flags_planted_shift(spark):
     }
     assert got["shifted"] > got["a"] and got["shifted"] > got["b"]
     assert got["shifted"] > 5.0  # 10/30 of mass offset by 5 per dim
+
+
+def test_edit_distance_join_catches_every_edit_type(spark):
+    """Substitution, insertion, and deletion are all within distance 1
+    and must be found; a distance-2 pair must be blocked by the verify
+    at k=1 (deletion neighborhoods collide up to distance 2k, so the
+    levenshtein filter is load-bearing) and found at k=2."""
+    left = spark.createDataFrame(
+        [(1, "widget"), (2, "gasket"), (3, "flange")], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "wadget"),   # substitution of 'i' -> distance 1 to widget
+            (11, "widgets"),  # insertion -> distance 1 to widget
+            (12, "gaset"),    # deletion of 'k' -> distance 1 to gasket
+            (13, "flanch"),   # distance 2 to flange (g->c, e->h)
+            (14, "zzzzzz"),   # matches nothing
+        ],
+        "rid long, name string",
+    )
+    k1 = {
+        (r.lid, r.rid, r.distance)
+        for r in dedup.edit_distance_join(left, right, "lid", "rid", "name", 1).collect()
+    }
+    assert k1 == {(1, 10, 1), (1, 11, 1), (2, 12, 1)}
+    k2 = {
+        (r.lid, r.rid)
+        for r in dedup.edit_distance_join(left, right, "lid", "rid", "name", 2).collect()
+    }
+    assert (3, 13) in k2 and (1, 10) in k2 and (1, 14) not in k2
