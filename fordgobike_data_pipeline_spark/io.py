@@ -100,6 +100,38 @@ def publish_overwrite(df: DataFrame, path: str, partition_by: list[str] | None =
     os.rename(tmp, path)
 
 
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema: "T.StructType | None" = None,
+) -> DataFrame:
+    """Read a table whose batches were written under EVOLVING schemas
+    (the reference handles this with ALTER TABLE DDL between loads;
+    append-only parquet directories just accumulate files with
+    different footers, and a plain read resolves the schema from ONE
+    footer — silently dropping columns newer batches added).
+
+    ``mergeSchema`` unions every footer: columns absent in older files
+    surface as NULL there. With ``target_schema`` the result is then
+    ALIGNED to the declared contract — missing columns materialize as
+    typed NULLs, extra columns drop, every column casts to its declared
+    type — so downstream plans bind against the contract, not against
+    whichever files happen to exist yet."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T  # noqa: F401  (doc type)
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is None:
+        return df
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 _CURRENT_PTR = "_CURRENT"
 
 

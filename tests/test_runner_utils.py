@@ -127,3 +127,39 @@ def test_versioned_reader_survives_concurrent_republish(spark, tmp_path):
     io_mod.publish_versioned(spark.range(9), path)  # v=2 publishes
     assert snapshot.count() == 7  # still readable, bit-identical
     assert io_mod.read_versioned(spark, path).count() == 9
+
+
+def test_read_evolved_merges_and_aligns_schemas(spark, tmp_path):
+    """Batches written under widened schemas read as one table; the
+    target-schema alignment materializes missing columns as typed NULLs
+    and enforces declared types (a plain read resolves one footer and
+    can silently drop newer columns)."""
+    from pyspark.sql import types as T
+
+    from fordgobike_data_pipeline_spark import io as io_mod
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = io_mod.read_evolved(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("added_later", T.IntegerType()),  # not on disk yet
+        ]
+    )
+    aligned = io_mod.read_evolved(spark, path, target)
+    assert aligned.columns == ["id", "name", "score", "added_later"]
+    assert aligned.schema["added_later"].dataType.typeName() == "integer"
+    assert all(r.added_later is None for r in aligned.collect())
