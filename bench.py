@@ -109,6 +109,7 @@ HEADLINE = [
     "q_ntile",
     "q_funnel",
     "q_fuzzy_match",
+    "q_scd2_pit",
 ]
 
 

@@ -73,17 +73,17 @@ def _ensure_extensions_loaded() -> None:
 # rest follow in registration order and rotate into later rounds.
 #
 # Round-5 priority: never-driver-checked queries first, then the
-# stalest official rows. The window (first 50) = the 13 queries NEW
+# stalest official rows. The window (first 50) = the 14 queries NEW
 # this round (seeded BPE oracle twin, near-dup decontamination, the
 # six warehouse/ANN-composition entries, the JSONL roundtrip, the
-# three analytics-window entries, and the fuzzy entity-resolution
-# join), the 2 whose only green row is r01, all 31 whose latest
-# official row is r02 (the round-4 deferred list — every one green at
-# its last driver check and locally mirror-green since, including the
-# 4 rows-only media/BPE probes), and the 4 stalest r03-green entries
-# (the §2.6 scalar-function family head). Deferred to r6: the
-# remaining r03-green entries and everything certified in r04 (tail
-# comment).
+# three analytics-window entries, the fuzzy entity-resolution join,
+# and the SCD2 point-in-time consumer), the 2 whose only green row is
+# r01, all 31 whose latest official row is r02 (the round-4 deferred
+# list — every one green at its last driver check and locally
+# mirror-green since, including the 4 rows-only media/BPE probes),
+# and the 3 stalest r03-green entries (the §2.6 scalar-function
+# family head). Deferred to r6: the remaining r03-green entries and
+# everything certified in r04 (tail comment).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round (9): never driver-checked
     "q_bpe_seeded",
@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ntile",
     "q_funnel",
     "q_fuzzy_match",
+    "q_scd2_pit",
     # last official row r01 (2)
     "q_scan_csv_literal",
     "q_string_funcs",
@@ -134,14 +135,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_token_count",
     "q_image_features",
     "q_resize_images",
-    # last official row r03 (4): the §2.6 scalar family head
+    # last official row r03 (3): the §2.6 scalar family head
     "q_hash_key",
     "q_weekend_flag",
     "q_date_parts",
-    "q_date_names",
     # (deferred to r6, every one green at its latest official check
     # AND locally green this session (tests/driver simulation): the
-    # rest of the r03 window — q_smart_date_key, q_key_to_date, q_generate_series,
+    # rest of the r03 window — q_date_names, q_smart_date_key, q_key_to_date, q_generate_series,
     # q_round_minutes, q_string_concat, q_coalesce_defaults, q_nullif_sentinel,
     # q_case_age_clean, q_join_inner, q_summary_stats,
     # q_project_rename, q_agg_expr_key, q_agg_first, q_agg_max_dedup,

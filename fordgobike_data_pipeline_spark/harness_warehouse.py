@@ -18,10 +18,9 @@ from .io import load_tables
 from .operators import warehouse
 
 
-@query(
-    "q_scd2",
-    """
-    WITH c AS (
+# SCD2 history CTEs shared by q_scd2 and the point-in-time consumer
+_SCD2_CTES = """
+    c AS (
         SELECT o_custkey AS cust_id, o_orderstatus AS status,
                o_orderpriority AS priority, o_orderdate AS ts,
                o_orderkey AS tb
@@ -44,16 +43,10 @@ from .operators import warehouse
                lead(ts) OVER (PARTITION BY cust_id ORDER BY ts, tb) AS valid_to
         FROM s
     )
-    SELECT cust_id, status, priority, valid_from, valid_to,
-           valid_to IS NULL AS is_current
-    FROM v
-    """,
-)
-def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 dimension history from the orders change log: track
-    each customer's (status, priority) state as validity intervals.
-    Null-safe per-attribute change detection, deterministic same-day
-    tiebreak on the order key, one shuffle on the dimension key."""
+"""
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     changes = orders.select(
         F.col("o_custkey").alias("cust_id"),
@@ -64,6 +57,58 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return warehouse.scd2_history(
         changes, ["cust_id"], ["status", "priority"], "ts", ["tb"]
+    )
+
+
+@query(
+    "q_scd2",
+    f"""
+    WITH {_SCD2_CTES}
+    SELECT cust_id, status, priority, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the orders change log: track
+    each customer's (status, priority) state as validity intervals.
+    Null-safe per-attribute change detection, deterministic same-day
+    tiebreak on the order key, one shuffle on the dimension key."""
+    return _scd2_history(spark, sf_dir)
+
+
+@query(
+    "q_scd2_pit",
+    f"""
+    WITH {_SCD2_CTES}
+    SELECT o.o_orderkey, o.o_custkey,
+           v.status AS status_at, v.priority AS priority_at
+    FROM orders o
+    JOIN v ON v.cust_id = o.o_custkey
+          AND o.o_orderdate >= v.valid_from
+          AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    """,
+)
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the consumer every SCD2 history exists
+    for: each fact row picks the dimension version valid at its own
+    timestamp (key equi-join + interval predicate; the interval filter
+    rides the key join, so the shuffle is on the dimension key and
+    each key's history is small). Exactly one version matches per fact
+    row because the intervals tile (pinned in
+    tests/test_warehouse.py)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    hist = _scd2_history(spark, sf_dir)
+    cond = (
+        (orders["o_custkey"] == hist["cust_id"])
+        & (orders["o_orderdate"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (orders["o_orderdate"] < hist["valid_to"]))
+    )
+    return orders.join(hist, cond).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("status").alias("status_at"),
+        F.col("priority").alias("priority_at"),
     )
 
 

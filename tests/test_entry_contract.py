@@ -44,8 +44,9 @@ def test_oracle_sql_references_only_registered_views():
     allowed = set(TESTDATA_TABLES)
     for name, sql in entry_mod.oracle_sql().items():
         # (?<!DISTINCT\s) keeps `x IS DISTINCT FROM y` from reading as a relation
+        # \b keeps identifiers like `valid_from` from reading as FROM
         froms = re.findall(
-            r"(?:(?<!DISTINCT\s)FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE
+            r"\b(?:(?<!DISTINCT\s)FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE
         )
         for t in froms:
             # CTE names and derived aliases are fine; only flag unknown

@@ -263,3 +263,15 @@ def test_distinct_partials_estimate_close_to_exact(spark):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, est[k], exact[k])
+
+
+def test_scd2_pit_join_matches_every_fact_exactly_once(spark):
+    """Interval tiling means the point-in-time join is lossless and
+    duplicate-free: every order matches exactly one dimension
+    version."""
+    from fordgobike_data_pipeline_spark import harness
+
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    pit = harness.all_queries()["q_scd2_pit"](spark, SF_SMOKE)
+    assert pit.count() == orders.count()
+    assert pit.select("o_orderkey").distinct().count() == orders.count()
