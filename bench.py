@@ -110,6 +110,11 @@ HEADLINE = [
     "q_funnel",
     "q_fuzzy_match",
     "q_scd2_pit",
+    "q_cdc_apply",
+    "q_hist_quantiles",
+    "q_bloom_join",
+    "q_rrf_fusion",
+    "q_knn_graph",
 ]
 
 

@@ -85,7 +85,12 @@ def _ensure_extensions_loaded() -> None:
 # family head). Deferred to r6: the remaining r03-green entries and
 # everything certified in r04 (tail comment).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round (9): never driver-checked
+    # new this round: never driver-checked
+    "q_cdc_apply",
+    "q_hist_quantiles",
+    "q_bloom_join",
+    "q_rrf_fusion",
+    "q_knn_graph",
     "q_bpe_seeded",
     "q_decontaminate_near",
     "q_scd2",
@@ -133,13 +138,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_frame_sample",
     "q_ann_ivf",
     "q_bpe_token_count",
-    "q_image_features",
-    "q_resize_images",
-    # last official row r03 (3): the §2.6 scalar family head
-    "q_hash_key",
-    "q_weekend_flag",
-    "q_date_parts",
-    # (deferred to r6, every one green at its latest official check
+    # (deferred to r6 to make room for the five new never-checked
+    # queries: q_image_features + q_resize_images (rows-only,
+    # judge-smoked r4) and the
+    # r03-head scalars q_hash_key, q_weekend_flag, q_date_parts —
+    # each green at its latest official check AND locally green this
+    # session.)
+    # (also deferred to r6, every one green at its latest official check
     # AND locally green this session (tests/driver simulation): the
     # rest of the r03 window — q_date_names, q_smart_date_key, q_key_to_date, q_generate_series,
     # q_round_minutes, q_string_concat, q_coalesce_defaults, q_nullif_sentinel,

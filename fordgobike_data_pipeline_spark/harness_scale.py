@@ -18,7 +18,16 @@ from pyspark.sql import functions as F
 
 from .harness import query
 from .io import load_tables
-from .operators import dedup, multimodal, sampling, sessions, similarity, temporal, text
+from .operators import (
+    dedup,
+    multimodal,
+    retrieval,
+    sampling,
+    sessions,
+    similarity,
+    temporal,
+    text,
+)
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -533,6 +542,111 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(emb, queries, k=10)
     approx = similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6)
     return similarity.ann_recall_at_k(exact, approx, k=10)
+
+
+_L2_DIST = (
+    "round(sqrt(list_sum(list_transform(range(64), i -> "
+    "(CAST({a}.embedding[i+1] AS DOUBLE) - CAST({b}.embedding[i+1] AS DOUBLE)) * "
+    "(CAST({a}.embedding[i+1] AS DOUBLE) - CAST({b}.embedding[i+1] AS DOUBLE))))), 6)"
+    " + 0.0"
+)
+
+
+@query(
+    "q_rrf_fusion",
+    f"""
+    WITH {_NORM_CTE},
+    q AS (SELECT vec_id, nv FROM n WHERE vec_id < 5),
+    ra AS (
+        SELECT query_id, cand_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_NDOT.format(a='q', b='c')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM q JOIN n c ON c.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    qr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    rb AS (
+        SELECT query_id, cand_id, rank FROM (
+            SELECT qr.vec_id AS query_id, e.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY qr.vec_id
+                       ORDER BY {_L2_DIST.format(a='qr', b='e')} ASC,
+                                e.vec_id) AS rank
+            FROM qr JOIN embeddings e ON e.vec_id != qr.vec_id
+        ) WHERE rank <= 10
+    ),
+    u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+    s AS (
+        SELECT query_id, cand_id,
+               round(sum(1.0 / (60 + rank)), 9) + 0.0 AS rrf_score,
+               CAST(count(*) AS INT) AS n_lists
+        FROM u GROUP BY query_id, cand_id
+    ),
+    f AS (
+        SELECT query_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, cand_id) AS INT) AS fused_rank,
+               cand_id, rrf_score, n_lists
+        FROM s
+    )
+    SELECT query_id, fused_rank, cand_id, rrf_score, n_lists
+    FROM f WHERE fused_rank <= 10
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two dense rankers that genuinely
+    disagree on unnormalized vectors — cosine top-10 vs Euclidean
+    top-10 (operators/retrieval.py) — fused score-free as
+    Σ 1/(60+rank). Both rankers use the salted two-phase top-k; the
+    fusion reads only |queries|·k rows per list, so the rankers, not
+    the fusion, bound the cost at scale. Deterministic end-to-end
+    (rounded metrics, id tiebreaks), so the oracle reproduces the
+    fused ranking exactly."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    by_cos = similarity.cosine_topk(emb, queries, k=10)
+    by_l2 = retrieval.l2_topk(emb, queries, k=10)
+    return retrieval.rrf_fuse([by_cos, by_l2], k0=60, topk=10)
+
+
+@query(
+    "q_knn_graph",
+    f"""
+    WITH {_lsh_sgn_ctes(n_planes=8)},
+    {_NORM_CTE},
+    p AS (
+        SELECT sa.vec_id AS src_id, sb.vec_id AS nbr_id,
+               round({_NDOT.format(a='na', b='nb')}, 6) + 0.0 AS sim
+        FROM sgn sa
+        JOIN sgn sb ON sb.bucket = sa.bucket AND sb.vec_id != sa.vec_id
+        JOIN n na ON na.vec_id = sa.vec_id
+        JOIN n nb ON nb.vec_id = sb.vec_id
+    ),
+    r AS (
+        SELECT src_id, nbr_id, sim,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+        FROM p
+    )
+    SELECT src_id, CAST(rank AS INT) AS rank, nbr_id, sim
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN graph (operators/retrieval.py):
+    every node's top-5 cosine neighbors among its LSH bucket-mates —
+    the structure semantic clustering / diversity sampling / label
+    propagation start from. Both sides shuffle once on the bucket key
+    (no broadcast — every node is a query), exact cosine within
+    buckets only: |corpus|²/2^8 expected pairs, per-node top-k bounded
+    by bucket size. Seeded planes + rounded cosine + id tiebreaks make
+    every edge oracle-reproducible."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return retrieval.knn_graph(emb, k=5, n_planes=8)
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import bloom
 from .harness import query
 from .io import load_tables
 from .operators import warehouse
@@ -233,4 +234,155 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("int").alias("n_chars"),
         "lang",
         "source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply — latest-wins snapshot with delete tombstones
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_apply",
+    """
+    WITH ch AS (
+        SELECT o_custkey AS cust_id, o_orderdate AS ts, o_orderkey AS tb,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+               o_orderstatus AS status, o_totalprice AS total
+        FROM orders
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY cust_id ORDER BY ts DESC, tb DESC) AS rn
+        FROM ch
+    )
+    SELECT cust_id, ts, tb, status, total
+    FROM r WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → current snapshot (warehouse.apply_changelog):
+    per key the LATEST change wins and a latest-change delete tombstone
+    removes the key — the general form of the reference's first-write-
+    wins upsert (silver_load.sql:240-262), which has no delete path.
+    The changelog is synthesized from orders (every 7th order key is a
+    tombstone); one row_number window on (key, ts DESC, tiebreak DESC),
+    one shuffle on the key."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    changes = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    return warehouse.apply_changelog(
+        changes, ["cust_id"], "ts", "op", tiebreak_cols=["tb"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram sketch — quantiles in the incremental-MV algebra
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 120000.0, 128
+_HIST_WIDTH = (_HIST_HI - _HIST_LO) / _HIST_BINS  # 937.5, exactly representable
+
+
+@query(
+    "q_hist_quantiles",
+    f"""
+    WITH vals AS (
+        SELECT l_returnflag AS grp,
+               least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                                   / 120000.0 * 128) AS BIGINT), 0), 127) AS bin
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    h AS (SELECT grp, bin, count(*) AS n FROM vals GROUP BY grp, bin),
+    c AS (
+        SELECT grp, bin,
+               sum(n) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+               sum(n) OVER (PARTITION BY grp) AS total
+        FROM h
+    ),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                     (CAST(0.99 AS DOUBLE))),
+    hit AS (
+        SELECT grp, q, min(bin) AS qbin
+        FROM c JOIN qs ON cum >= q * total
+        GROUP BY grp, q
+    )
+    SELECT grp, q, CAST(qbin AS INT) AS qbin,
+           round(CAST(0.0 AS DOUBLE)
+                 + (qbin + 1) * CAST({_HIST_WIDTH!r} AS DOUBLE), 6) AS q_value
+    FROM hit
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (warehouse.histogram_partials /
+    merge_histogram_partials / histogram_quantiles): the quantile
+    member of the incremental-MV algebra. The Spark path builds
+    per-(group, ship-year) bin-count partials and MERGES them; the
+    oracle histograms the union directly — a hash match proves the
+    merge is batching-invariant (bin counts add exactly, unlike raw
+    percentiles, which don't merge). Estimates are bin right-edges:
+    deterministic, error ≤ one bin width, state ≤ n_bins rows per
+    (key, batch) at any data volume."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    df = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+        F.year("l_shipdate").alias("batch"),
+    )
+    partials = warehouse.histogram_partials(
+        df, ["grp"], "price", "batch", _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+    hist = warehouse.merge_histogram_partials(partials, ["grp"])
+    return warehouse.histogram_quantiles(
+        hist, ["grp"], [0.5, 0.9, 0.99], _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning — explicit runtime row-level filtering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bloom_join",
+    """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month_id,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY month_id
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered semi-join (functions/bloom.py): a compact
+    bitmap built from the dimension's key set is broadcast as a plan
+    literal and cuts the fact rows BEFORE the exact semi-join — the
+    explicit form of Spark/Trino runtime row-level filtering, for dims
+    whose rows don't broadcast but whose key set fits one bit each.
+    The oracle is the PLAIN semi-join: a hash match pins that the
+    bloom layer changes the plan's row flow, never the result (false
+    positives are removed by the exact join; false negatives are
+    impossible by construction — see tests/test_bloom.py)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    dim = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    kept = bloom.bloom_prefiltered_semi_join(
+        t["orders"], dim, "o_custkey", "c_custkey"
+    )
+    return kept.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
     )

@@ -1,0 +1,190 @@
+"""Hybrid-retrieval operators: per-query top-k under a second metric
+(L2) and reciprocal-rank fusion of multiple rankers.
+
+A retrieval stack for training-data curation (and RAG eval) rarely
+trusts one ranker: lexical BM25 (operators/text.py) and dense rankers
+under different metrics (cosine vs L2 — genuinely different orderings
+on unnormalized embeddings) disagree, and rank fusion beats either
+alone. RRF (Cormack et al., SIGIR'09) is the standard score-free
+fusion: score(item) = Σ_lists 1/(k0 + rank).
+
+Scale shape: each ranker's top-k output is |queries|·k rows — tiny
+relative to the corpus — so the fusion itself (one union + one
+grouped sum + one per-query window over ≤ Σk rows) is never the
+bottleneck; the rankers are, and they use the salted two-phase top-k
+(similarity.cosine_topk) so no collect_list exceeds |corpus|/n_salt.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _hyperplanes, _topk_struct, dot, lsh_signature, unit_normalize
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exact brute-force Euclidean top-k per query (ASCENDING distance)
+    over the RAW vectors — the metric twin of similarity.cosine_topk,
+    same salted two-phase aggregation (every collect_list bounded by
+    ≈|corpus|/n_salt, queries broadcast, corpus scanned once).
+
+    The distance is a left-to-right double fold (zip_with diff² +
+    sequential sum), so a SQL oracle reproduces every distance — and
+    hence every rank — bit-exactly."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_part).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    diff = F.zip_with(
+        F.col("q_vec"),
+        F.col("c_vec"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.round(dist, 6) + F.lit(0.0)).alias("dist"),
+        )
+    )
+    # ascending distance: the sortable struct negates DESC metrics, so
+    # feed it the negated distance (top-k smallest == top-k largest -d)
+    entry = _topk_struct(-F.col("dist"), F.col("cand_id").alias("cand_id"))
+    partial = (
+        pairs.withColumn("salt", F.pmod(F.xxhash64("cand_id"), F.lit(n_salt)))
+        .groupBy("query_id", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
+    )
+    final = (
+        partial.select("query_id", F.explode("top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+    )
+    return final.select("query_id", F.posexplode("top").alias("pos", "e")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        F.col("e.neg_sim").alias("dist"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion: union the ranked lists, score each
+    (query, item) as Σ 1/(k0 + rank) over the lists it appears in,
+    re-rank per query (score DESC, item id tiebreak), keep ``topk``.
+
+    Score-free by design — it consumes only RANKS, so rankers with
+    incomparable score scales (BM25 logs vs cosine in [-1,1] vs L2
+    distances) fuse without calibration. ``n_lists`` is kept in the
+    output: consensus items (in every list) vs single-ranker items is
+    the first thing an eval wants to slice by.
+
+    With ≤ a handful of lists, the per-(query, item) sum adds at most
+    that many doubles — IEEE addition of two summands is commutative,
+    and the rounded output pins the oracle regardless."""
+    tagged = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("cand_id"),
+            F.col(rank_col).cast("int").alias("rank"),
+        )
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionByName, tagged)
+    scored = u.groupBy("query_id", "cand_id").agg(
+        (F.round(F.sum(F.lit(1.0) / (F.lit(k0) + F.col("rank"))), 9) + F.lit(0.0)).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= topk)
+        .select("query_id", "fused_rank", "cand_id", "rrf_score", "n_lists")
+    )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus — the structure
+    semantic-dedup clustering, diversity sampling, and label
+    propagation all start from.
+
+    Unlike lsh_ann_topk (few queries, broadcast), EVERY node is a
+    query, so both sides shuffle once on the LSH bucket key and the
+    exact cosine runs within buckets only: expected work is
+    |corpus|²/2^n_planes pairs instead of |corpus|² — n_planes is the
+    recall/cost knob, and at 100 TB you'd also band the signature
+    (multiple shorter hashes, union of bucket joins) exactly as the
+    MinHash path does (dedup.py) rather than raise n_planes alone. The
+    per-node top-k is one bounded sort-slice per node (candidates ≤
+    bucket size). Deterministic end-to-end: seeded hyperplanes,
+    rounded cosine, id tiebreaks — the oracle reproduces every edge.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        unit_normalize(F.col(vec_col)).alias("nv"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("id").alias("src_id"), F.col("nv").alias("a_vec"), "bucket"
+    )
+    b = sig.select(
+        F.col("id").alias("nbr_id"), F.col("nv").alias("b_vec"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            (F.round(dot(F.col("a_vec"), F.col("b_vec")), 6) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+    )
+    entry = _topk_struct(F.col("sim"), F.col("nbr_id").alias("nbr_id"))
+    per = pairs.groupBy("src_id").agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top")
+    )
+    return per.select("src_id", F.posexplode("top").alias("pos", "e")).select(
+        "src_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.nbr_id").alias("nbr_id"),
+        (-F.col("e.neg_sim")).alias("sim"),
+    )

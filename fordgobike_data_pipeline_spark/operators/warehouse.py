@@ -192,6 +192,137 @@ def heavy_hitters(
 
 
 # ---------------------------------------------------------------------------
+# CDC changelog apply (latest-wins snapshot compaction)
+# ---------------------------------------------------------------------------
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    tiebreak_cols: list[str] | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Compact a CDC change log into the current snapshot: per key,
+    the latest change wins; a latest-change delete tombstone removes
+    the key from the snapshot entirely.
+
+    This is the general form of the reference's current-state upsert
+    (silver_load.sql:240-262 keeps first-write-wins and has no delete
+    path): one ``row_number`` window on (key, ts DESC, tiebreak DESC),
+    keep rank 1, drop tombstones. One shuffle on the key; cost scales
+    with the changelog slice being compacted, never the snapshot
+    width, so at 100 TB you compact the day's changelog partition and
+    merge with yesterday's snapshot (itself expressible as a changelog
+    of 'upsert' rows with an older ``ts``).
+
+    ``tiebreak_cols`` orders same-``ts`` changes deterministically —
+    required for idempotent re-runs and oracle parity, same contract
+    as :func:`scd2_history`.
+    """
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram sketch (quantiles in the MV algebra)
+# ---------------------------------------------------------------------------
+
+
+def histogram_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Fixed-width bin index in [0, n_bins): floor((v-lo)/(hi-lo)*n)
+    clamped at both edges (so outliers land in the boundary bins and
+    the sketch never drops rows). The arithmetic is plain IEEE-double
+    ops in a fixed order, so a SQL oracle reproduces every bin
+    assignment bit-exactly."""
+    v = value.cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n_bins))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+
+
+def histogram_partials(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    batch_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-(key, batch, bin) counts — the mergeable quantile state for
+    an incremental MV. count/sum/min/max merge exactly
+    (:func:`aggregate_partials`) and HLL covers COUNT(DISTINCT)
+    (:func:`aggregate_distinct_partials`); quantiles are the remaining
+    non-mergeable aggregate, and a fixed-bin histogram makes them
+    mergeable too: bin counts ADD across batches, so refresh touches
+    only the new batch's partials. Resolution is (hi-lo)/n_bins —
+    pick n_bins for the error you can tolerate; the state per (key,
+    batch) is at most n_bins rows regardless of data volume. NULLs are
+    excluded (count semantics, same as every aggregate here)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *key_cols,
+            batch_col,
+            histogram_bin(F.col(value_col), lo, hi, n_bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("p_n"))
+    )
+
+
+def merge_histogram_partials(
+    partials: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Fold per-batch histogram partials into the per-key histogram
+    (bin counts are plain sums — exact, order- and batching-invariant)."""
+    return partials.groupBy(*key_cols, "bin").agg(F.sum("p_n").alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, key_cols: list[str], qs: list[float], lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Quantile estimates from a merged histogram: for each q, the
+    RIGHT EDGE of the first bin whose cumulative count reaches
+    q·total (the conservative upper-bound estimator — deterministic,
+    no interpolation, error bounded by one bin width). The q list is a
+    bounded literal relation (broadcast), cumulative counts are one
+    window over the ≤n_bins rows per key, so the whole estimate reads
+    sketch state only — never the raw data."""
+    w_cum = Window.partitionBy(*key_cols).orderBy("bin")
+    w_tot = Window.partitionBy(*key_cols)
+    cum = hist.select(
+        *key_cols,
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    spark = hist.sparkSession
+    q_df = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    width = (hi - lo) / n_bins
+    hit = cum.join(F.broadcast(q_df)).filter(
+        F.col("cum") >= F.col("q") * F.col("total")
+    )
+    first_bin = hit.groupBy(*key_cols, "q").agg(F.min("bin").alias("qbin"))
+    return first_bin.select(
+        *key_cols,
+        "q",
+        "qbin",
+        F.round(
+            F.lit(float(lo)) + (F.col("qbin") + F.lit(1)) * F.lit(float(width)), 6
+        ).alias("q_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distinct-count MV maintenance (HLL sketch partials)
 # ---------------------------------------------------------------------------
 

@@ -275,3 +275,88 @@ def test_scd2_pit_join_matches_every_fact_exactly_once(spark):
     pit = harness.all_queries()["q_scd2_pit"](spark, SF_SMOKE)
     assert pit.count() == orders.count()
     assert pit.select("o_orderkey").distinct().count() == orders.count()
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_latest_wins_and_tombstones(spark):
+    """Per key the newest change wins; a newest-change delete removes
+    the key; a delete SUPERSEDED by a later upsert resurrects it."""
+    rows = [
+        ("a", _ts(1), 1, "upsert", "v1"),
+        ("a", _ts(2), 2, "upsert", "v2"),   # latest for a → wins
+        ("b", _ts(1), 3, "upsert", "v1"),
+        ("b", _ts(2), 4, "delete", None),   # latest for b → gone
+        ("c", _ts(1), 5, "delete", None),
+        ("c", _ts(2), 6, "upsert", "back"), # delete superseded → present
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, tb int, op string, val string"
+    )
+    snap = warehouse.apply_changelog(df, ["key"], "ts", "op", ["tb"])
+    got = {r.key: r.val for r in snap.collect()}
+    assert got == {"a": "v2", "c": "back"}
+    assert "op" not in snap.columns
+
+
+def test_cdc_same_ts_tiebreak_and_idempotence(spark):
+    """Same-ts changes order by the tiebreak (higher wins under DESC);
+    re-applying the same changelog yields the identical snapshot."""
+    rows = [
+        ("k", _ts(1), 10, "upsert", "lo"),
+        ("k", _ts(1), 20, "upsert", "hi"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, tb int, op string, val string"
+    )
+    one = warehouse.apply_changelog(df, ["key"], "ts", "op", ["tb"]).collect()
+    two = warehouse.apply_changelog(df, ["key"], "ts", "op", ["tb"]).collect()
+    assert [(r.key, r.val) for r in one] == [("k", "hi")]
+    assert one == two
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_merge_is_batching_invariant(spark):
+    """Partials built under two different batch splits merge into the
+    identical histogram (bin counts add exactly)."""
+    li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"].select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") % 2).alias("b2"),
+        (F.col("l_orderkey") % 5).alias("b5"),
+    )
+    h2 = warehouse.merge_histogram_partials(
+        warehouse.histogram_partials(li, ["g"], "v", "b2", 0.0, 120000.0, 64), ["g"]
+    )
+    h5 = warehouse.merge_histogram_partials(
+        warehouse.histogram_partials(li, ["g"], "v", "b5", 0.0, 120000.0, 64), ["g"]
+    )
+    assert sorted(map(tuple, h2.collect())) == sorted(map(tuple, h5.collect()))
+
+
+def test_histogram_quantile_bounds_and_clamp(spark):
+    """The q-estimate's bin always covers ≥ q of the mass, out-of-range
+    values land in the edge bins, and state stays ≤ n_bins rows."""
+    rows = [("g", float(v)) for v in range(100)] + [("g", -50.0), ("g", 999.0)]
+    df = spark.createDataFrame(rows, "g string, v double").withColumn(
+        "b", F.lit(0)
+    )
+    p = warehouse.histogram_partials(df, ["g"], "v", "b", 0.0, 100.0, 10)
+    hist = warehouse.merge_histogram_partials(p, ["g"])
+    hrows = hist.collect()
+    assert len(hrows) <= 10
+    bins = {r.bin: r.n for r in hrows}
+    assert bins[0] == 11  # -50 clamped into bin 0 alongside 0..9
+    assert bins[9] == 11  # 999 clamped into bin 9 alongside 90..99
+    qs = warehouse.histogram_quantiles(hist, ["g"], [0.5, 1.0], 0.0, 100.0, 10)
+    got = {r.q: (r.qbin, r.q_value) for r in qs.collect()}
+    # 51 of 102 rows lie in bins 0..4 → cum(4) = 51 ≥ 0.5·102
+    assert got[0.5] == (4, 50.0)
+    assert got[1.0] == (9, 100.0)
