@@ -115,6 +115,12 @@ HEADLINE = [
     "q_bloom_join",
     "q_rrf_fusion",
     "q_knn_graph",
+    "q_winsorize",
+    "q_row_index",
+    "q_stratum_sample",
+    "q_pagerank",
+    "q_late_interaction",
+    "q_gap_fill",
 ]
 
 

@@ -91,6 +91,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bloom_join",
     "q_rrf_fusion",
     "q_knn_graph",
+    "q_winsorize",
+    "q_row_index",
+    "q_stratum_sample",
+    "q_pagerank",
+    "q_late_interaction",
+    "q_gap_fill",
     "q_bpe_seeded",
     "q_decontaminate_near",
     "q_scd2",
@@ -117,7 +123,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_topk_routes",
     "q_upsert_skip_conflict",
     "q_decontaminate",
-    "q_pack_sequences",
     "q_dedup_exact",
     "q_embed_cosine_pairs",
     "q_ann_topk",
@@ -127,21 +132,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tfidf",
     "q_token_budget",
     "q_dedup_incremental",
-    "q_normalize_text",
     "q_pii_redact",
     "q_repetition_ratio",
-    "q_domain_cap",
-    "q_train_split",
     "q_text_stats",
     "q_doc_fingerprint",
     "q_multimodal_meta",
     "q_frame_sample",
-    "q_ann_ivf",
-    "q_bpe_token_count",
-    # (deferred to r6 to make room for the five new never-checked
-    # queries: q_image_features + q_resize_images (rows-only,
-    # judge-smoked r4) and the
-    # r03-head scalars q_hash_key, q_weekend_flag, q_date_parts —
+    # (deferred to r6 to make room for the ELEVEN new never-checked
+    # queries this round: the rows-only q_ann_ivf, q_bpe_token_count,
+    # q_image_features, q_resize_images (each judge-smoked r4; the
+    # seeded oracle twins of the first two remain IN the window),
+    # the curation ops q_pack_sequences, q_train_split, q_domain_cap,
+    # q_normalize_text (r02-official-green, unit-tested, locally green
+    # this round), and
+    # the r03-head scalars q_hash_key, q_weekend_flag, q_date_parts —
     # each green at its latest official check AND locally green this
     # session.)
     # (also deferred to r6, every one green at its latest official check

@@ -204,3 +204,32 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cnt"),
         F.sum("weight").cast("long").alias("total_weight"),
     )
+
+
+@query(
+    "q_winsorize",
+    """
+    WITH q AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 4) AS c_lo,
+               round(quantile_cont(value, 0.95), 4) AS c_hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           least(greatest(CAST(e.value AS DOUBLE), c_lo), c_hi) AS value_w,
+           (CAST(e.value AS DOUBLE) < c_lo OR CAST(e.value AS DOUBLE) > c_hi)
+               AS was_clipped
+    FROM events e JOIN q USING (event_type)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (quality.winsorize) — the FIX step to
+    q_outlier_iqr's detect step: values outside the group's
+    [p05, p95] clamp to the bounds, flagged. Bounds are exact
+    interpolated percentiles rounded to 4dp before clamping (the
+    proven cross-engine parity), derived in one bounded per-group agg
+    and applied in one broadcast-joined pass."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return quality.winsorize(ev, "value", "event_type").select(
+        "event_id", "event_type", "value_w", "was_clipped"
+    )

@@ -20,6 +20,7 @@ from .harness import query
 from .io import load_tables
 from .operators import (
     dedup,
+    graph,
     multimodal,
     retrieval,
     sampling,
@@ -2216,3 +2217,209 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_mod.edit_distance_join(
         clean, dirty, "clean_id", "dirty_id", "name", max_dist=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size stratified sampling / graph authority / late interaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stratum_sample",
+    """
+    WITH h AS (
+        SELECT event_id, event_type,
+               CAST(CAST(from_hex(substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+                    AS BIT) AS BIGINT) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type AS stratum, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hv, event_id) AS rn
+        FROM h
+    )
+    SELECT stratum, CAST(rn AS INT) AS sample_rank, event_id
+    FROM r WHERE rn <= 50
+    """,
+)
+def q_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50-per-stratum deterministic sample
+    (sampling.per_stratum_fixed_sample) — the fixed-COUNT twin of the
+    rate-based q_deterministic_sample ("50 docs per language", the
+    eval-set construction shape). Selection order is the md5 hash of
+    the key (pure row function, engine-reproducible), realized as a
+    salted two-phase top-n so a hot stratum never serializes through
+    one task; the oracle is the per-stratum window the two-phase form
+    replaces."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return sampling.per_stratum_fixed_sample(ev, "event_id", "event_type", n=50)
+
+
+_PR_SCALE = 1_000_000_000_000
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT e.dst AS node,
+               (((CAST({_PR_SCALE} AS BIGINT) // r.n) * 15) // 100)
+               + sum((r.r * 85) // (100 * d.outdeg)) AS r, r.n AS n
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst, r.n
+    )"""
+
+
+@query(
+    "q_pagerank",
+    f"""
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    edges AS (
+        SELECT 'p' || CAST(p AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst
+        FROM e0
+        UNION ALL
+        SELECT 's' || CAST(s AS VARCHAR), 'p' || CAST(p AS VARCHAR) FROM e0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) // n AS r, n FROM nodes, nn),
+    {_pr_iter_sql('r0', 'r1')},
+    {_pr_iter_sql('r1', 'r2')},
+    {_pr_iter_sql('r2', 'r3')}
+    SELECT node, CAST(r AS BIGINT) AS rank_int,
+           round(CAST(r AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE), 9) AS rank
+    FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the part↔supplier co-occurrence graph
+    (operators/graph.py) — link-derived authority as a quality prior.
+    Ranks live as BIGINT fixed-point and every contribution is integer
+    `div`, so the per-node sums are order-independent and the oracle
+    reproduces every rank bit-exactly — the PQ-ADC determinism trick
+    applied to an iterative algorithm (a nondeterministic double sum
+    could not be hash-checked at all). 2 shuffles per iteration,
+    state = one row per node."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = e0.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    rev = e0.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return graph.pagerank(fwd.unionByName(rev), iterations=3)
+
+
+_TOK_NORM = (
+    "list_transform(range(16), j -> CAST(embedding[16*ti + j + 1] AS DOUBLE) / "
+    "sqrt(list_sum(list_transform(range(16), j2 -> "
+    "CAST(embedding[16*ti + j2 + 1] AS DOUBLE) * "
+    "CAST(embedding[16*ti + j2 + 1] AS DOUBLE)))))"
+)
+
+
+@query(
+    "q_late_interaction",
+    f"""
+    WITH toks AS (
+        SELECT vec_id, ti, {_TOK_NORM} AS tv
+        FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS ti) t
+    ),
+    qt AS (SELECT vec_id, ti, tv FROM toks WHERE vec_id < 5),
+    p AS (
+        SELECT qt.vec_id AS query_id, c.vec_id AS cand_id, qt.ti AS q_ti,
+               round(list_sum(list_transform(range(16),
+                     i -> qt.tv[i+1] * c.tv[i+1])), 6) + 0.0 AS cos
+        FROM qt JOIN toks c ON c.vec_id != qt.vec_id
+    ),
+    m AS (
+        SELECT query_id, cand_id,
+               max(CASE WHEN q_ti = 0 THEN cos END) AS m0,
+               max(CASE WHEN q_ti = 1 THEN cos END) AS m1,
+               max(CASE WHEN q_ti = 2 THEN cos END) AS m2,
+               max(CASE WHEN q_ti = 3 THEN cos END) AS m3
+        FROM p GROUP BY query_id, cand_id
+    ),
+    s AS (SELECT query_id, cand_id, m0 + m1 + m2 + m3 AS score FROM m),
+    r AS (
+        SELECT query_id, cand_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+        FROM s
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, score
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim top-10 (retrieval.maxsim_topk): each
+    embedding treated as 4 token sub-vectors of 16 dims,
+    score = Σ_qt max_ct cos — the multi-vector scoring that keeps
+    per-token matching signal a pooled single vector destroys. Token
+    expansion is a shuffle-free posexplode, the 4 maxes collapse in
+    one conditional-max aggregation, then the salted two-phase top-k.
+    Rounded cosines + fixed-order max-sum + id tiebreaks make the full
+    ranking oracle-reproducible."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return retrieval.maxsim_topk(emb, queries, k=10)
+
+
+@query(
+    "q_gap_fill",
+    """
+    WITH daily AS (
+        SELECT user_id % 100 AS grp, CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               CASE WHEN count(value) > 0 THEN
+                   CAST((sum(CAST(floor(CAST(value AS DOUBLE) * 1000)
+                                  AS BIGINT))
+                         - (((sum(CAST(floor(CAST(value AS DOUBLE) * 1000)
+                                       AS BIGINT)) % count(value))
+                             + count(value)) % count(value)))
+                        // count(value) AS DOUBLE)
+                   / CAST(1000 AS DOUBLE)
+               END AS day_avg
+        FROM events GROUP BY grp, day
+    ),
+    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    days AS (
+        SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    cal AS (
+        SELECT k.grp, days.day
+        FROM (SELECT DISTINCT grp FROM daily) k CROSS JOIN days
+    ),
+    f AS (
+        SELECT c.grp, c.day, coalesce(d.n, 0) AS n_events, d.day_avg
+        FROM cal c LEFT JOIN daily d ON d.grp = c.grp AND d.day = c.day
+    )
+    SELECT grp, day, n_events,
+           last_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS locf_avg
+    FROM f
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill + LOCF (temporal.gap_fill_daily): densify sparse
+    per-user event series to one row per (user-bucket, day) over the
+    global span — zero-filled counts, last-observation-carried-forward
+    daily mean (rounded BEFORE the fill, so the carried value is
+    bit-stable). Calendar = keys × bounded date sequence from a 1-row
+    broadcast span; the regularization step any trend/window analysis
+    over irregular events needs first."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    keyed = ev.select(
+        F.pmod(F.col("user_id"), F.lit(100)).alias("uk"), "ts", "value"
+    )
+    return temporal.gap_fill_daily(keyed, "uk", "ts", "value")

@@ -386,3 +386,31 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global row index — distributed contiguous numbering without a global sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_row_index",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS row_idx
+    FROM events
+    """,
+)
+def q_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 global row index in (ts, event_id) order
+    (warehouse.global_row_index): range-repartition on the order key,
+    per-partition counts → cumulative offsets (window over ≤ n_parts
+    rows), local row_number + offset. The oracle is the single-
+    partition ``row_number() OVER (ORDER BY …)`` the distributed form
+    replaces — a hash match proves the three-step decomposition
+    reproduces the exact total order while no task ever sorts more
+    than its range slice."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return warehouse.global_row_index(ev, ["ts", "event_id"]).select(
+        "event_id", "row_idx"
+    )

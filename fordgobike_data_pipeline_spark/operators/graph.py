@@ -1,0 +1,90 @@
+"""Graph analytics over edge tables: fixed-iteration PageRank in
+fixed-point integer arithmetic.
+
+dedup.connected_components already covers the clustering side of
+graph work; PageRank is the other primitive a corpus pipeline wants —
+link-derived document authority is a classic quality prior (crawl
+frontier ordering, seed weighting for quality classifiers).
+
+The distributed-determinism problem PageRank poses is FLOATING-POINT
+SUMMATION: each iteration sums contributions over in-edges, and
+double addition is order-dependent across partitions, so a naive
+implementation can't be hash-checked against an oracle (or even
+against its own rerun). Same trick as the PQ ADC path
+(similarity.py): ranks live as BIGINT fixed-point (scale 1e12) and
+every per-edge contribution is integer `div` — integer sums are
+associative AND commutative, so any partitioning yields bit-identical
+ranks. The cost is deterministic truncation (each edge floor-drops
+< 1 ulp of scaled mass per hop), which biases total mass down by an
+ignorable ~outdeg·1e-12 per node per iteration — a documented,
+deterministic approximation rather than a nondeterministic exact sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e12 fixed-point rank scale
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table where every
+    node has at least one out-edge (feed an undirected graph as both
+    directions — then there are no dangling nodes and no teleport
+    redistribution to model).
+
+    Each iteration is one join of ranks onto edges (shuffle on src)
+    plus one sum by dst (shuffle on dst) — 2·iterations shuffles
+    total, state is one row per node, nothing driver-side. Damping is
+    a PERCENT (integer), keeping the whole recurrence in exact
+    integer arithmetic:
+
+        r'(v) = (SCALE/N)·(100−d)/100  +  Σ_in  (r(u)·d) div (100·outdeg(u))
+
+    Checkpoint ``iterations`` stays small (this is the bounded-hop
+    authority prior, not a convergence loop); for a convergence-style
+    run, localCheckpoint every few iterations to cut lineage, exactly
+    as dedup.connected_components does.
+
+    Returns (node, rank_int, rank) — rank_int is the exact fixed-point
+    BIGINT (hash-comparable), rank its double rendering.
+    """
+    # every iteration re-reads the edge table; cut its upstream lineage
+    # (often a DISTINCT or union) so it materializes once, the same
+    # contract as dedup.connected_components' iteration checkpoints
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # N is a single long — bounded control data, collected once so the
+    # base term is a plan literal instead of a column carried through
+    # every edge row of every iteration
+    n_nodes = deg.count()
+    base = ((SCALE // n_nodes) * (100 - damping_pct)) // 100
+    ranks = deg.select("node", F.lit(SCALE // n_nodes).cast("long").alias("r"))
+    for _ in range(iterations):
+        # attach outdeg to the |nodes|-sized rank state (cheap), then one
+        # join onto the edge table keyed by src
+        rs = ranks.join(deg, "node").select(
+            F.col("node").alias("src"),
+            F.expr(f"(r * {damping_pct}) div (100 * outdeg)").alias("c"),
+        )
+        ranks = (
+            e.join(rs, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.lit(base).cast("long") + F.sum("c")).alias("r"))
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_int"),
+        F.round(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
+    )

@@ -127,3 +127,34 @@ def iqr_outlier_census(
             F.round(F.col("n_outliers") / F.col("n_values"), 6).alias("outlier_ratio"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile clamp (robust cleaning's fix step, where
+    :func:`iqr_outlier_census` is the detect step): values below the
+    group's p_lo percentile or above p_hi are clamped to those bounds,
+    and a flag records which rows were touched. Bounds are exact
+    interpolated percentiles rounded to 4dp BEFORE clamping — any
+    engine derives identical bounds (the q_outlier_iqr-proven parity).
+    Same two-pass shape: one bounded per-group percentile agg, one
+    broadcast-joined clamp pass. At 100 TB swap percentile →
+    approx_percentile (t-digest partials), same flagged deviation as
+    the percentile queries."""
+    v = F.col(value_col).cast("double")
+    q = df.groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(p_lo)), 4).alias("c_lo"),
+        F.round(F.percentile(value_col, F.lit(p_hi)), 4).alias("c_hi"),
+    )
+    out = df.join(q, group_col)
+    clamped = F.least(F.greatest(v, F.col("c_lo")), F.col("c_hi"))
+    return out.select(
+        *df.columns,
+        clamped.alias(f"{value_col}_w"),
+        ((v < F.col("c_lo")) | (v > F.col("c_hi"))).alias("was_clipped"),
+    )

@@ -188,3 +188,84 @@ def knn_graph(
         F.col("e.nbr_id").alias("nbr_id"),
         (-F.col("e.neg_sim")).alias("sim"),
     )
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_salt: int = 32,
+) -> DataFrame:
+    """ColBERT-style late interaction (MaxSim) top-k: treat each
+    embedding as ``n_sub`` token sub-vectors of ``sub_dim`` dims;
+    score(q, c) = Σ_{query tokens} max_{cand tokens} cos(qt, ct).
+    Multi-vector scoring keeps per-token matching signal that a single
+    pooled vector destroys — the standard retrieval-quality upgrade
+    between bi-encoder and cross-encoder cost.
+
+    Shape: token expansion is a per-row posexplode (n_sub× rows, no
+    shuffle), query tokens broadcast, and the n_sub maxes per
+    (query, cand) collapse in ONE aggregation (conditional max per
+    query-token index — no pivot, no second shuffle), then the salted
+    two-phase top-k. Determinism: per-token cosines round to 6dp, the
+    n_sub maxes add in fixed left-to-right order, ids break ties — so
+    a SQL oracle reproduces the full ranking.
+    """
+    def tokens(df: DataFrame, idname: str) -> DataFrame:
+        subs = F.array(
+            *[
+                unit_normalize(F.slice(F.col(vec_col), i * sub_dim + 1, sub_dim))
+                for i in range(n_sub)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idname), F.posexplode(subs).alias("ti", "tv")
+        )
+
+    q_t = tokens(queries, "query_id").withColumnRenamed("ti", "q_ti")
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    c_t = (
+        tokens(corpus.repartition(n_part), "cand_id")
+        .withColumnRenamed("tv", "c_tv")
+        .withColumnRenamed("ti", "c_ti")
+    )
+    pairs = (
+        c_t.crossJoin(F.broadcast(q_t))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "q_ti",
+            (F.round(dot(F.col("tv"), F.col("c_tv")), 6) + F.lit(0.0)).alias("cos"),
+        )
+    )
+    maxes = [
+        F.max(F.when(F.col("q_ti") == i, F.col("cos"))).alias(f"m{i}")
+        for i in range(n_sub)
+    ]
+    scored = pairs.groupBy("query_id", "cand_id").agg(*maxes)
+    score = F.col("m0")
+    for i in range(1, n_sub):
+        score = score + F.col(f"m{i}")
+    scored = scored.select("query_id", "cand_id", score.alias("score"))
+    entry = _topk_struct(F.col("score"), F.col("cand_id").alias("cand_id"))
+    partial = (
+        scored.withColumn("salt", F.pmod(F.xxhash64("cand_id"), F.lit(n_salt)))
+        .groupBy("query_id", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
+    )
+    final = (
+        partial.select("query_id", F.explode("top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+    )
+    return final.select("query_id", F.posexplode("top").alias("pos", "e")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.cand_id").alias("cand_id"),
+        (-F.col("e.neg_sim")).alias("score"),
+    )

@@ -44,3 +44,44 @@ def stratified_deterministic_sample(
             F.col(stratum_col) == stratum, F.lit(int(rate * _M))
         ).otherwise(threshold)
     return df.filter(_bucket(F.col(key_col)) < threshold)
+
+
+def per_stratum_fixed_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    n: int,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, deterministically —
+    the fixed-COUNT twin of the rate-based samplers above (eval-set
+    construction wants "500 docs per language", not "0.1% of each").
+
+    Selection order is the md5 hash of the key (so the sample is a
+    pure row function, stable across engines/layouts), realized as a
+    salted two-phase top-n — per-(stratum, salt) partial top-n bounds
+    every collect_list to ≈|stratum|/n_salt, then one merge of
+    n_salt·n structs per stratum. No per-stratum global sort, so a
+    hot stratum never serializes through one task (the same shape as
+    similarity.cosine_topk).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 16), 16, -10
+    ).cast("long")
+    entry = F.struct(h.alias("hv"), F.col(key_col).alias("k"))
+    partial = (
+        df.select(F.col(stratum_col).alias("stratum"), entry.alias("e"))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("e.k")), F.lit(n_salt)))
+        .groupBy("stratum", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, n).alias("top"))
+    )
+    final = (
+        partial.select("stratum", F.explode("top").alias("e"))
+        .groupBy("stratum")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, n).alias("top"))
+    )
+    return final.select("stratum", F.posexplode("top").alias("pos", "e")).select(
+        "stratum",
+        (F.col("pos") + 1).cast("int").alias("sample_rank"),
+        F.col("e.k").alias(key_col),
+    )

@@ -102,3 +102,79 @@ def range_join_pairs(
             key_col, "id_a", "id_b", (dt / 1_000_000.0).alias("dt_sec")
         )
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense daily time series per key from sparse events: one row per
+    (key, day) across the GLOBAL [min day, max day] span, zero-filled
+    counts, and last-observation-carried-forward (LOCF) for the daily
+    mean — the regularization step before any window/trend computation
+    on irregular event data (and the dashboard-feed shape the
+    reference's daily mart approximates with only observed days,
+    gold_ddl.sql:11-26).
+
+    Shape: one aggregation to daily grains; the calendar is
+    keys × sequence(d0, d1) — the span is a 1-row broadcast and the
+    explode is bounded by span length, so the densified table is
+    |keys|·|days| by construction, never a shuffle amplification. The
+    LOCF window partitions by key ordered by day (≤ |days| rows per
+    partition). The carried daily mean derives from an INTEGER
+    milli-sum (floor(v·1000) per row, summed as BIGINT): integer
+    addition is order-independent, so the carried value is bit-stable
+    under any partitioning — a plain double avg differs in the low
+    digits between summation orders and cannot be carried
+    deterministically (precision cost: 1e-3 per input value).
+    """
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("grp"), F.to_date(F.col(ts_col)).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(v * 1000).cast("long")).alias("_s"),
+            F.count(v).alias("_nv"),
+        )
+        .withColumn(
+            # integer milli-mean via explicit FLOOR division (pmod keeps
+            # it exact for negative sums too — `div` truncates toward
+            # zero while SQL `//` floors), then an exact /1000.0 — no
+            # round() call anywhere, so no half-boundary disagreement
+            # between engines
+            "day_avg",
+            F.when(
+                F.col("_nv") > 0,
+                F.expr("(_s - pmod(_s, _nv)) div _nv").cast("double")
+                / F.lit(1000.0),
+            ),
+        )
+        .drop("_s", "_nv")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    keys = daily.select("grp").distinct()
+    cal = keys.crossJoin(F.broadcast(span)).select(
+        "grp",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    filled = cal.join(daily, ["grp", "day"], "left").select(
+        "grp",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        "day_avg",
+    )
+    w = Window.partitionBy("grp").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return filled.select(
+        "grp",
+        "day",
+        "n_events",
+        F.last("day_avg", ignorenulls=True).over(w).alias("locf_avg"),
+    )

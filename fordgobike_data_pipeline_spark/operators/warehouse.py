@@ -357,3 +357,51 @@ def merge_distinct_partials(partials: DataFrame, key_cols: list[str]) -> DataFra
     return partials.groupBy(*key_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("p_sketch")).alias("approx_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global row index (distributed contiguous numbering)
+# ---------------------------------------------------------------------------
+
+
+def global_row_index(
+    df: DataFrame, order_cols: list[str], n_parts: int | None = None
+) -> DataFrame:
+    """Contiguous 0..N-1 ``row_idx`` in total ``order_cols`` order —
+    without a single-partition global sort (the trap behind
+    ``row_number() OVER (ORDER BY …)`` at scale, and the primitive
+    shard interleaving / resumable sharding / stable pagination need).
+
+    Three bounded steps: range-repartition on the order key (each
+    partition owns a disjoint key range), per-partition counts →
+    cumulative offsets (one window over ≤ n_parts rows), then local
+    row_number + offset. The per-partition window partitions by the
+    range-partition id, so no task ever sorts more than its range
+    slice. The OUTPUT is independent of where the sampled range
+    boundaries fall: ranges are disjoint and ordered, so
+    offset + local rank always reproduces the unique total order —
+    which is why an oracle can pin it with a plain global row_number.
+    ``order_cols`` must be a total order (add a tiebreak column);
+    ties that straddle a boundary would otherwise number
+    nondeterministically.
+    """
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "row_idx",
+            (F.row_number().over(w_local) + F.col("_off") - 1).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

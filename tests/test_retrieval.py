@@ -109,3 +109,33 @@ def test_knn_graph_shape_and_determinism(spark):
         assert len(edges) <= 3
     g2 = retrieval.knn_graph(emb, k=3, n_planes=4).collect()
     assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
+
+
+def test_maxsim_rewards_per_token_match(spark):
+    """A candidate matching each query token in a different sub-vector
+    beats one pooled-similar candidate — the signal MaxSim keeps."""
+    # 32-dim vectors = 2 sub-vectors of 16 (n_sub=2)
+    def vec(a, b):
+        return [float(a)] * 16 + [float(b)] * 16
+
+    corpus = spark.createDataFrame(
+        [
+            (0, vec(1, -1)),   # query: token0=+1s, token1=-1s
+            (1, vec(1, -1)),   # perfect per-token match
+            (2, vec(1, 1)),    # matches token0 only
+            (3, vec(-1, 1)),   # anti-matches both
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = corpus.filter(F.col("vec_id") == 0)
+    got = {
+        r.rank: (r.cand_id, r.score)
+        for r in retrieval.maxsim_topk(corpus, q, k=3, n_sub=2, sub_dim=16).collect()
+    }
+    # cand 1 matches per token; cand 3 matches both query tokens too —
+    # in SWAPPED sub-vector positions, which MaxSim's max-over-candidate-
+    # tokens deliberately forgives (order-invariant token matching);
+    # cand 2 can satisfy only one query token (0.0 = 1 + (-1))
+    assert got[1] == (1, 2.0)
+    assert got[2] == (3, 2.0)
+    assert got[3] == (2, 0.0)

@@ -1043,3 +1043,50 @@ def test_edit_distance_join_catches_every_edit_type(spark):
         for r in dedup.edit_distance_join(left, right, "lid", "rid", "name", 2).collect()
     }
     assert (3, 13) in k2 and (1, 10) in k2 and (1, 14) not in k2
+
+
+def test_round5_operator_plan_shapes(spark):
+    """Physical-plan contracts for the round-5 additions: the Bloom
+    bit-test must sit in a Filter on the fact side BEFORE the semi
+    join; global_row_index's offset table must broadcast (never a
+    shuffled join on _pid); knn_graph must contain no broadcast of the
+    corpus (bucket equi-join is shuffle-shuffle) and no cartesian."""
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    from fordgobike_data_pipeline_spark.functions import bloom
+    from fordgobike_data_pipeline_spark.io import load_tables
+    from fordgobike_data_pipeline_spark.operators import retrieval, warehouse
+
+    from .conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE, ("orders", "customer", "events", "embeddings"))
+
+    p = plan_of(
+        bloom.bloom_prefiltered_semi_join(
+            t["orders"],
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
+            "o_custkey",
+            "c_custkey",
+            m_bits=1 << 12,
+        )
+    )
+    assert "LeftSemi" in p
+    # the k bit tests run as a Filter condition (codegen), not post-join
+    filter_sections = [
+        seg for seg in p.split("\n\n") if seg.startswith("(") and "Filter" in seg
+    ]
+    assert any("shiftrightunsigned" in seg for seg in filter_sections), p[:500]
+
+    p = plan_of(warehouse.global_row_index(t["events"], ["ts", "event_id"]))
+    assert "BroadcastHashJoin" in p  # offsets join must broadcast
+    assert "SortMergeJoin" not in p
+
+    p = plan_of(retrieval.knn_graph(t["embeddings"].limit(500), k=3, n_planes=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

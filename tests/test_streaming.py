@@ -516,3 +516,65 @@ def test_stream_maintain_mv_with_distinct_sketches(spark, tmp_path):
     assert {
         r.k: (r.n_rows, r.approx_distinct) for r in spark.read.parquet(mv).collect()
     } == state
+
+
+def test_stream_apply_changelog_tombstones_and_replay(spark, tmp_path):
+    """Streaming CDC snapshot: latest-wins across waves, deletes remove
+    keys, a RETAINED tombstone defeats a stale late upsert (the
+    resurrect bug dropping tombstones would cause), and batch replay
+    converges."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = StructType.fromDDL("k string, ts int, tb int, op string, val string")
+
+    def write_wave(name, rows):
+        with open(f"{landing}/{name}.json", "w") as f:
+            for k, ts, tb, op, val in rows:
+                f.write(
+                    _json.dumps({"k": k, "ts": ts, "tb": tb, "op": op, "val": val})
+                    + "\n"
+                )
+
+    def run():
+        incremental.stream_apply_changelog(
+            spark, landing, state, snap, ckpt, ["k"], "ts", "op", ["tb"], schema
+        )
+
+    def snapshot():
+        return {r.k: r.val for r in spark.read.parquet(snap).collect()}
+
+    wave1 = [("a", 1, 1, "upsert", "a1"), ("b", 1, 2, "upsert", "b1")]
+    write_wave("w1", wave1)
+    run()
+    assert snapshot() == {"a": "a1", "b": "b1"}
+
+    # wave 2: update a, delete b
+    wave2 = [("a", 2, 3, "upsert", "a2"), ("b", 2, 4, "delete", None)]
+    write_wave("w2", wave2)
+    run()
+    assert snapshot() == {"a": "a2"}
+
+    # wave 3: a STALE upsert for b (ts older than the delete) must NOT
+    # resurrect it; a newer upsert for c appears
+    wave3 = [("b", 1, 5, "upsert", "stale"), ("c", 3, 6, "upsert", "c1")]
+    write_wave("w3", wave3)
+    run()
+    assert snapshot() == {"a": "a2", "c": "c1"}
+    # the tombstone is still in state, guarding future stale arrivals
+    st = {r.k: r.op for r in spark.read.parquet(state).collect()}
+    assert st["b"] == "delete"
+
+    # crash-replay: re-folding wave 3 into state is a no-op
+    b3 = spark.createDataFrame(wave3, schema)
+    incremental._cdc_batch(b3, state, snap, ["k"], "ts", "op", ["tb"])
+    assert snapshot() == {"a": "a2", "c": "c1"}
+    incremental._cdc_batch(b3, state, snap, ["k"], "ts", "op", ["tb"])
+    assert snapshot() == {"a": "a2", "c": "c1"}

@@ -63,3 +63,28 @@ def test_range_join_no_duplicates_on_dense_data(spark):
     total = pairs.count()
     distinct = pairs.select("id_a", "id_b").distinct().count()
     assert total == distinct
+
+
+def test_gap_fill_daily_locf_and_density(spark):
+    """Every (key, day) in the global span appears exactly once;
+    missing days get n_events=0 and carry the last observed mean."""
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2021, 1, 1, 9), 10.0),
+        ("a", dt.datetime(2021, 1, 4, 9), 40.0),   # gap: Jan 2-3 missing
+        ("b", dt.datetime(2021, 1, 2, 9), 5.0),    # b absent Jan 1, 3, 4
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.grp, str(r.day)): (r.n_events, r.locf_avg)
+        for r in temporal.gap_fill_daily(df, "k", "ts", "v").collect()
+    }
+    assert len(out) == 8  # 2 keys × 4-day global span
+    assert out[("a", "2021-01-01")] == (1, 10.0)
+    assert out[("a", "2021-01-02")] == (0, 10.0)  # zero-filled + LOCF
+    assert out[("a", "2021-01-03")] == (0, 10.0)
+    assert out[("a", "2021-01-04")] == (1, 40.0)
+    assert out[("b", "2021-01-01")] == (0, None)  # nothing observed yet
+    assert out[("b", "2021-01-02")] == (1, 5.0)
+    assert out[("b", "2021-01-04")] == (0, 5.0)

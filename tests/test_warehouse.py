@@ -360,3 +360,23 @@ def test_histogram_quantile_bounds_and_clamp(spark):
     # 51 of 102 rows lie in bins 0..4 → cum(4) = 51 ≥ 0.5·102
     assert got[0.5] == (4, 50.0)
     assert got[1.0] == (9, 100.0)
+
+
+# ---------------------------------------------------------------------------
+# Global row index
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_index_contiguous_and_layout_invariant(spark):
+    """0..N-1 with no gaps, follows the total order, and the same
+    index comes back under a different partition count (boundary
+    placement is irrelevant to the output)."""
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    n = ev.count()
+    a = warehouse.global_row_index(ev, ["ts", "event_id"], n_parts=4)
+    idx = sorted(r.row_idx for r in a.select("row_idx").collect())
+    assert idx == list(range(n))
+    b = warehouse.global_row_index(ev, ["ts", "event_id"], n_parts=13)
+    ma = {r.event_id: r.row_idx for r in a.collect()}
+    mb = {r.event_id: r.row_idx for r in b.collect()}
+    assert ma == mb
