@@ -121,6 +121,9 @@ HEADLINE = [
     "q_pagerank",
     "q_late_interaction",
     "q_gap_fill",
+    "q_knn_incr",
+    "q_orc_roundtrip",
+    "q_semi_additive",
 ]
 
 

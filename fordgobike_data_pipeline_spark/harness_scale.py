@@ -2423,3 +2423,42 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("user_id"), F.lit(100)).alias("uk"), "ts", "value"
     )
     return temporal.gap_fill_daily(keyed, "uk", "ts", "value")
+
+
+@query(
+    "q_knn_incr",
+    f"""
+    WITH {_lsh_sgn_ctes(n_planes=8)},
+    {_NORM_CTE},
+    p AS (
+        SELECT sa.vec_id AS src_id, sb.vec_id AS nbr_id,
+               round({_NDOT.format(a='na', b='nb')}, 6) + 0.0 AS sim
+        FROM sgn sa
+        JOIN sgn sb ON sb.bucket = sa.bucket AND sb.vec_id != sa.vec_id
+        JOIN n na ON na.vec_id = sa.vec_id
+        JOIN n nb ON nb.vec_id = sb.vec_id
+    ),
+    r AS (
+        SELECT src_id, nbr_id, sim,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+        FROM p
+    )
+    SELECT src_id, CAST(rank AS INT) AS rank, nbr_id, sim
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_knn_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental k-NN graph maintenance (retrieval.knn_graph_increment):
+    build the graph over 90% of the corpus, then fold in the held-out
+    10% as an arriving batch — recomputing ONLY the batch's affected
+    LSH buckets and keeping every other node's edges verbatim. The
+    oracle is the FULL-graph rebuild over everything: a hash match
+    proves incremental == rebuild exactly (bucket membership is a pure
+    row function, so untouched buckets can't change), at
+    Σ(affected buckets)² cost instead of Σ(all buckets)²."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    old = retrieval.knn_graph(corpus, k=5, n_planes=8)
+    return retrieval.knn_graph_increment(old, corpus, batch, k=5, n_planes=8)

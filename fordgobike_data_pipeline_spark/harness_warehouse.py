@@ -414,3 +414,82 @@ def q_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.global_row_index(ev, ["ts", "event_id"]).select(
         "event_id", "row_idx"
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS text_md5, lang, source
+    FROM documents
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source fidelity: the second columnar interchange
+    format next to parquet (Spark ships native ORC with the same
+    predicate-pushdown/column-pruning surface — pinned in
+    tests/test_sources.py). Write the corpus as ORC, read it back,
+    emit per-doc content hashes; the oracle reads the ORIGINAL
+    parquet, so a hash match proves lossless round-trip of text and
+    metadata across the format boundary."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source"
+    )
+
+
+@query(
+    "q_semi_additive",
+    """
+    WITH obs AS (
+        SELECT user_id % 50 AS acct, CAST(ts AS DATE) AS period,
+               ts, event_id, value
+        FROM events
+    ),
+    last_obs AS (
+        SELECT acct, period, value FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY acct, period
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM obs
+        ) WHERE rn = 1
+    )
+    SELECT period, count(*) AS n_accounts,
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT))
+                AS DOUBLE) / CAST(1000 AS DOUBLE) AS total_balance
+    FROM last_obs GROUP BY period
+    """,
+)
+def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive day-end balance mart
+    (warehouse.semi_additive_last): treat each user's event values as
+    balance observations — LAST across time within the day, SUM
+    across accounts (a naive SUM over the raw rows double-counts every
+    intermediate reading; the oracle pins the correct semantics). The
+    cross-account total sums integer milli-units so it is
+    order-independent and hash-exact."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    obs = ev.select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("acct"),
+        F.to_date("ts").alias("period"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    last = warehouse.semi_additive_last(
+        obs, ["acct"], "period", "ts", "value", ["event_id"]
+    )
+    return last.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        (
+            F.sum(F.floor(F.col("value").cast("double") * 1000).cast("long"))
+            .cast("double")
+            / F.lit(1000.0)
+        ).alias("total_balance"),
+    )

@@ -405,3 +405,35 @@ def global_row_index(
         )
         .drop("_pid", "_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-additive aggregation (balance-snapshot semantics)
+# ---------------------------------------------------------------------------
+
+
+def semi_additive_last(
+    df: DataFrame,
+    key_cols: list[str],
+    period_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per (key, period) LAST observed value — the semi-additive
+    measure pattern (balances, inventory levels, gauge readings): such
+    measures sum across KEYS (accounts) but must take the latest
+    observation across TIME, where a naive SUM double-counts every
+    intermediate reading. One row_number window per (key, period),
+    deterministic under ``tiebreak_cols``; the caller then aggregates
+    across keys freely. Same one-shuffle-on-the-key shape as
+    :func:`scd2_history`/:func:`apply_changelog`."""
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols, period_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -139,3 +139,21 @@ def test_maxsim_rewards_per_token_match(spark):
     assert got[1] == (1, 2.0)
     assert got[2] == (3, 2.0)
     assert got[3] == (2, 0.0)
+
+
+def test_knn_graph_increment_equals_rebuild_and_keeps_untouched(spark):
+    """Incremental update == full rebuild edge-for-edge, and nodes in
+    unaffected buckets keep their old edge rows verbatim."""
+    from fordgobike_data_pipeline_spark.io import load_tables
+
+    from .conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < 400
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    old = retrieval.knn_graph(corpus, k=3, n_planes=5).localCheckpoint()
+    inc = retrieval.knn_graph_increment(old, corpus, batch, k=3, n_planes=5)
+    full = retrieval.knn_graph(emb, k=3, n_planes=5)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))

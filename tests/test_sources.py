@@ -450,3 +450,25 @@ def test_jsonl_corrupt_lines_quarantine_not_fail(spark, tmp_path):
     kept = jsonl.read_jsonl(spark, str(p), schema, keep_corrupt=True)
     corrupt = [r for r in kept.collect() if r[jsonl.CORRUPT_COL] is not None]
     assert len(corrupt) == 1 and "not json" in corrupt[0][jsonl.CORRUPT_COL]
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    """The ORC read surface matches parquet's: predicate pushdown and
+    column pruning must reach the scan."""
+    from fordgobike_data_pipeline_spark.io import load_tables
+
+    from .conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"].select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = str(tmp_path / "orc")
+    docs.write.mode("overwrite").orc(path)
+    q = spark.read.orc(path).filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "text" not in rs  # pruned
+    assert q.count() == docs.filter(F.col("lang") == "en").count()

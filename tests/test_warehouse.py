@@ -380,3 +380,25 @@ def test_global_row_index_contiguous_and_layout_invariant(spark):
     ma = {r.event_id: r.row_idx for r in a.collect()}
     mb = {r.event_id: r.row_idx for r in b.collect()}
     assert ma == mb
+
+
+def test_semi_additive_last_picks_latest_per_period(spark):
+    """Only the latest observation per (account, period) survives;
+    ties break on the tiebreak column."""
+    rows = [
+        ("a", 202401, _ts(1), 1, 100.0),
+        ("a", 202401, _ts(5), 2, 150.0),   # latest in Jan → survives
+        ("a", 202402, _ts(10), 3, 90.0),
+        ("b", 202401, _ts(5), 4, 10.0),
+        ("b", 202401, _ts(5), 5, 20.0),    # same ts — higher tb wins
+    ]
+    df = spark.createDataFrame(
+        rows, "acct string, period int, ts timestamp, tb int, v double"
+    )
+    out = {
+        (r.acct, r.period): r.v
+        for r in warehouse.semi_additive_last(
+            df, ["acct"], "period", "ts", "v", ["tb"]
+        ).collect()
+    }
+    assert out == {("a", 202401): 150.0, ("a", 202402): 90.0, ("b", 202401): 20.0}

@@ -222,6 +222,46 @@ def main() -> None:
     timed(spark, "bigram_cross_entropy", text.bigram_cross_entropy(docs))
     timed(spark, "gopher_quality_flags", text.gopher_quality_flags(docs))
 
+    # round-5 operators: the kNN graph is the all-nodes bucket join
+    # (work ∝ Σ bucket²; replication multiplies bucket sizes, the knob
+    # n_planes counters); MaxSim multiplies rows n_sub×, never pairs;
+    # PageRank cost is edges × iterations; global_row_index is two
+    # bounded passes whatever N
+    from fordgobike_data_pipeline_spark.operators import (  # noqa: E402
+        graph,
+        retrieval,
+        warehouse,
+    )
+
+    timed(spark, "knn_graph(k=5,p=8)", retrieval.knn_graph(emb, k=5, n_planes=8))
+    timed(spark, "maxsim_topk", retrieval.maxsim_topk(emb, queries, k=10))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    # offset BOTH id spaces per copy so replication yields n disjoint
+    # subgraphs (node and edge count both scale n×)
+    copies = [
+        li.select(
+            (F.col("l_partkey") + F.lit(i * 10_000_000)).alias("p"),
+            (F.col("l_suppkey") + F.lit(i * 10_000_000)).alias("s"),
+        )
+        for i in range(n)
+    ]
+    pairs = copies[0]
+    for c in copies[1:]:
+        pairs = pairs.unionByName(c)
+    pairs = pairs.distinct()
+    fwd = pairs.select(
+        F.concat(F.lit("p"), F.col("p").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("dst"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("p").cast("string")).alias("dst"),
+    )
+    timed(spark, "pagerank(3 iter)", graph.pagerank(fwd.unionByName(rev), 3))
+    timed(spark, "global_row_index", warehouse.global_row_index(docs, ["doc_id"]))
+
     spark.stop()  # flush the event log
     parse_event_log(evdir)
     skews = [r["worst_skew"] for r in RESULTS if r["worst_skew"] is not None]
