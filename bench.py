@@ -124,6 +124,7 @@ HEADLINE = [
     "q_knn_incr",
     "q_orc_roundtrip",
     "q_semi_additive",
+    "q_zorder3",
 ]
 
 

@@ -493,3 +493,29 @@ def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000.0)
         ).alias("total_balance"),
     )
+
+
+@query(
+    "q_zorder3",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {warehouse.zorder_key_sql(['l_partkey', 'l_suppkey', 'l_quantity'], 10)}
+               AS zval3
+    FROM lineitem
+    """,
+)
+def q_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column Morton key (warehouse.zorder_key — the N-ary
+    generalization of q_zorder's two-column curve): bit b of column i
+    at position b·3+i, 30 pure-codegen shift/mask/or ops per row, no
+    shuffle. Three-dimension clustering is where Z-order pulls ahead
+    of simple compound sort keys: a predicate on ANY of the three
+    columns prunes files."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        warehouse.zorder_key(
+            [F.col("l_partkey"), F.col("l_suppkey"), F.col("l_quantity")], 10
+        ).alias("zval3"),
+    )

@@ -373,21 +373,29 @@ def global_row_index(
     shard interleaving / resumable sharding / stable pagination need).
 
     Three bounded steps: range-repartition on the order key (each
-    partition owns a disjoint key range), per-partition counts →
-    cumulative offsets (one window over ≤ n_parts rows), then local
-    row_number + offset. The per-partition window partitions by the
-    range-partition id, so no task ever sorts more than its range
-    slice. The OUTPUT is independent of where the sampled range
-    boundaries fall: ranges are disjoint and ordered, so
-    offset + local rank always reproduces the unique total order —
-    which is why an oracle can pin it with a plain global row_number.
-    ``order_cols`` must be a total order (add a tiebreak column);
-    ties that straddle a boundary would otherwise number
-    nondeterministically.
+    partition owns a disjoint key range) + in-partition sort, then
+    ``monotonically_increasing_id`` arithmetic — its layout is
+    ``(partition_id << 33) | local_counter`` with the counter
+    following row order, so the LOCAL rank is ``mid & (2³³−1)`` with
+    no window and, crucially, NO second full-data shuffle (a window
+    partitioned by partition-id would re-Exchange rows that are
+    already home — measured as the plan's only avoidable Exchange).
+    Per-partition counts → cumulative offsets (one window over
+    ≤ n_parts rows, broadcast back), row_idx = offset + local rank.
+    The OUTPUT is independent of where the sampled range boundaries
+    fall: ranges are disjoint and ordered, so offset + local rank
+    always reproduces the unique total order — which is why an oracle
+    can pin it with a plain global row_number. ``order_cols`` must be
+    a total order (add a tiebreak column); ties that straddle a
+    boundary would otherwise number nondeterministically.
     """
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    mask = (1 << 33) - 1
+    d = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
     )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -396,14 +404,13 @@ def global_row_index(
         .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
         .select("_pid", "_off")
     )
-    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     return (
         d.join(F.broadcast(offsets), "_pid")
         .withColumn(
             "row_idx",
-            (F.row_number().over(w_local) + F.col("_off") - 1).cast("long"),
+            (F.col("_off") + F.col("_mid").bitwiseAND(F.lit(mask))).cast("long"),
         )
-        .drop("_pid", "_off")
+        .drop("_pid", "_off", "_mid")
     )
 
 
@@ -437,3 +444,29 @@ def semi_additive_last(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def zorder_key(cols: list[Column], bits: int = 10) -> Column:
+    """N-column Morton code (generalizes :func:`zorder_key2`): masks
+    each input to its low ``bits`` bits and delegates to
+    ``io.zorder_value`` — bit b of column i lands at position
+    b·n + i. ``bits·n`` must fit 63 (io.zorder_value raises)."""
+    from ..io import zorder_value
+
+    mask = F.lit((1 << bits) - 1)
+    return zorder_value([c.cast("long").bitwiseAND(mask) for c in cols], bits)
+
+
+def zorder_key_sql(names: list[str], bits: int = 10) -> str:
+    """The identical N-column interleave as ANSI SQL text, generated
+    from the same loop shape as io.zorder_value so the two can't
+    drift (the N-ary twin of :func:`zorder_key2_sql`)."""
+    mask = (1 << bits) - 1
+    n = len(names)
+    parts = []
+    for b in range(bits):
+        for i, nm in enumerate(names):
+            parts.append(
+                f"((((CAST({nm} AS BIGINT) & {mask}) >> {b}) & 1) << {b * n + i})"
+            )
+    return "(" + " | ".join(parts) + ")"
