@@ -125,6 +125,8 @@ HEADLINE = [
     "q_orc_roundtrip",
     "q_semi_additive",
     "q_zorder3",
+    "q_dataset_stats",
+    "q_psi_drift",
 ]
 
 

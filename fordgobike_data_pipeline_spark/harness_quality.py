@@ -233,3 +233,74 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.winsorize(ev, "value", "event_type").select(
         "event_id", "event_type", "value_w", "was_clipped"
     )
+
+
+@query(
+    "q_dataset_stats",
+    """
+    WITH a AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               count(DISTINCT lang) AS n_langs,
+               sum(CAST(length(text) AS BIGINT)) AS total_chars,
+               count(DISTINCT md5(text)) AS n_unique_texts
+        FROM documents
+    )
+    SELECT n_docs, n_sources, n_langs, total_chars,
+           CAST((total_chars - (((total_chars % n_docs) + n_docs) % n_docs))
+                // n_docs AS BIGINT) AS mean_chars,
+           n_unique_texts,
+           round(CAST(1 AS DOUBLE)
+                 - CAST(n_unique_texts AS DOUBLE) / n_docs, 6) AS exact_dup_rate
+    FROM a
+    """,
+)
+def q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (quality.corpus_datasheet): volume,
+    source/language spread, exact-duplicate rate — the summary card a
+    dataset release ships with and the first gate a training run
+    checks. One all-aggregate scan, integer-exact mean."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quality.corpus_datasheet(docs)
+
+
+@query(
+    "q_psi_drift",
+    """
+    WITH c AS (
+        SELECT event_type AS grp,
+               least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0)
+                                   / 500.0 * 10) AS BIGINT), 0), 9) AS bin,
+               CAST(event_id % 2 AS INT) AS side
+        FROM events WHERE value IS NOT NULL
+    ),
+    pb AS (
+        SELECT grp, bin,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+        FROM c GROUP BY grp, bin
+    ),
+    t AS (SELECT grp, sum(na) AS ta, sum(nb) AS tb FROM pb GROUP BY grp),
+    terms AS (
+        SELECT pb.grp, pb.bin,
+               ((pb.na + 1) / (t.ta + 10) - (pb.nb + 1) / (t.tb + 10)) *
+               ln(((pb.na + 1) / (t.ta + 10)) / ((pb.nb + 1) / (t.tb + 10)))
+                   AS tm
+        FROM pb JOIN t ON t.grp = pb.grp
+    )
+    SELECT grp,
+           round(list_sum(list_transform(array_agg(tm ORDER BY bin), x -> x)), 6)
+               + 0.0 AS psi
+    FROM terms GROUP BY grp
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the two
+    event-id parities (quality.psi_drift) — the standard
+    distribution-drift monitor a long-running ingest needs (PSI < 0.1
+    stable). Laplace-smoothed fixed bins; the per-group sum folds
+    sequentially over the bin-ordered array (proven cross-engine
+    parity) instead of an order-dependent grouped double sum."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    keyed = ev.withColumn("side", (F.col("event_id") % 2).cast("int"))
+    return quality.psi_drift(keyed, "value", "event_type", "side", 0.0, 500.0, 10)

@@ -158,3 +158,88 @@ def winsorize(
         clamped.alias(f"{value_col}_w"),
         ((v < F.col("c_lo")) | (v > F.col("c_hi"))).alias("was_clipped"),
     )
+
+
+def corpus_datasheet(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset datasheet — the summary card a corpus release
+    ships with (and the first sanity gate a training run checks):
+    volume, source/language spread, exact-duplicate rate. One full
+    scan, all-aggregate (map-side combined); the mean length uses the
+    exact-integer floor-division so the row is hash-stable."""
+    t = F.col(text_col)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length(t).cast("long")).alias("total_chars"),
+        F.countDistinct(F.md5(t)).alias("n_unique_texts"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        F.expr(
+            "(total_chars - pmod(total_chars, n_docs)) div n_docs"
+        ).alias("mean_chars"),
+        "n_unique_texts",
+        F.round(
+            F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    split_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between the two halves of
+    ``split_col`` (0/1) — the standard distribution-drift monitor
+    (PSI < 0.1 stable, > 0.25 shifted). Fixed bins (same clamped
+    expression as warehouse.histogram_bin), Laplace +1 on every bin
+    count so empty bins never hit log(0), and the per-group sum of
+    bin terms folds SEQUENTIALLY over the bin-ordered array (the
+    proven cross-engine parity) instead of an order-dependent grouped
+    double sum. One aggregation to (group, bin, side) counts, one to
+    groups — bounded state throughout."""
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n_bins))
+    bin_c = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            bin_c.alias("bin"),
+            F.col(split_col).cast("int").alias("side"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_bin = counts.groupBy("grp", "bin").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("n")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == 1, F.col("n")).otherwise(0)).alias("nb"),
+    )
+    tot = per_bin.groupBy("grp").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    # Laplace-smoothed proportions: (count+1)/(total+n_bins) — exact
+    # rationals in double, so pa/pb and ln() see identical bits
+    j = per_bin.join(tot, "grp")
+    pa = (F.col("na") + 1) / (F.col("ta") + F.lit(n_bins))
+    pb = (F.col("nb") + 1) / (F.col("tb") + F.lit(n_bins))
+    term = (pa - pb) * F.log(pa / pb)
+    folded = (
+        j.select("grp", F.struct(F.col("bin"), term.alias("t")).alias("e"))
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list("e")).alias("terms"))
+    )
+    psi = F.aggregate(
+        F.col("terms"), F.lit(0.0), lambda acc, s: acc + s["t"]
+    )
+    return folded.select(
+        "grp", (F.round(psi, 6) + F.lit(0.0)).alias("psi")
+    )

@@ -116,3 +116,26 @@ def test_winsorize_clamps_and_flags(spark):
     # the extremes landed exactly on the bounds, interior untouched
     assert out[100].v_w > -1000.0 and out[101].v_w < 1000.0
     assert out[50].v_w == 50.0 and not out[50].was_clipped
+
+
+def test_corpus_datasheet_counts_duplicates(spark):
+    """Planted duplicates move n_unique_texts and exact_dup_rate."""
+    rows = [(1, "aaa", "en", "s1"), (2, "aaa", "en", "s1"), (3, "bbb", "de", "s2"), (4, "ccc", "en", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = quality.corpus_datasheet(docs).collect()[0]
+    assert (r.n_docs, r.n_sources, r.n_langs, r.n_unique_texts) == (4, 2, 2, 3)
+    assert r.total_chars == 12 and r.mean_chars == 3
+    assert r.exact_dup_rate == 0.25
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """Identical halves give PSI ~0 (exactly the smoothing residue);
+    a shifted half gives a large PSI."""
+    same = [("g", float(v % 100), v % 2) for v in range(1000)]
+    df = spark.createDataFrame(same, "grp string, v double, side int")
+    psi0 = quality.psi_drift(df, "v", "grp", "side", 0.0, 100.0, 10).collect()[0].psi
+    assert abs(psi0) < 0.01
+    shifted = [("g", float(v % 100) if v % 2 == 0 else float(v % 100) / 4, v % 2) for v in range(1000)]
+    df2 = spark.createDataFrame(shifted, "grp string, v double, side int")
+    psi1 = quality.psi_drift(df2, "v", "grp", "side", 0.0, 100.0, 10).collect()[0].psi
+    assert psi1 > 0.25
