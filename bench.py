@@ -127,6 +127,7 @@ HEADLINE = [
     "q_zorder3",
     "q_dataset_stats",
     "q_psi_drift",
+    "q_knn_label_vote",
 ]
 
 

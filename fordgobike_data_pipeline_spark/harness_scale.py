@@ -2462,3 +2462,93 @@ def q_knn_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") % 10 == 0)
     old = retrieval.knn_graph(corpus, k=5, n_planes=8)
     return retrieval.knn_graph_increment(old, corpus, batch, k=5, n_planes=8)
+
+
+@query(
+    "q_knn_label_vote",
+    f"""
+    WITH {_lsh_sgn_ctes(n_planes=8)},
+    {_NORM_CTE},
+    p AS (
+        SELECT sa.vec_id AS src_id, sb.vec_id AS nbr_id,
+               round({_NDOT.format(a='na', b='nb')}, 6) + 0.0 AS sim
+        FROM sgn sa
+        JOIN sgn sb ON sb.bucket = sa.bucket AND sb.vec_id != sa.vec_id
+        JOIN n na ON na.vec_id = sa.vec_id
+        JOIN n nb ON nb.vec_id = sb.vec_id
+    ),
+    r AS (
+        SELECT src_id, nbr_id,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+        FROM p
+    ),
+    e AS (SELECT src_id, nbr_id FROM r WHERE rank <= 5),
+    votes AS (
+        SELECT e.src_id, l.label AS nbr_label, count(*) AS n_votes
+        FROM e JOIN embeddings l ON l.vec_id = e.nbr_id
+        GROUP BY e.src_id, l.label
+    ),
+    winner AS (
+        SELECT src_id, nbr_label AS voted FROM (
+            SELECT src_id, nbr_label,
+                   row_number() OVER (
+                       PARTITION BY src_id
+                       ORDER BY n_votes DESC, nbr_label) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT t.label AS true_label,
+           count(*) AS n_nodes,
+           sum(CASE WHEN w.voted = t.label THEN 1 ELSE 0 END) AS n_correct,
+           round(CAST(sum(CASE WHEN w.voted = t.label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS acc
+    FROM winner w JOIN embeddings t ON t.vec_id = w.src_id
+    GROUP BY t.label
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-vote accuracy per class — the embedding-quality probe
+    (do nearest neighbors share labels?) that gates an embedding model
+    before it drives semantic dedup or retrieval. Reuses the LSH k-NN
+    graph (retrieval.knn_graph), joins neighbor labels, takes the
+    deterministic majority (count DESC, label tiebreak), and scores
+    against each node's own label. All bounded: |nodes|·k edges, ≤
+    |labels| vote rows per node."""
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    edges = retrieval.knn_graph(emb, k=5, n_planes=8)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        edges.join(labels.withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
+        .groupBy("src_id", F.col("label").alias("nbr_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc()
+    )
+    winner = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("src_id", F.col("nbr_label").alias("voted"))
+    )
+    scored = winner.join(
+        labels.withColumnRenamed("vec_id", "src_id").withColumnRenamed(
+            "label", "true_label"
+        ),
+        "src_id",
+    )
+    return scored.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            F.when(F.col("voted") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("voted") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("acc"),
+    )
