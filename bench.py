@@ -128,6 +128,7 @@ HEADLINE = [
     "q_dataset_stats",
     "q_psi_drift",
     "q_knn_label_vote",
+    "q_ann_multiprobe",
 ]
 
 

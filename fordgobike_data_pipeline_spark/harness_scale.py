@@ -2552,3 +2552,46 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acc"),
     )
+
+
+@query(
+    "q_ann_multiprobe",
+    f"""
+    WITH {_lsh_sgn_ctes()},
+    {_NORM_CTE},
+    q AS (SELECT vec_id, bucket FROM sgn WHERE vec_id < 5),
+    probes AS (
+        SELECT vec_id, unnest(list_prepend(bucket,
+                   list_transform(range(6), p -> xor(bucket, 1 << p)))) AS pb
+        FROM q
+    ),
+    cands AS (
+        SELECT pr.vec_id AS query_id, c.vec_id AS cand_id
+        FROM probes pr JOIN sgn c ON c.bucket = pr.pb AND c.vec_id != pr.vec_id
+    ),
+    p AS (
+        SELECT query_id, cand_id,
+               round({_NDOT.format(a='nq', b='nc')}, 6) + 0.0 AS sim
+        FROM cands
+        JOIN n nq ON nq.vec_id = query_id
+        JOIN n nc ON nc.vec_id = cand_id
+    ),
+    r AS (
+        SELECT query_id, cand_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id) AS rank
+        FROM p
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, sim FROM r WHERE rank <= 10
+    """,
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN (similarity.lsh_ann_topk multiprobe=1): probe
+    the query's bucket plus every bucket at hamming distance 1 —
+    n_planes+1 probes buy ≈7× the candidates and the standard recall
+    boost without re-hashing. Buckets partition the corpus, so probes
+    never duplicate a candidate; the oracle reproduces the probe set,
+    candidates, and ranking exactly."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6, multiprobe=1)
