@@ -129,6 +129,8 @@ HEADLINE = [
     "q_psi_drift",
     "q_knn_label_vote",
     "q_ann_multiprobe",
+    "q_capped_topk",
+    "q_weighted_sample",
 ]
 
 

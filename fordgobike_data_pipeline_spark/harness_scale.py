@@ -2595,3 +2595,71 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_ann_topk(emb, queries, k=10, n_planes=6, multiprobe=1)
+
+
+@query(
+    "q_capped_topk",
+    """
+    WITH g AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS gr
+        FROM documents
+    ),
+    capped AS (SELECT doc_id, source, n_chars FROM g WHERE gr <= 20),
+    t AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS sel_rank
+        FROM capped
+    )
+    SELECT doc_id, source, n_chars, CAST(sel_rank AS INT) AS sel_rank
+    FROM t WHERE sel_rank <= 100
+    """,
+)
+def q_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-capped global top-k (sampling.capped_topk): the 100 best
+    documents by length with at most 20 from any one source — the
+    diversity-constrained selection that stops a crawler-heavy domain
+    from flooding a plain top-k. Per-group cap window, then
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.capped_topk(
+        docs.select("doc_id", "source", "n_chars"),
+        "n_chars", "source", "doc_id", per_group_cap=20, k=100,
+    )
+
+
+@query(
+    "q_weighted_sample",
+    """
+    WITH h AS (
+        SELECT doc_id, source, n_chars,
+               ((CAST(CAST(from_hex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                      AS BIT) AS BIGINT) % 1000000) + 1000000) % 1000000 AS hv
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, n_chars,
+               round(ln((hv + 1) / CAST(1000000 AS DOUBLE))
+                     / CAST(n_chars AS DOUBLE), 9) + 0.0 AS es_score
+        FROM h
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY es_score DESC, doc_id) AS rn
+        FROM s
+    )
+    SELECT doc_id, source, n_chars, es_score FROM r WHERE rn <= 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis): 50 docs drawn
+    with probability ∝ length, u a pure md5 hash of the key, score
+    ln(u)/w rounded before ordering so the transcendental stays
+    tiebreak-stable. Selection — not just the rate — is reproducible
+    across engines and partitionings; top-n compiles to
+    TakeOrderedAndProject."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sampling.weighted_sample(
+        docs.select("doc_id", "source", "n_chars"), "doc_id", "n_chars", n=50
+    )

@@ -85,3 +85,60 @@ def per_stratum_fixed_sample(
         (F.col("pos") + 1).cast("int").alias("sample_rank"),
         F.col("e.k").alias(key_col),
     )
+
+
+def capped_topk(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    per_group_cap: int,
+    k: int,
+) -> DataFrame:
+    """Global top-k with a per-group cap — "take the k best documents
+    but at most ``per_group_cap`` from any one domain", the
+    diversity-constrained selection every curation pass wants instead
+    of a plain top-k that one crawler-heavy domain can flood.
+
+    Phase 1 caps each group with a per-group window (partition size =
+    group size; a hot group sorts only its own rows). Phase 2 is a
+    plain orderBy+limit over the capped survivors, which Catalyst
+    compiles to TakeOrderedAndProject — per-partition heaps of k, no
+    global sort. The final dense rank is a window over exactly k rows.
+    Deterministic: (score DESC, id) everywhere."""
+    from pyspark.sql import Window
+
+    w_g = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    capped = (
+        df.withColumn("_gr", F.row_number().over(w_g))
+        .filter(F.col("_gr") <= per_group_cap)
+        .drop("_gr")
+    )
+    top = capped.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+    w_all = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return top.withColumn("sel_rank", F.row_number().over(w_all).cast("int"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u ∈ (0, 1] as a pure
+    hash of its key and scores ln(u)/w — the n largest scores are a
+    weighted sample (heavier rows need a smaller u to lose). Same
+    engine-reproducible md5 construction as the rate samplers, so the
+    SELECTION (not just the rate) is stable across runs, engines, and
+    partitionings — and the top-n is a TakeOrderedAndProject, never a
+    global sort. The score is rounded to 9dp BEFORE ordering so the
+    transcendental ln stays tiebreak-stable cross-engine."""
+    u = (_bucket(F.col(key_col)) + 1) / F.lit(1000000.0)
+    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 9) + F.lit(0.0)
+    scored = df.withColumn("es_score", score)
+    return scored.orderBy(
+        F.col("es_score").desc(), F.col(key_col).asc()
+    ).limit(n)

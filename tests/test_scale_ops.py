@@ -1090,3 +1090,46 @@ def test_round5_operator_plan_shapes(spark):
     p = plan_of(retrieval.knn_graph(t["embeddings"].limit(500), k=3, n_planes=4))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_capped_topk_cap_and_plan(spark):
+    """No group exceeds the cap; ranks are contiguous; the global
+    phase is TakeOrderedAndProject, not a global Sort."""
+    from fordgobike_data_pipeline_spark.io import load_tables
+    from fordgobike_data_pipeline_spark.operators import sampling
+
+    from .conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    out = sampling.capped_topk(
+        docs.select("doc_id", "source", "n_chars"),
+        "n_chars", "source", "doc_id", per_group_cap=5, k=30,
+    )
+    rows = out.collect()
+    assert len(rows) == 30
+    assert [r.sel_rank for r in sorted(rows, key=lambda r: r.sel_rank)] == list(
+        range(1, 31)
+    )
+    per = {}
+    for r in rows:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert max(per.values()) <= 5
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
+    """Heavier keys are selected far above their uniform share, and
+    reruns return the identical sample."""
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    from fordgobike_data_pipeline_spark.operators import sampling
+
+    s1 = sampling.weighted_sample(df, "k", "w", n=100).collect()
+    heavy = sum(1 for r in s1 if r.k < 50)
+    # 50 heavy keys at 1000x weight should nearly all make a 100-sample
+    assert heavy >= 40
+    s2 = sampling.weighted_sample(df, "k", "w", n=100).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
