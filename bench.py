@@ -131,6 +131,7 @@ HEADLINE = [
     "q_ann_multiprobe",
     "q_capped_topk",
     "q_weighted_sample",
+    "q_stream_mv",
 ]
 
 

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_late_interaction",
     "q_gap_fill",
     "q_knn_incr",
+    "q_stream_mv",
     "q_bpe_seeded",
     "q_decontaminate_near",
     "q_scd2",
@@ -133,18 +134,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tfidf",
     "q_token_budget",
     "q_dedup_incremental",
-    "q_pii_redact",
     "q_text_stats",
     "q_doc_fingerprint",
     "q_multimodal_meta",
     "q_frame_sample",
-    # (deferred to r6 to make room for the TWELVE new never-checked
+    # (deferred to r6 to make room for the THIRTEEN new never-checked
     # queries this round: the rows-only q_ann_ivf, q_bpe_token_count,
     # q_image_features, q_resize_images (each judge-smoked r4; the
     # seeded oracle twins of the first two remain IN the window),
     # the curation ops q_pack_sequences, q_train_split, q_domain_cap,
-    # q_normalize_text, q_repetition_ratio (r02-official-green,
-    # unit-tested, locally green this round), and
+    # q_normalize_text, q_repetition_ratio, q_pii_redact
+    # (r02-official-green, unit-tested, locally green this round), and
     # the r03-head scalars q_hash_key, q_weekend_flag, q_date_parts —
     # each green at its latest official check AND locally green this
     # session.)

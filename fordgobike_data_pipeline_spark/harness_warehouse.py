@@ -519,3 +519,67 @@ def q_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("l_partkey"), F.col("l_suppkey"), F.col("l_quantity")], 10
         ).alias("zval3"),
     )
+
+
+@query(
+    "q_stream_mv",
+    """
+    SELECT o_orderpriority AS prio,
+           count(o_totalprice) AS n_rows,
+           round(sum(o_totalprice), 2) AS total,
+           round(sum(o_totalprice) / count(o_totalprice), 6) AS mean,
+           min(o_totalprice) AS vmin,
+           max(o_totalprice) AS vmax
+    FROM orders
+    GROUP BY prio
+    """,
+)
+def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized view, SQL-adjudicated: the orders table
+    is split into two JSON waves in a landing dir, ingested by
+    streaming.stream_maintain_mv (AvailableNow file stream →
+    per-batch mergeable partials → atomic MV republish), and the
+    published MV is compared against the oracle's DIRECT aggregation
+    over all rows. A hash match proves the full streaming path —
+    micro-batching, per-batch partial state, merge-on-publish — is
+    exactly equivalent to the batch computation, not merely
+    approximately right. (The other streaming entries are
+    integration-tested; this one puts §2.8 under the same oracle gate
+    as the batch operators.)"""
+    import os
+    import tempfile
+
+    from .streaming import incremental
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 2).alias("wave"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_mv_q_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for wv in (0, 1):
+        base.filter(F.col("wave") == wv).drop("wave").write.mode(
+            "overwrite"
+        ).json(os.path.join(landing, f"wave={wv}"))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("prio", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    incremental.stream_maintain_mv(
+        spark,
+        os.path.join(landing, "*", ""),
+        os.path.join(root, "partials"),
+        os.path.join(root, "mv"),
+        os.path.join(root, "ckpt"),
+        ["prio"],
+        "price",
+        schema=schema,
+    )
+    return spark.read.parquet(os.path.join(root, "mv"))
