@@ -132,6 +132,7 @@ HEADLINE = [
     "q_capped_topk",
     "q_weighted_sample",
     "q_stream_mv",
+    "q_stream_cdc",
 ]
 
 

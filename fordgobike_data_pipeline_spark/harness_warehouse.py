@@ -583,3 +583,80 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=schema,
     )
     return spark.read.parquet(os.path.join(root, "mv"))
+
+
+@query(
+    "q_stream_cdc",
+    """
+    WITH ch AS (
+        SELECT o_custkey AS cust_id, o_orderdate AS ts, o_orderkey AS tb,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+               o_orderstatus AS status, o_totalprice AS total
+        FROM orders
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY cust_id ORDER BY ts DESC, tb DESC) AS rn
+        FROM ch
+    )
+    SELECT cust_id, ts, tb, status, total
+    FROM r WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC snapshot, SQL-adjudicated (the stream twin of
+    q_cdc_apply, same oracle): the synthesized changelog splits into
+    two JSON waves, streams through stream_apply_changelog's
+    compacted-topic state (latest row per key INCLUDING tombstones),
+    and the published snapshot must hash-match compacting the full
+    history in one batch — pinning that per-batch latest-wins over
+    tombstone-retaining state is exactly history-order-invariant."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming import incremental
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    changes = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_orderkey") % 2).alias("wave"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_cdc_q_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for wv in (0, 1):
+        changes.filter(F.col("wave") == wv).drop("wave").write.mode(
+            "overwrite"
+        ).json(os.path.join(landing, f"wave={wv}"))
+    schema = T.StructType(
+        [
+            T.StructField("cust_id", T.LongType()),
+            T.StructField("ts", T.DateType()),
+            T.StructField("tb", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    incremental.stream_apply_changelog(
+        spark,
+        os.path.join(landing, "*", ""),
+        os.path.join(root, "state"),
+        os.path.join(root, "snap"),
+        os.path.join(root, "ckpt"),
+        ["cust_id"],
+        "ts",
+        "op",
+        ["tb"],
+        schema,
+    )
+    return spark.read.parquet(os.path.join(root, "snap"))
