@@ -133,6 +133,10 @@ HEADLINE = [
     "q_weighted_sample",
     "q_stream_mv",
     "q_stream_cdc",
+    "q_readability",
+    "q_oov_rate",
+    "q_time_weighted_avg",
+    "q_interleave_shards",
 ]
 
 

@@ -2663,3 +2663,133 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(
         docs.select("doc_id", "source", "n_chars"), "doc_id", "n_chars", n=50
     )
+
+
+@query(
+    "q_readability",
+    r"""
+    WITH c AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        FROM documents
+    )
+    SELECT doc_id, CAST(w AS INT) AS n_words, CAST(s AS INT) AS n_sentences,
+           CAST(sy AS INT) AS n_syllables,
+           (CAST(206.835 AS DOUBLE)
+            - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)))
+           - CAST(84.6 AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+               AS flesch
+    FROM c
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (text.readability) — the
+    classic readability prior for quality bucketing and curricula.
+    Single-pass codegen regex counts; the score is per-row arithmetic
+    on exact integers with literal constants, so both engines emit
+    the identical double with NO rounding anywhere."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.readability(docs)
+
+
+@query(
+    "q_oov_rate",
+    r"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tk AS (SELECT source, w FROM tok WHERE w != ''),
+    counts AS (SELECT w, count(*) AS n FROM tk GROUP BY w),
+    vocab AS (SELECT w FROM counts ORDER BY n DESC, w LIMIT 500),
+    f AS (
+        SELECT tk.source, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tk LEFT JOIN vocab v ON v.w = tk.w
+    )
+    SELECT source, count(*) AS n_tokens, sum(oov) AS n_oov,
+           round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM f GROUP BY source
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's own
+    top-500 words (text.oov_rate) — the vocabulary-coverage audit run
+    before freezing a tokenizer; a high-OOV source will fragment into
+    subword soup. Deterministic vocab via TakeOrderedAndProject,
+    broadcast vocab join, one aggregation per source."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.oov_rate(docs, vocab_size=500)
+
+
+@query(
+    "q_time_weighted_avg",
+    """
+    WITH o AS (
+        SELECT user_id % 20 AS grp, ts, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS vm,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ),
+    l AS (
+        SELECT grp, vm, s,
+               lead(s) OVER (PARTITION BY grp ORDER BY ts, event_id) AS ns
+        FROM o
+    ),
+    c AS (
+        SELECT grp, ns - s AS dur, vm * (ns - s) AS contrib
+        FROM l WHERE ns IS NOT NULL AND ns - s > 0
+    )
+    SELECT grp, sum(dur) AS total_secs,
+           CAST(sum(contrib) AS DOUBLE)
+               / (CAST(1000 AS DOUBLE) * CAST(sum(dur) AS DOUBLE)) AS twa
+    FROM c GROUP BY grp
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user bucket
+    (temporal.time_weighted_avg) — the correct mean for
+    irregularly-sampled state, where plain AVG over-weights chatty
+    periods: each observation holds until its successor and
+    contributes value × holding-duration. Contributions are exact
+    integer products (milli-value × whole seconds), so the result is
+    partitioning-invariant and hash-exact — one lead() window, one
+    aggregation."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    keyed = ev.select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("uk"), "ts", "event_id", "value"
+    )
+    return temporal.time_weighted_avg(keyed, "uk", "ts", "value", "event_id")
+
+
+@query(
+    "q_interleave_shards",
+    """
+    WITH idx AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS row_idx
+        FROM events
+    )
+    SELECT CAST(row_idx % 8 AS INT) AS shard, event_type,
+           count(*) AS n_rows
+    FROM idx GROUP BY shard, event_type
+    """,
+)
+def q_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin shard interleaving over the global time order — the
+    training-shard writer's guarantee that every shard sees the same
+    event-type mixture (±1 row) instead of time-clustered slices. The
+    consumer of warehouse.global_row_index: shard = row_idx mod 8,
+    adjudicated per (shard, type) count against the single-partition
+    window it replaces."""
+    from .operators import warehouse
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    idx = warehouse.global_row_index(
+        ev.select("event_id", "ts", "event_type"), ["ts", "event_id"]
+    )
+    return idx.groupBy(
+        F.pmod(F.col("row_idx"), F.lit(8)).cast("int").alias("shard"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -178,3 +178,41 @@ def gap_fill_daily(
         "n_events",
         F.last("day_avg", ignorenulls=True).over(w).alias("locf_avg"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average per key — the correct mean for
+    irregularly-sampled state observations (balances, gauges, IoT
+    sensors), where a plain AVG over-weights chatty periods: each
+    observation holds until the next one, so it contributes
+    value × holding-duration. The final observation has no successor
+    and is excluded (standard right-open convention).
+
+    Determinism at any partitioning: contributions are INTEGER
+    products — floor(value·1000) milli-units × whole-second holding
+    durations — summed exactly, with the single double division at
+    the end. One lead() window per key, one aggregation."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    secs = F.unix_timestamp(F.col(ts_col))
+    dur = (F.lead(secs).over(w) - secs).alias("dur")
+    v_milli = F.floor(F.col(value_col).cast("double") * 1000).cast("long")
+    obs = df.select(
+        F.col(key_col).alias("grp"),
+        dur,
+        (v_milli * (F.lead(secs).over(w) - secs)).alias("contrib"),
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return obs.groupBy("grp").agg(
+        F.sum("dur").alias("total_secs"),
+        (
+            F.sum("contrib").cast("double")
+            / (F.lit(1000.0) * F.sum("dur").cast("double"))
+        ).alias("twa"),
+    )

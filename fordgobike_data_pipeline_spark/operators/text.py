@@ -447,3 +447,65 @@ def bigram_cross_entropy(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("cross_entropy"),
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    prior quality classifiers and curricula bucket on. Heuristic
+    counts, all single-pass codegen regex: words = whitespace splits,
+    sentences = terminal-punctuation runs (min 1), syllables = vowel
+    groups. The score is per-row arithmetic on exact integer counts
+    with literal constants, so both engines produce the identical
+    double — no rounding needed (and none applied: rounding is only
+    for aggregation noise, which a per-row expression doesn't have)."""
+    t = F.col(text_col)
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+def oov_rate(
+    docs: DataFrame, vocab_size: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` words — the vocabulary-coverage audit run
+    before committing to a tokenizer or a frozen vocab (a source with
+    high OOV will fragment into subword soup). Deterministic vocab
+    (count DESC, word tiebreak) selected with orderBy+limit — Catalyst
+    compiles that to TakeOrderedAndProject per-partition heaps, not a
+    single-partition global window; occurrences join the vocab with a
+    broadcast-sized table; one aggregation per source."""
+    w_tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = w_tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w")
+    )
+    flagged = w_tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "w", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -391,11 +391,22 @@ def global_row_index(
     """
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
     mask = (1 << 33) - 1
+    # localCheckpoint is REQUIRED, not an optimization: the offsets
+    # branch and the main branch both consume this frame, and
+    # repartitionByRange's sampled boundaries are not stable across
+    # separate executions — without pinning one materialization the two
+    # branches can see DIFFERENT partitionings and the offsets no
+    # longer describe the data they're added to (measured: per-run
+    # boundary drift of several hundred rows at sf0.01). With the
+    # checkpoint, the output is also run-deterministic, because
+    # offset + local rank reproduces the unique total order for ANY
+    # disjoint ordered ranges.
     d = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*[F.col(c) for c in order_cols])
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .localCheckpoint()
     )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

@@ -1133,3 +1133,28 @@ def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
     assert heavy >= 40
     s2 = sampling.weighted_sample(df, "k", "w", n=100).collect()
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_readability_orders_simple_above_complex(spark):
+    """Short simple sentences score higher Flesch than long
+    polysyllabic prose, and counts match hand values."""
+    rows = [
+        (1, "The cat sat. The dog ran."),
+        (2, "Extraordinarily complicated considerations necessitate "
+            "comprehensive multidimensional characterization methodologies."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.readability(docs).collect()}
+    assert out[1].n_sentences == 2 and out[1].n_words == 6
+    assert out[1].flesch > out[2].flesch
+
+
+def test_oov_rate_flags_divergent_source(spark):
+    """A source of made-up tokens shows ~100% OOV against a vocab
+    dominated by the common source."""
+    common = [(i, "the quick brown fox jumps", "web") for i in range(50)]
+    weird = [(100 + i, f"zzqx{i} vvwp{i} qqrr{i}", "junk") for i in range(5)]
+    docs = spark.createDataFrame(common + weird, "doc_id long, text string, source string")
+    out = {r.source: r for r in text.oov_rate(docs, vocab_size=5).collect()}
+    assert out["web"].oov_rate == 0.0
+    assert out["junk"].oov_rate == 1.0
