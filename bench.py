@@ -137,6 +137,8 @@ HEADLINE = [
     "q_oov_rate",
     "q_time_weighted_avg",
     "q_interleave_shards",
+    "q_quantile_norm",
+    "q_ks_drift",
 ]
 
 

@@ -304,3 +304,63 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     keyed = ev.withColumn("side", (F.col("event_id") % 2).cast("int"))
     return quality.psi_drift(keyed, "value", "event_type", "side", 0.0, 500.0, 10)
+
+
+@query(
+    "q_quantile_norm",
+    """
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS pct_rank
+    FROM documents
+    """,
+)
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile (rank) normalization
+    (quality.quantile_normalize): each doc's length maps to its
+    percent-rank within its source — the calibration step before
+    mixing scores across domains with incomparable raw scales.
+    percent_rank is an exact integer rational, so the normalized
+    scores are hash-exact with no rounding."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quality.quantile_normalize(docs, "n_chars", "source", "doc_id")
+
+
+@query(
+    "q_ks_drift",
+    """
+    WITH c AS (
+        SELECT event_type AS grp, CAST(value AS DOUBLE) AS val,
+               CAST(event_id % 2 AS INT) AS side
+        FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (
+        SELECT grp, val,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        FROM c GROUP BY grp, val
+    ),
+    cdf AS (
+        SELECT grp,
+               CAST(sum(ca) OVER (PARTITION BY grp ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / sum(ca) OVER (PARTITION BY grp) AS fa,
+               CAST(sum(cb) OVER (PARTITION BY grp ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / sum(cb) OVER (PARTITION BY grp) AS fb
+        FROM pv
+    )
+    SELECT grp, round(max(abs(fa - fb)), 6) + 0.0 AS ks_stat
+    FROM cdf GROUP BY grp
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event type
+    (quality.ks_drift): the max gap between the two parities'
+    empirical CDFs — the binning-free, transcendental-free complement
+    to q_psi_drift (every CDF value is an exact integer rational, so
+    nothing can differ in the last ulp). One agg to distinct values,
+    two cumulative windows, one max."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    keyed = ev.withColumn("side", (F.col("event_id") % 2).cast("int"))
+    return quality.ks_drift(keyed, "value", "event_type", "side")

@@ -243,3 +243,74 @@ def psi_drift(
     return folded.select(
         "grp", (F.round(psi, 6) + F.lit(0.0)).alias("psi")
     )
+
+
+def quantile_normalize(
+    df: DataFrame, value_col: str, group_col: str, id_col: str
+) -> DataFrame:
+    """Per-group quantile (rank) normalization: each value maps to its
+    percent-rank within its group — the calibration step before
+    mixing scores from different domains, where raw scales are
+    incomparable (a 0.8 web-quality score ≠ 0.8 code-quality score;
+    their percentiles are). percent_rank = (rank−1)/(n−1): an exact
+    rational of integers, so the normalized scores are hash-exact.
+    One window per group (partition = group size), ties share a rank
+    (standard competition ranking via rank())."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        id_col,
+        group_col,
+        value_col,
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+def ks_drift(
+    df: DataFrame, value_col: str, group_col: str, split_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group: the maximum
+    gap between the two sides' empirical CDFs — the
+    distribution-drift test with NO binning choice and NO
+    transcendentals (every CDF value is an exact integer rational, so
+    unlike PSI there is nothing to smooth and nothing that can differ
+    in the last ulp). One aggregation to per-(group, value, side)
+    counts, two cumulative windows over the distinct values, one max.
+    At 100 TB, pre-bucket values to bound the distinct count — the
+    same resolution/state trade as the histogram sketch."""
+    v = F.col(value_col).cast("double")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            v.alias("val"),
+            F.col(split_col).cast("int").alias("side"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_val = counts.groupBy("grp", "val").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("n")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == 1, F.col("n")).otherwise(0)).alias("cb"),
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy("grp")
+    cdf = per_val.select(
+        "grp",
+        "val",
+        (F.sum("ca").over(w_cum).cast("double") / F.sum("ca").over(w_tot))
+        .alias("fa"),
+        (F.sum("cb").over(w_cum).cast("double") / F.sum("cb").over(w_tot))
+        .alias("fb"),
+    )
+    return cdf.groupBy("grp").agg(
+        (F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6) + F.lit(0.0)).alias(
+            "ks_stat"
+        )
+    )

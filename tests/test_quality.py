@@ -139,3 +139,27 @@ def test_psi_drift_detects_planted_shift(spark):
     df2 = spark.createDataFrame(shifted, "grp string, v double, side int")
     psi1 = quality.psi_drift(df2, "v", "grp", "side", 0.0, 100.0, 10).collect()[0].psi
     assert psi1 > 0.25
+
+
+def test_quantile_normalize_uniformizes(spark):
+    """pct_rank spans [0,1] per group and respects value order."""
+    rows = [("g", i, float(i * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, rid long, v double")
+    out = sorted(
+        quality.quantile_normalize(df, "v", "grp", "rid").collect(),
+        key=lambda r: r.v,
+    )
+    ranks = [r.pct_rank for r in out]
+    assert ranks[0] == 0.0 and ranks[-1] == 1.0
+    assert ranks == sorted(ranks)
+    assert abs(ranks[5] - 5 / 9) < 1e-12  # (rank-1)/(n-1), exact rational
+
+
+def test_ks_drift_detects_planted_shift(spark):
+    """Identical halves → KS 0; disjoint supports → KS 1."""
+    same = [("g", float((v // 2) % 50), v % 2) for v in range(400)]
+    d0 = spark.createDataFrame(same, "grp string, v double, side int")
+    assert quality.ks_drift(d0, "v", "grp", "side").collect()[0].ks_stat == 0.0
+    shifted = [("g", float((v // 2) % 50) + (1000.0 if v % 2 else 0.0), v % 2) for v in range(400)]
+    d1 = spark.createDataFrame(shifted, "grp string, v double, side int")
+    assert quality.ks_drift(d1, "v", "grp", "side").collect()[0].ks_stat == 1.0
