@@ -139,6 +139,7 @@ HEADLINE = [
     "q_interleave_shards",
     "q_quantile_norm",
     "q_ks_drift",
+    "q_pmi_collocations",
 ]
 
 

@@ -2793,3 +2793,50 @@ def q_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("row_idx"), F.lit(8)).cast("int").alias("shard"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_pmi_collocations",
+    r"""
+    WITH warr AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    tokf AS (
+        SELECT t FROM (SELECT unnest(w) AS t FROM warr) WHERE t != ''
+    ),
+    uni AS (SELECT t AS wd, count(*) AS cw FROM tokf GROUP BY t),
+    nt AS (SELECT count(*) AS n FROM tokf),
+    prf AS (
+        SELECT a, b FROM (
+            SELECT w[i+1] AS a, w[i+2] AS b
+            FROM (SELECT w, unnest(range(len(w)-1)) AS i
+                  FROM warr WHERE len(w) >= 2)
+        ) WHERE a != '' AND b != ''
+    ),
+    np AS (SELECT count(*) AS n FROM prf),
+    pc AS (
+        SELECT a, b, count(*) AS cab FROM prf
+        GROUP BY a, b HAVING count(*) >= 5
+    ),
+    s AS (
+        SELECT pc.a, pc.b, pc.cab,
+               round(ln((CAST(cab AS DOUBLE) / np.n)
+                        / ((CAST(ua.cw AS DOUBLE) / nt.n)
+                           * (CAST(ub.cw AS DOUBLE) / nt.n))), 6) + 0.0 AS pmi
+        FROM pc
+        JOIN uni ua ON ua.wd = pc.a
+        JOIN uni ub ON ub.wd = pc.b, nt, np
+    )
+    SELECT a, b, cab, pmi FROM s ORDER BY pmi DESC, a, b LIMIT 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information
+    (text.pmi_collocations) — the statistically-surprising adjacent
+    pairs, with a support floor of 5 (PMI is noisy on rare pairs).
+    Pairs from one in-row array transform (no self-join), vocab joins
+    left to AQE, top-k via TakeOrderedAndProject; the single ln() on
+    exact-integer rationals rounds to 6dp (the proven parity)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.pmi_collocations(docs, k=50, min_count=5)

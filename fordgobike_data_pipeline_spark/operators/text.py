@@ -509,3 +509,69 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, k: int = 50, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    statistically-surprising adjacent word pairs ("new york", not
+    "of the"); the standard corpus-analysis probe for boilerplate
+    phrases and domain vocabulary, and a multi-word-token candidate
+    generator for tokenizers.
+
+    PMI = ln(p(ab) / (p(a)·p(b))) over adjacent pairs, with a
+    ``min_count`` support floor (PMI is notoriously noisy on rare
+    pairs). Pairs come from one in-row array transform (no
+    self-join); unigram probabilities join onto the
+    min_count-floored pair table (AQE broadcasts when the vocab fits); top-k via orderBy+limit
+    (TakeOrderedAndProject). The single ln() runs on exact-integer
+    rationals, rounded to 6dp — the q_psi_drift-proven parity."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = docs.select(F.explode(w).alias("w")).filter(F.col("w") != "")
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    n_tok = tok.agg(F.count(F.lit(1)).alias("nt"))
+    pair_arr = F.expr(
+        "transform(sequence(0, size(_w) - 2), i -> struct(_w[i] AS a, _w[i+1] AS b))"
+    )
+    pairs = (
+        docs.select(w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_count)
+    )
+    n_pair = (
+        docs.select(w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    # unigram joins stay unhinted: the vocab is sub-linear in corpus
+    # size but NOT bounded — AQE broadcasts when it fits; only the
+    # 1-row totals are forced broadcasts
+    j = (
+        pairs.join(uni.withColumnRenamed("w", "a").withColumnRenamed("cw", "ca"), "a")
+        .join(uni.withColumnRenamed("w", "b").withColumnRenamed("cw", "cb"), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") / F.col("np"))
+            / (
+                (F.col("ca").cast("double") / F.col("nt"))
+                * (F.col("cb").cast("double") / F.col("nt"))
+            )
+        ),
+        6,
+    ) + F.lit(0.0)
+    return (
+        j.select("a", "b", "cab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )

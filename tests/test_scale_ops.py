@@ -1158,3 +1158,20 @@ def test_oov_rate_flags_divergent_source(spark):
     out = {r.source: r for r in text.oov_rate(docs, vocab_size=5).collect()}
     assert out["web"].oov_rate == 0.0
     assert out["junk"].oov_rate == 1.0
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    """A phrase always occurring together tops the PMI list; a pair of
+    independently-frequent words scores near zero."""
+    rows = (
+        [(i, "alpha beta common filler " + f"x{i} y{i}") for i in range(20)]
+        + [(100 + i, "common filler gamma " + f"z{i}") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.pmi_collocations(docs, k=10, min_count=5).collect()
+    top = (out[0].a, out[0].b)
+    assert top == ("alpha", "beta")  # perfect collocation
+    by_pair = {(r.a, r.b): r.pmi for r in out}
+    # 'common filler' co-occurs every time but both words are globally
+    # frequent — PMI must rank it below the exclusive pair
+    assert by_pair[("alpha", "beta")] > by_pair.get(("common", "filler"), -99)
