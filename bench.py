@@ -140,6 +140,16 @@ HEADLINE = [
     "q_quantile_norm",
     "q_ks_drift",
     "q_pmi_collocations",
+    # round-5 third-session additions
+    "q_cohort_retention",
+    "q_markov_transitions",
+    "q_attribution",
+    "q_rolling_median",
+    "q_rfm",
+    "q_subquery_avg_filter",
+    "q_scalar_share",
+    "q_exists_returned",
+    "q_anti_scalar",
 ]
 
 

@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None):
 
 def _ensure_extensions_loaded() -> None:
     from . import (  # noqa: F401  (register queries)
+        harness_analytics,
         harness_curation,
         harness_quality,
         harness_scale,

@@ -1,0 +1,274 @@
+"""Product/behavioral analytics operators over an event stream:
+cohort retention, Markov transition matrices, marketing attribution,
+rolling medians, and RFM segmentation — the dashboard-feeding shapes
+the reference's notebook explorations sketch over trips
+(EDA.ipynb usage-over-time / member-mix cells) generalized to any
+(user, ts, type, value) event table.
+
+Determinism rules shared with the rest of the package: every ordering
+carries an explicit id tiebreak, every mean/share is a single double
+division of exact integers, and week bucketing is arithmetic on day
+counts from a fixed epoch Monday (no engine-specific WEEK() semantics
+anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# A Monday, so every 7-day bucket from it is a Monday-start week on
+# both engines without invoking either engine's week-of-year rules.
+EPOCH_MONDAY = "2000-01-03"
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the week of
+    their FIRST event; for each (cohort_week, week_offset), how many of
+    them were active that many weeks later, and what fraction of the
+    cohort that is.
+
+    Shape: one aggregation to per-user first day (|users| rows), one
+    distinct user-day activity grain, one shuffle join on the user key
+    (both sides user-partitioned; at 100 TB the first-day table is
+    |users| — small relative to events but not broadcastable, so the
+    equi-join is the right plan), then a count-distinct per cohort
+    cell. Week bucketing = floor(days_since_epoch_monday / 7) — pure
+    integer arithmetic, identical on any engine. retention_pct is the
+    single double division n_active / cohort_size.
+    """
+    day = F.to_date(F.col(ts_col))
+    epoch = F.lit(EPOCH_MONDAY).cast("date")
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(day).alias("first_day")
+    )
+    cohort = first.select(
+        "u",
+        F.date_add(
+            epoch,
+            (7 * F.floor(F.datediff(F.col("first_day"), epoch) / 7)).cast("int"),
+        ).alias("cohort_week"),
+    )
+    activity = events.select(F.col(user_col).alias("u"), day.alias("day")).distinct()
+    cells = (
+        activity.join(cohort, "u")
+        .select(
+            "u",
+            "cohort_week",
+            F.floor(F.datediff(F.col("day"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("u").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention_frac"
+        ),
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) with exact counts.
+
+    One lag() window per user (deterministic (ts, id) order), one
+    count aggregation over (prev, next) — |types|² rows — and the
+    row-normalizing totals join is over that bounded matrix, so
+    everything after the window is control-plane sized. The
+    probability is one division of two exact BIGINTs (bit-identical
+    across engines/partitionings).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = events.select(
+        F.lag(F.col(type_col)).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n_trans").alias("_tot"))
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.col("_tot").cast("double")).alias(
+            "p_trans"
+        ),
+    )
+
+
+def attribute_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the most recent preceding touch event (same user)
+    within a lookback window; conversions with no in-window touch are
+    'unattributed'. Returns conversions + credited value per channel.
+
+    Shape: ONE window pass per user — the touch timestamp and touch
+    type are carried forward with two last(..., ignorenulls=True)
+    expressions over the same CASE (they null out together, so both
+    always come from the same touch row; no struct needed, which keeps
+    the oracle SQL plain). No join at all: the classic formulation
+    joins conversions to touches with an inequality — quadratic per
+    user — while the carry-forward is linear in the sorted stream.
+    Value credit sums integer cents so the per-channel totals are
+    partitioning-invariant.
+    """
+    if window_days <= 0:
+        raise ValueError(f"window_days must be positive, got {window_days}")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch_us = F.last(F.when(is_touch, us), ignorenulls=True).over(w)
+    touch_type = F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(w)
+    window_us = window_days * 86_400 * 1_000_000
+    conv = events.select(
+        F.col(type_col).alias("_t"),
+        us.alias("_us"),
+        touch_us.alias("_tus"),
+        touch_type.alias("_ttype"),
+        F.floor(F.col("value") * 100).cast("long").alias("_cents"),
+    ).filter(F.col("_t") == conversion_type)
+    channel = F.coalesce(
+        F.when(F.col("_us") - F.col("_tus") <= window_us, F.col("_ttype")),
+        F.lit("unattributed"),
+    )
+    return conv.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        (F.sum("_cents").cast("double") / F.lit(100.0)).alias("credited_value"),
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    n_rows: int = 7,
+) -> DataFrame:
+    """Rolling median of an integer-valued series over the trailing
+    ``n_rows`` rows per key — the robust smoother for daily-count
+    series (a rolling mean chases single-day spikes; the median
+    ignores them).
+
+    Spark has no median window function, so this composes one:
+    collect_list over a BOUNDED rows-window (≤ n_rows elements — never
+    an unbounded state blowup), sort_array for order-independence, and
+    exact middle-element indexing; even-length windows average the two
+    middles (a .5-exact double). Per-key partitions sort once and both
+    the list window and the indexing ride that sort.
+    """
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col).cast("long")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return df.select(
+        F.col(key_col),
+        F.col(order_col),
+        F.col(value_col),
+        ((lo + hi) / F.lit(2.0)).alias("rolling_median"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    n_tiles: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """RFM segmentation: per user Recency (days since last purchase,
+    vs the global max event day), Frequency (purchase count), Monetary
+    (integer-cents purchase sum), each scored into ``n_tiles`` ntile
+    buckets (1 = best) with a deterministic user-id tiebreak, plus the
+    concatenated segment label ('111' = best customers).
+
+    Shape: one per-user aggregation over the purchase subset, the
+    global max day as a 1-row broadcast (scalar control data), three
+    ntile windows over the SAME user-level table (|users| rows — the
+    windows are over the aggregate, never the raw events). ntile with
+    a total order (metric, user_id) is deterministic on any engine.
+    The unpartitioned windows are the inherently-serial exact
+    formulation (same trade as q_ntile); at 100 TB the swap is
+    approx_percentile boundaries per metric broadcast into a per-row
+    CASE — documented, not silently applied, because the exact
+    equal-count semantics are what the oracle adjudicates.
+    """
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    day = F.to_date(F.col(ts_col))
+    anchor = events.agg(F.max(day).alias("anchor_day"))
+    per_user = (
+        events.filter(F.col(type_col) == purchase_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.max(day).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "u",
+            F.datediff(F.col("anchor_day"), F.col("last_day")).alias("recency_days"),
+            "frequency",
+            (F.col("_cents").cast("double") / F.lit(100.0)).alias("monetary"),
+        )
+    )
+    # 1 = best on every axis: recency ascending (recent first),
+    # frequency/monetary descending (big first).
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("u").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("u").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("u").asc())
+    scored = per_user.select(
+        F.col("u").alias(user_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )

@@ -121,3 +121,41 @@ def test_ivfpq_corpus_side_joins_are_broadcast(spark):
     plan = explain(spark, "q_ivfpq")
     # corpus-side scoring joins: listed⨝probes and ⨝lut are broadcasts
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_exists_shape_is_semi_join_with_pushed_filter(spark):
+    """EXISTS must decorrelate to a semi join and the probe-side
+    predicate must reach the lineitem scan — a post-scan filter would
+    read every returnflag at 100 TB."""
+    plan = explain(spark, "q_exists_returned")
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_not_exists_shape_is_anti_join(spark):
+    plan = explain(spark, "q_anti_scalar")
+    assert "LeftAnti" in plan
+
+
+def test_correlated_avg_brand_dim_is_broadcast(spark):
+    """Q17 shape: the brand dimension filter must come in as a
+    broadcast join; only the aggregate self-join may shuffle."""
+    plan = explain(spark, "q_subquery_avg_filter")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_markov_normalization_join_is_broadcast(spark):
+    """The row-normalizing totals table is |types|-bounded control
+    data — it must broadcast, never shuffle the transition matrix."""
+    plan = explain(spark, "q_markov_transitions")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_is_single_window_pass(spark):
+    """Carry-forward attribution exists to avoid the quadratic
+    conversions×touches join: the plan must contain exactly one
+    Window (both last() exprs ride it) and no join at all."""
+    plan = explain(spark, "q_attribution")
+    assert plan.count("+- Window") == 1
+    assert "Join" not in plan
