@@ -150,6 +150,11 @@ HEADLINE = [
     "q_scalar_share",
     "q_exists_returned",
     "q_anti_scalar",
+    "q_count_min",
+    "q_table_diff",
+    "q_triangle_count",
+    "q_keyword_search",
+    "q_mad_outliers",
 ]
 
 

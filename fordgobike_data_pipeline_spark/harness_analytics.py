@@ -364,3 +364,255 @@ def q_anti_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-engineering ops: sketch-based frequency estimation, snapshot
+# reconciliation, graph cohesion, boolean retrieval, robust outliers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_count_min",
+    r"""
+    WITH tok AS (
+        SELECT t FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+            FROM documents
+        ) WHERE t != ''
+    ),
+    exact AS (
+        SELECT t AS term, count(*) AS n_exact FROM tok
+        GROUP BY t ORDER BY n_exact DESC, term LIMIT 15
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+        SELECT row,
+               CAST(((CAST(CAST(from_hex(substr(md5('cms' || row || '|' || t), 1, 16))
+                     AS BIT) AS BIGINT) % 256 + 256) % 256) AS INT) AS col,
+               count(*) AS cnt
+        FROM tok, rows_
+        GROUP BY row, col
+    ),
+    est AS (
+        SELECT term, min(cnt) AS est_count
+        FROM exact e, rows_ r
+        JOIN cells c
+          ON c.row = r.row
+         AND c.col = CAST(((CAST(CAST(from_hex(substr(md5('cms' || r.row || '|' || e.term), 1, 16))
+                        AS BIT) AS BIGINT) % 256 + 256) % 256) AS INT)
+        GROUP BY term
+    )
+    SELECT e.term, n_exact, est_count, est_count - n_exact AS overcount
+    FROM exact e JOIN est ON est.term = e.term
+    """,
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch frequency estimation (operators/sketches.py):
+    a 4×256 counter grid built in one pass over the corpus tokens
+    (output ≤ d·w rows whatever the input size — mergeable by cell
+    addition), then the exact top-15 words estimated back through it.
+    overcount ≥ 0 always (CMS over-estimates only); the oracle rebuilds
+    the same grid with the bit-exact md5 hash family."""
+    from .operators import sketches
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    exact_top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+        .limit(15)
+    )
+    sketch = sketches.count_min_build(tok, depth=4, width=256)
+    est = sketches.count_min_estimate(
+        sketch, exact_top.select("term"), depth=4, width=256
+    )
+    return exact_top.join(est, "term").select(
+        "term",
+        "n_exact",
+        "est_count",
+        (F.col("est_count") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+@query(
+    "q_table_diff",
+    """
+    WITH a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < DATE '1998-01-01'
+    ),
+    b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderdate < DATE '1999-01-01' AND o_orderkey % 101 != 0
+    ),
+    j AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                      OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                        THEN 'changed'
+                    ELSE 'unchanged' END AS diff_status,
+               CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                    THEN CAST(a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS INT)
+                       + CAST(a.o_totalprice IS DISTINCT FROM b.o_totalprice AS INT)
+               END AS n_cols_changed
+        FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT * FROM j WHERE diff_status != 'unchanged'
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (warehouse.table_diff): two derived
+    versions of the orders table (the later one adds a year of orders,
+    drops every 101st key, bumps every 13th price) diffed into
+    added/removed/changed rows with per-key changed-column counts —
+    ONE full-outer join on the key, null-safe per-column equality in
+    codegen, no row hash."""
+    from .operators import warehouse
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    snap_a = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            & (F.col("o_orderkey") % 101 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+    )
+    return warehouse.table_diff(
+        snap_a, snap_b, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).filter(F.col("diff_status") != "unchanged")
+
+
+@query(
+    "q_triangle_count",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+        SELECT DISTINCT x.p AS u, y.p AS v
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+    ),
+    bi AS (SELECT u AS n, v AS m FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT n, count(*) AS d FROM bi GROUP BY n),
+    orient AS (
+        SELECT b.n AS src, b.m AS dst
+        FROM bi b
+        JOIN deg dn ON dn.n = b.n
+        JOIN deg dm ON dm.n = b.m
+        WHERE dn.d < dm.d OR (dn.d = dm.d AND b.n < b.m)
+    ),
+    wedges AS (
+        SELECT o1.src, o1.dst AS x, o2.dst AS y
+        FROM orient o1 JOIN orient o2 ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    closing AS (
+        SELECT least(src, dst) AS x, greatest(src, dst) AS y FROM orient
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM wedges w SEMI JOIN closing c ON w.x = c.x AND w.y = c.y
+    )
+    SELECT (SELECT count(*) FROM e0) AS n_edges,
+           (SELECT count(*) FROM wedges) AS n_wedges,
+           n_triangles
+    FROM tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (graph.triangle_count):
+    parts are linked when they appear in the same order; triangles via
+    degree-ordered edge orientation (out-degree O(√E), wedge count
+    Σ outdeg² instead of Σ deg² — the hub-proof MapReduce-era
+    formulation), each triangle counted once from its smallest
+    vertex."""
+    from .operators import graph
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    x = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    y = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    pairs = x.join(y, "o").filter(F.col("a") < F.col("b")).select("a", "b")
+    return graph.triangle_count(pairs, "a", "b")
+
+
+@query(
+    "q_keyword_search",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+            FROM documents
+        )
+    ),
+    f AS (SELECT doc_id, t FROM tok WHERE t IN ('join', 'hash', 'scan')),
+    s AS (
+        SELECT doc_id, count(DISTINCT t) AS nm, count(*) AS score
+        FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM s WHERE nm = 3
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (retrieval.keyword_search): top-20
+    documents containing ALL of {join, hash, scan} ranked by summed
+    term frequency, doc-id tiebreak — the boolean-retrieval
+    complement to q_bm25; the IN-filter prunes the posting build
+    before any aggregation and the top-k is TakeOrderedAndProject."""
+    from .operators import retrieval
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return retrieval.keyword_search(docs, ["join", "hash", "scan"], k=20)
+
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+        SELECT source AS grp,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median
+        FROM documents GROUP BY source
+    ),
+    ad AS (
+        SELECT d.source AS grp, m.median,
+               abs(CAST(d.n_chars AS DOUBLE) - m.median) AS adv
+        FROM documents d JOIN med m ON m.grp = d.source
+    ),
+    st AS (
+        SELECT grp, count(*) AS n, min(median) AS median,
+               quantile_cont(adv, 0.5) AS mad
+        FROM ad GROUP BY grp
+    )
+    SELECT st.grp, st.n, st.median, st.mad,
+           sum(CAST(ad.adv > 3.0 * st.mad AS INT)) AS n_outliers
+    FROM ad JOIN st ON st.grp = ad.grp
+    GROUP BY st.grp, st.n, st.median, st.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier census via Median Absolute Deviation
+    (quality.mad_outlier_census) — 50% breakdown point vs IQR's 25%,
+    the monitor of choice for heavy-tailed columns. Two exact-
+    percentile passes; all comparisons on .5-exact doubles (integer
+    inputs interpolate to at most halves — exact in binary)."""
+    from .operators import quality
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quality.mad_outlier_census(docs, "source", "n_chars", k=3.0)

@@ -88,3 +88,59 @@ def pagerank(
         F.col("r").alias("rank_int"),
         F.round(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
     )
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Global triangle count over an undirected edge table — the
+    clustering-coefficient numerator, the standard cohesion probe for
+    co-occurrence graphs (co-purchased parts, co-cited docs).
+
+    Scale shape: the naive 3-way self-join explodes on hub nodes
+    (Σ deg² wedges). The degree-ordered orientation (Cohen 2009;
+    Suri & Vassilvitskii 2011) fixes it: orient every edge from the
+    (degree, node)-smaller endpoint to the larger, so every vertex's
+    out-degree is O(√|E|) and wedge count collapses to Σ outdeg² ≤
+    |E|^1.5 — each triangle is counted exactly once, from its unique
+    smallest vertex. Three shuffles total: degree agg, wedge
+    self-join on the pivot, closing-edge semi-join.
+
+    Returns one audit row: (n_edges, n_wedges, n_triangles).
+    """
+    # normalize + dedup; drop self-loops
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = e.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    deg = both.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    # orientation key: (degree, node) totally orders endpoints
+    keyed = (
+        both.join(deg.withColumnRenamed("n", "m").withColumnRenamed("d", "dm"), "m")
+        .join(deg, "n")
+        .select("n", "m", "d", "dm")
+    )
+    oriented = keyed.filter(
+        (F.col("d") < F.col("dm")) | ((F.col("d") == F.col("dm")) & (F.col("n") < F.col("m")))
+    ).select(F.col("n").alias("src"), F.col("m").alias("dst"))
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    # each unordered wedge once: x < y in plain node order
+    wedges = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
+    # the closing edge is oriented too, but its direction depends on
+    # the (deg, node) order of x and y — probe both as a normalized
+    # undirected key
+    closing = oriented.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

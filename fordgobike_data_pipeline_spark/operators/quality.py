@@ -314,3 +314,155 @@ def ks_drift(
             "ks_stat"
         )
     )
+
+
+def mad_outlier_census(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier census via Median Absolute Deviation:
+    a value is an outlier when |x − median| > k·MAD. The IQR census
+    (iqr_outlier_census) breaks down when >25% of a group is bad —
+    MAD's 50% breakdown point is the robust-statistics upper bound,
+    which is why data-quality monitors prefer it on heavy-tailed
+    columns.
+
+    Two exact-percentile aggregations with a join-back between them
+    (median, then median of |x − median|); comparisons are against
+    .5-exact doubles (integer inputs interpolate at most to halves, and
+    0.5 is a power of two — exact in binary on both engines). At
+    100 TB the documented swap is approx_percentile for both medians,
+    same as the IQR census.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.percentile(v, F.lit(0.5)).alias("median")
+    )
+    with_ad = df.join(med, df[group_col] == med["grp"]).select(
+        "grp", "median", F.abs(v - F.col("median")).alias("_ad")
+    )
+    stats = with_ad.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("median").alias("median"),
+        F.percentile(F.col("_ad"), F.lit(0.5)).alias("mad"),
+    )
+    return (
+        with_ad.select("grp", "_ad")
+        .join(stats, "grp")
+        .groupBy("grp")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("median").alias("median"),
+            F.min("mad").alias("mad"),
+            F.sum((F.col("_ad") > F.lit(k) * F.col("mad")).cast("int")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns: one row with the cell count, degrees of freedom, and the
+    X² statistic — the monitor for "did the type mix shift by segment"
+    questions where PSI/KS (numeric) don't apply.
+
+    One count aggregation to the |A|·|B|-bounded contingency table;
+    marginals are aggregates OF that table (control-plane sized), so
+    nothing after the first groupBy touches data-scale rows. The
+    statistic sums (o−e)²/e over cells — transcendental-free but
+    still an order-dependent double sum, so it folds SEQUENTIALLY
+    over the cell-ordered array (the psi_drift parity pattern).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("rt"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("ct"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("na"),
+        F.countDistinct("b").alias("nb"),
+    )
+    j = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+    )
+    # e = rt*ct/n: exact integer product, one division -> identical double
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    folded = (
+        j.select(
+            F.col("na"),
+            F.col("nb"),
+            F.struct(F.col("a"), F.col("b"), term.alias("t")).alias("e"),
+        )
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.array_sort(F.collect_list("e")).alias("terms"),
+        )
+    )
+    chi2 = F.aggregate(F.col("terms"), F.lit(0.0), lambda acc, s: acc + s["t"])
+    return folded.select(
+        "n_cells",
+        ((F.col("na") - 1) * (F.col("nb") - 1)).cast("int").alias("dof"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 1000,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE pass:
+    each input is fixed-pointed to ``scale`` (floor(v·scale) — exact
+    integers), and every Σx, Σx², Σxy accumulates as DECIMAL(38,0) —
+    Spark decimals are exact BigDecimal arithmetic (DuckDB twin:
+    HUGEINT), so the sums are order-independent where a double sum is
+    not, and products of milli-scaled cents never overflow the 38-digit
+    range that would break a BIGINT at 100 TB row counts. The closed
+    form (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) then runs in double
+    on those exact sums — same bits on any engine, rounded to 6dp.
+
+    Built-in corr() is the convenient alternative but sums doubles in
+    partition order — unusable under a hash-adjudicated contract.
+    Output: one row per pair (col_x, col_y, corr), pairs in given
+    column order.
+    """
+    ints = {c: F.floor(F.col(c).cast("double") * scale).cast("decimal(38,0)") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(ints[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(ints[c] * ints[c]).alias(f"ss_{c}"))
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
+    for x, y in pairs:
+        aggs.append(F.sum(ints[x] * ints[y]).alias(f"sp_{x}_{y}"))
+    sums = df.agg(*aggs)
+    out_rows = []
+    for x, y in pairs:
+        nn = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        ssx, ssy = F.col(f"ss_{x}").cast("double"), F.col(f"ss_{y}").cast("double")
+        sxy = F.col(f"sp_{x}_{y}").cast("double")
+        num = nn * sxy - sx * sy
+        den = F.sqrt((nn * ssx - sx * sx) * (nn * ssy - sy * sy))
+        out_rows.append(
+            sums.select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                (F.round(num / den, 6) + F.lit(0.0)).alias("corr"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -342,3 +342,43 @@ def knn_graph_increment(
     touched_ids = touched.select(F.col("id").alias("src_id")).distinct()
     kept = old_edges.join(touched_ids, "src_id", "left_anti")
     return kept.unionByName(recomputed)
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) keyword search ranked by total term
+    frequency: documents containing EVERY query term, top-k by summed
+    tf with a deterministic id tiebreak — the boolean-retrieval
+    complement to the BM25 ranker (text.bm25_scores), and the posting-
+    list primitive an inverted index serves.
+
+    Shape: tokenize → filter to the |terms|-bounded probe set BEFORE
+    any aggregation (the filter is a pushed-down IN over the exploded
+    tokens, so the posting build only materializes matching terms) →
+    one groupBy(doc) counting distinct matched terms and summing tf →
+    HAVING n_matched = |terms| → TakeOrderedAndProject for the top-k
+    (per-partition heaps, no global sort). At scale this is the
+    query-side scan of an inverted index; served repeatedly, the
+    postings table is the thing to materialize and bucket by term.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w").isin(*terms))
+    scored = (
+        tok.groupBy(id_col)
+        .agg(
+            F.countDistinct("w").alias("_nm"),
+            F.count(F.lit(1)).alias("score"),
+        )
+        .filter(F.col("_nm") == len(terms))
+        .select(id_col, "score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -481,3 +481,53 @@ def zorder_key_sql(names: list[str], bits: int = 10) -> str:
                 f"((((CAST({nm} AS BIGINT) & {mask}) >> {b}) & 1) << {b * n + i})"
             )
     return "(" + " | ".join(parts) + ")"
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed / unchanged between two table versions, with the count of
+    differing value columns — the audit primitive behind "what did this
+    batch actually do", and the verification step after any migration
+    or CDC replay (apply_changelog's output vs an independent rebuild).
+
+    One full-outer join on the key (both sides key-partitioned — the
+    single unavoidable shuffle); per-column comparison is null-safe
+    equality (<=>), evaluated column-by-column in codegen rather than
+    via a row hash, so the diff is exact with no hash-collision caveat
+    and no engine-parity dependence on a hash function. At 100 TB both
+    snapshots usually share partitioning from their writer, which AQE
+    exploits; a bucketed layout makes this diff shuffle-free.
+    """
+    b = before.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"_b_{c}") for c in val_cols],
+        F.lit(1).alias("_in_b"),
+    )
+    a = after.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"_a_{c}") for c in val_cols],
+        F.lit(1).alias("_in_a"),
+    )
+    joined = b.join(a, key_cols, "full_outer")
+    n_diff = sum(
+        (~F.col(f"_b_{c}").eqNullSafe(F.col(f"_a_{c}"))).cast("int")
+        for c in val_cols
+    )
+    status = (
+        F.when(F.col("_in_b").isNull(), F.lit("added"))
+        .when(F.col("_in_a").isNull(), F.lit("removed"))
+        .when(n_diff > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *key_cols,
+        status.alias("diff_status"),
+        F.when(
+            F.col("_in_b").isNotNull() & F.col("_in_a").isNotNull(), n_diff
+        ).otherwise(F.lit(None).cast("int")).alias("n_cols_changed"),
+    )
