@@ -155,6 +155,18 @@ HEADLINE = [
     "q_triangle_count",
     "q_keyword_search",
     "q_mad_outliers",
+    "q_chi_square",
+    "q_corr_matrix",
+    "q_ols_trend",
+    "q_skyline",
+    "q_id_gaps",
+    "q_ab_test",
+    "q_ewma",
+    "q_anomaly_zscore",
+    "q_assoc_rules",
+    "q_item_sim",
+    "q_multi_exists",
+    "q_hierarchy_rollup",
 ]
 
 

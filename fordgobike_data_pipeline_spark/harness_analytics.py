@@ -616,3 +616,533 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return quality.mad_outlier_census(docs, "source", "n_chars", k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Statistical monitors and global-structure probes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_chi_square",
+    """
+    WITH base AS (
+        SELECT event_type AS a,
+               CAST(((date_diff('day', DATE '2000-01-03', CAST(ts AS DATE)) % 7)
+                     + 7) % 7 AS INT) AS b
+        FROM events
+    ),
+    obs AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+    ra AS (SELECT a, sum(o) AS rt FROM obs GROUP BY a),
+    cb AS (SELECT b, sum(o) AS ct FROM obs GROUP BY b),
+    nn AS (SELECT sum(o) AS n, count(DISTINCT a) AS na,
+                  count(DISTINCT b) AS nb
+           FROM obs),
+    cells AS (
+        SELECT ra.a, cb.b, rt, ct, coalesce(o, 0) AS o
+        FROM ra CROSS JOIN cb
+        LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+    ),
+    terms AS (
+        SELECT a, b,
+               (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS tm
+        FROM cells, nn
+    )
+    SELECT count(*) AS n_cells,
+           (SELECT CAST((na - 1) * (nb - 1) AS INT) FROM nn) AS dof,
+           round(list_sum(list_transform(array_agg(tm ORDER BY a, b), x -> x)), 6)
+               + 0.0 AS chi2
+    FROM terms
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and day-of-week
+    (quality.chi_square_independence) — the categorical-mix drift
+    monitor PSI/KS can't express. Day-of-week is pure day-count
+    arithmetic from the epoch Monday (no engine DOW semantics); the
+    statistic folds sequentially over the cell-ordered array (the
+    psi_drift parity pattern)."""
+    from .operators import quality
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    epoch = F.lit("2000-01-03").cast("date")
+    keyed = ev.select(
+        "event_type",
+        F.pmod(F.datediff(F.to_date("ts"), epoch), F.lit(7)).cast("int").alias("dow"),
+    )
+    return quality.chi_square_independence(keyed, "event_type", "dow")
+
+
+@query(
+    "q_corr_matrix",
+    """
+    WITH i AS (
+        SELECT CAST(floor(l_quantity * 1000) AS HUGEINT) AS c0,
+               CAST(floor(l_extendedprice * 1000) AS HUGEINT) AS c1,
+               CAST(floor(l_discount * 1000) AS HUGEINT) AS c2,
+               CAST(floor(l_tax * 1000) AS HUGEINT) AS c3
+        FROM lineitem
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(c0) AS s0, sum(c0*c0) AS ss0,
+               sum(c1) AS s1, sum(c1*c1) AS ss1,
+               sum(c2) AS s2, sum(c2*c2) AS ss2,
+               sum(c3) AS s3, sum(c3*c3) AS ss3,
+               sum(c0*c1) AS p01, sum(c0*c2) AS p02, sum(c0*c3) AS p03,
+               sum(c1*c2) AS p12, sum(c1*c3) AS p13, sum(c2*c3) AS p23
+        FROM i
+    ),
+    d AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(s0 AS DOUBLE) AS s0, CAST(ss0 AS DOUBLE) AS ss0,
+               CAST(s1 AS DOUBLE) AS s1, CAST(ss1 AS DOUBLE) AS ss1,
+               CAST(s2 AS DOUBLE) AS s2, CAST(ss2 AS DOUBLE) AS ss2,
+               CAST(s3 AS DOUBLE) AS s3, CAST(ss3 AS DOUBLE) AS ss3,
+               CAST(p01 AS DOUBLE) AS p01, CAST(p02 AS DOUBLE) AS p02,
+               CAST(p03 AS DOUBLE) AS p03, CAST(p12 AS DOUBLE) AS p12,
+               CAST(p13 AS DOUBLE) AS p13, CAST(p23 AS DOUBLE) AS p23
+        FROM s
+    )
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           round((n*p01 - s0*s1) / sqrt((n*ss0 - s0*s0) * (n*ss1 - s1*s1)), 6) + 0.0 AS corr
+    FROM d
+    UNION ALL SELECT 'l_quantity', 'l_discount',
+           round((n*p02 - s0*s2) / sqrt((n*ss0 - s0*s0) * (n*ss2 - s2*s2)), 6) + 0.0 FROM d
+    UNION ALL SELECT 'l_quantity', 'l_tax',
+           round((n*p03 - s0*s3) / sqrt((n*ss0 - s0*s0) * (n*ss3 - s3*s3)), 6) + 0.0 FROM d
+    UNION ALL SELECT 'l_extendedprice', 'l_discount',
+           round((n*p12 - s1*s2) / sqrt((n*ss1 - s1*s1) * (n*ss2 - s2*s2)), 6) + 0.0 FROM d
+    UNION ALL SELECT 'l_extendedprice', 'l_tax',
+           round((n*p13 - s1*s3) / sqrt((n*ss1 - s1*s1) * (n*ss3 - s3*s3)), 6) + 0.0 FROM d
+    UNION ALL SELECT 'l_discount', 'l_tax',
+           round((n*p23 - s2*s3) / sqrt((n*ss2 - s2*s2) * (n*ss3 - s3*s3)), 6) + 0.0 FROM d
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the four lineitem measures in
+    ONE aggregation pass (quality.corr_matrix): inputs fixed-pointed to
+    milli-units, Σx/Σx²/Σxy accumulated as DECIMAL(38,0) — exact,
+    order-independent where built-in corr()'s double sums are not
+    (DuckDB twin: HUGEINT) — then the closed form in double, 6dp."""
+    from .operators import quality
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return quality.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=1000
+    )
+
+
+@query(
+    "q_ols_trend",
+    """
+    WITH d AS (
+        SELECT event_type AS grp,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+               count(*) AS y
+        FROM events GROUP BY grp, x
+    ),
+    s AS (
+        SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM d GROUP BY grp
+    )
+    SELECT grp, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0 AS intercept
+    FROM s
+    """,
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily event volume
+    (analytics.ols_trend): Σx/Σy/Σxy/Σx² as exact BIGINTs, closed-form
+    slope/intercept in double — the hash-adjudicable alternative to
+    regr_slope's partition-order double sums. x = days since a fixed
+    epoch, so the fit needs no per-group min-date join."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return analytics.ols_trend(daily, "grp", "x", "y")
+
+
+@query(
+    "q_skyline",
+    """
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+          AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier over parts — biggest size for the
+    least price (analytics.skyline_2d). The oracle is the quadratic
+    NOT EXISTS dominance definition; the engine runs the LINEAR
+    window formulation (running min over strictly-larger sizes via a
+    RANGE frame + peer-minimum), an independently-derived algorithm —
+    a stronger adjudication than a plan transliteration."""
+    from .operators import analytics
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return analytics.skyline_2d(part, "p_size", "p_retailprice", "p_partkey")
+
+
+@query(
+    "q_id_gaps",
+    """
+    WITH src AS (
+        SELECT o_orderkey FROM orders
+        WHERE NOT (o_orderkey BETWEEN 5000 AND 5099)
+          AND o_orderkey % 19 != 3
+    ),
+    k AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS _k FROM src),
+    g AS (SELECT _k, lead(_k) OVER (ORDER BY _k) AS _n FROM k)
+    SELECT _k + 1 AS gap_start, _n - 1 AS gap_end, _n - _k - 1 AS gap_len
+    FROM g WHERE _n - _k > 1
+    """,
+)
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap report over a dense integer key
+    (analytics.id_gap_islands): one row per missing run — the
+    completeness check for sequence-keyed feeds. Probed against a
+    deterministically holed subset of the (gap-free) order keys; the
+    lead() window runs over the DISTINCT key table, not raw rows."""
+    from .operators import analytics
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    src = o.filter(
+        ~F.col("o_orderkey").between(5000, 5099) & (F.col("o_orderkey") % 19 != 3)
+    )
+    return analytics.id_gap_islands(src, "o_orderkey")
+
+
+@query(
+    "q_ab_test",
+    """
+    WITH pu AS (
+        SELECT CAST(((user_id % 2) + 2) % 2 AS INT) AS arm, user_id AS u,
+               max(CASE WHEN event_type = 'purchase' AND value >= 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY arm, u
+    ),
+    arms AS (
+        SELECT arm, count(*) AS nu, sum(converted) AS nc FROM pu GROUP BY arm
+    ),
+    j AS (
+        SELECT a0.nu AS n0, a0.nc AS c0, a1.nu AS n1, a1.nc AS c1
+        FROM (SELECT nu, nc FROM arms WHERE arm = 0) a0,
+             (SELECT nu, nc FROM arms WHERE arm = 1) a1
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) + 0.0 AS p0,
+           round(CAST(c1 AS DOUBLE) / n1, 6) + 0.0 AS p1,
+           round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS z
+    FROM j
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the user-id-parity experiment
+    arms (analytics.ab_test_two_proportion): conversion = a
+    high-value purchase (flat purchase incidence saturates to p=1
+    over a month — zero pooled variance, nothing to test); distinct
+    users so chatty users don't inflate the rate; pooled standard
+    error, single √ rounded 6dp — the A/B readout gate."""
+    from .operators import analytics
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return analytics.ab_test_two_proportion(
+        ev,
+        F.pmod(F.col("user_id"), F.lit(2)),
+        (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trend tracking, anomaly detection, market-basket mining.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ewma",
+    """
+    WITH d AS (
+        SELECT event_type AS grp, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY grp, day
+    ),
+    a AS (
+        SELECT grp, array_agg(CAST(n AS DOUBLE) ORDER BY day) AS vals
+        FROM d GROUP BY grp
+    )
+    SELECT grp, len(vals) AS n_points,
+           list_reduce(vals, (s, x) -> (s + x) / 2) AS ewma
+    FROM a
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest α=1/2 exponential moving average of daily event volume
+    per type (temporal.ewma_latest). α=1/2 keeps every intermediate a
+    dyadic rational — exact in binary, so the inherently-sequential
+    fold is bit-identical across engines with NO rounding step
+    anywhere (the strictest float-parity query in the suite)."""
+    from .operators import temporal
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return temporal.ewma_latest(daily, "grp", "day", "n")
+
+
+@query(
+    "q_anomaly_zscore",
+    """
+    WITH d AS (
+        SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+               count(*) AS n_events
+        FROM events GROUP BY grp, day
+    ),
+    w AS (
+        SELECT grp, day, n_events,
+               count(n_events) OVER win AS c,
+               sum(n_events) OVER win AS sx,
+               sum(n_events * n_events) OVER win AS sxx
+        FROM d
+        WINDOW win AS (PARTITION BY grp ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT grp, day, n_events,
+           round(CASE WHEN c = 7
+                       AND (CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1)) > 0
+                      THEN (CAST(n_events AS DOUBLE)
+                            - CAST(sx AS DOUBLE) / CAST(c AS DOUBLE))
+                           / sqrt((CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  / (CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1)))
+                 END, 6) + 0.0 AS z,
+           abs(round(CASE WHEN c = 7
+                       AND (CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1)) > 0
+                      THEN (CAST(n_events AS DOUBLE)
+                            - CAST(sx AS DOUBLE) / CAST(c AS DOUBLE))
+                           / sqrt((CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  / (CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1)))
+                 END, 6) + 0.0) > 2.0 AS is_anomaly
+    FROM w
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags over daily event volume
+    (temporal.rolling_zscore_anomalies): each day scored against the
+    mean/stddev of its PRIOR 7 days (self-excluded so a spike can't
+    inflate its own baseline); Σx/Σx² exact BIGINT window sums, one
+    sqrt, 6dp; z NULL until a full baseline exists."""
+    from .operators import temporal
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return temporal.rolling_zscore_anomalies(
+        daily, "grp", "day", "n_events", n_rows=7, threshold=2.0
+    )
+
+
+@query(
+    "q_assoc_rules",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    n_i AS (SELECT it, count(*) AS n FROM bi GROUP BY it),
+    nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM bi),
+    p AS (
+        SELECT x.it AS a, y.it AS b, count(*) AS n_ab
+        FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        GROUP BY a, b HAVING count(*) >= 3
+    ),
+    r AS (
+        SELECT a AS lhs, b AS rhs, n_ab, na.n AS n_lhs, nbb.n AS n_rhs
+        FROM p JOIN n_i na ON na.it = p.a JOIN n_i nbb ON nbb.it = p.b
+        UNION ALL
+        SELECT b, a, n_ab, nbb.n, na.n
+        FROM p JOIN n_i na ON na.it = p.a JOIN n_i nbb ON nbb.it = p.b
+    ),
+    s AS (
+        SELECT lhs, rhs, n_ab,
+               round(CAST(n_ab AS DOUBLE) / n_baskets, 6) + 0.0 AS support,
+               round(CAST(n_ab AS DOUBLE) / n_lhs, 6) + 0.0 AS confidence,
+               round(CAST(n_ab * n_baskets AS DOUBLE)
+                     / CAST(n_lhs * n_rhs AS DOUBLE), 6) + 0.0 AS lift
+        FROM r, nb
+    )
+    SELECT * FROM s ORDER BY lift DESC, lhs, rhs LIMIT 25
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 association rules over order baskets by lift with a
+    support floor (analytics.association_rules): both rule directions
+    (confidence is asymmetric), lift from exact integer products with
+    one division, (lhs, rhs) tiebreak — the market-basket readout; the
+    pair self-join is keyed on the basket id so its cost is
+    Σ basket-size², never |items|²."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return analytics.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3, k=25
+    )
+
+
+@query(
+    "q_item_sim",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    n_i AS (SELECT it, count(*) AS n FROM bi GROUP BY it),
+    p AS (
+        SELECT x.it AS a, y.it AS b, count(*) AS n_ab
+        FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        GROUP BY a, b HAVING count(*) >= 3
+    )
+    SELECT a, b, n_ab,
+           round(CAST(n_ab AS DOUBLE)
+                 / sqrt(CAST(na.n * nbb.n AS DOUBLE)), 6) + 0.0 AS cosine
+    FROM p JOIN n_i na ON na.it = p.a JOIN n_i nbb ON nbb.it = p.b
+    ORDER BY cosine DESC, a, b LIMIT 25
+    """,
+)
+def q_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 item-item cosine similarities over basket co-occurrence
+    (analytics.item_cosine_similarity) — the memory-based
+    collaborative-filtering neighborhood; cosine over binary
+    basket-incidence vectors computed only for pairs that co-occur
+    (zero-overlap pairs never materialize), exact integer product
+    under the single √, 6dp."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return analytics.item_cosine_similarity(
+        li, "l_orderkey", "l_partkey", min_pair_count=3, k=25
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard decorrelation (Q21 shape) and hierarchical rollup (recursive
+# CTE expressed Spark-side as closed-form ancestor explosion).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multi_exists",
+    """
+    SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey != l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey != l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — correlated EXISTS + NOT EXISTS on the same
+    relation: suppliers who were the ONLY supplier to have returns on
+    a multi-supplier order, with the count of such orders. The engine
+    runs the classic aggregation rewrite instead of two correlated
+    probes: per-order distinct-supplier counts (total and
+    returned-only) joined once — two aggregations + one join versus
+    two self-join probes of the fact table. The oracle keeps the
+    EXISTS formulation, so the hash match certifies the rewrite."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_rsupp"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)
+    ).select("l_orderkey")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        returned.join(qualifying, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_hierarchy_rollup",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, p_partkey AS anc_node,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+        UNION ALL
+        SELECT node, CAST((anc_node - 1) // 10 AS BIGINT), cents
+        FROM anc WHERE anc_node > 0
+    )
+    SELECT anc_node AS node, count(*) AS n_desc,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS subtree_value
+    FROM anc GROUP BY anc_node
+    """,
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup — the recursive-CTE workload
+    (BOM explosion, org rollups) on an engine without WITH RECURSIVE:
+    every node's ancestor chain under parent(k) = (k−1) div 10 is a
+    CLOSED FORM, so the walk unrolls into a fixed 12-step expression
+    chain (covers 10¹² keys), nulls past the root, compacted and
+    exploded — zero joins, zero iterations, one aggregation. The
+    oracle runs the genuine recursive CTE; subtree sums are integer
+    cents. For hierarchies WITHOUT computable parents, the fallback is
+    the iterative-join loop (dedup.connected_components' pattern)."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    df = part.select(
+        F.col("p_partkey").cast("long").alias("a0"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    for i in range(12):
+        df = df.withColumn(
+            f"a{i+1}",
+            F.when(F.col(f"a{i}") > 0, F.expr(f"(a{i} - 1) div 10")),
+        )
+    arr = F.array(*[F.col(f"a{i}") for i in range(13)])
+    ancs = F.filter(arr, lambda x: x.isNotNull())
+    return (
+        df.select(F.explode(ancs).alias("node"), "cents")
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("subtree_value"),
+        )
+    )

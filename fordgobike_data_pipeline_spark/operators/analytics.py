@@ -272,3 +272,286 @@ def rfm_segments(
         "segment",
         F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line (slope + intercept)
+    over integer (x, y) observations — the "is this metric drifting"
+    detector run per segment on daily-count series.
+
+    One aggregation per key accumulating Σx, Σy, Σxy, Σx² as exact
+    BIGINTs (inputs must be integral — day offsets and counts are);
+    the closed form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) then runs in
+    double on those exact sums, identical bits on any engine and any
+    partitioning. Built-in regr_slope sums doubles in partition order
+    — not hash-adjudicable. NULL slope for keys with < 2 distinct x
+    (degenerate fit).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    s = df.groupBy(F.col(key_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den = nn * F.col("sxx").cast("double") - sx * sx
+    slope = F.when(
+        den > 0, (nn * F.col("sxy").cast("double") - sx * sy) / den
+    )
+    return s.select(
+        "grp",
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((sy - slope * sx) / nn, 6) + F.lit(0.0)).alias("intercept"),
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated by any other —
+    dominated means another row is ≥ on the maximized column and ≤ on
+    the minimized one, strictly better in at least one. The
+    price/performance shortlist query.
+
+    The textbook formulation is a quadratic NOT EXISTS self-join; in
+    2-D it collapses to ONE window pass: sort by (max_col DESC), track
+    the running min of min_col over STRICTLY greater max values
+    (RANGE frame excludes peers, so equal-max rows don't shadow each
+    other), and keep rows strictly under that running min — plus,
+    within an equal max value, only the min_col minimum survives
+    (peer domination). Linear, one shuffle; d>2 needs the
+    grid-partition generalization.
+    """
+    w_prev = (
+        Window.orderBy(F.col(max_col).desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_peer = Window.partitionBy(max_col)
+    prev_min = F.min(F.col(min_col)).over(w_prev)
+    peer_min = F.min(F.col(min_col)).over(w_peer)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(max_col),
+            F.col(min_col),
+            prev_min.alias("_pm"),
+            peer_min.alias("_qm"),
+        )
+        .filter(
+            (F.col("_pm").isNull() | (F.col(min_col) < F.col("_pm")))
+            & (F.col(min_col) == F.col("_qm"))
+        )
+        .select(id_col, max_col, min_col)
+    )
+
+
+def id_gap_islands(
+    df: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Gap report over a supposedly-dense integer key: one row per
+    missing run (gap_start, gap_end, gap_len) — the completeness check
+    for sequence-keyed feeds (did the upstream skip order ids?).
+
+    One distinct + one lead() window over the DISTINCT key table
+    (|keys| rows, not raw data). The window is global — inherent to a
+    global-sequence question (same documented trade as q_ntile); at
+    100 TB, range-partition the key space and treat partition
+    boundaries as candidate gaps.
+    """
+    w = Window.orderBy(F.col("_k").asc())
+    keys = df.select(F.col(id_col).cast("long").alias("_k")).distinct()
+    nxt = F.lead(F.col("_k")).over(w)
+    return (
+        keys.select("_k", nxt.alias("_n"))
+        .filter(F.col("_n") - F.col("_k") > 1)
+        .select(
+            (F.col("_k") + 1).alias("gap_start"),
+            (F.col("_n") - 1).alias("gap_end"),
+            (F.col("_n") - F.col("_k") - 1).alias("gap_len"),
+        )
+    )
+
+
+def ab_test_two_proportion(
+    events: DataFrame,
+    variant_expr,
+    convert_expr,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion z-test between two experiment arms: per-arm
+    user-level conversion rates and the pooled z statistic — the
+    decision gate of an A/B readout.
+
+    One aggregation to per-(arm, user) conversion flags (distinct
+    users, so chatty users don't weight the rate), one to arms (2
+    rows), then pure arithmetic on exact integers with the single
+    √ at the end — rounded 6dp, the transcendental parity rule.
+    variant_expr maps a row to arm 0/1 (e.g. a hash of the user id);
+    convert_expr is the boolean per-event conversion condition. z is
+    NULL when the pooled rate is degenerate (0 or 1 — zero standard
+    error, nothing to test).
+    """
+    per_user = (
+        events.select(
+            variant_expr.cast("int").alias("arm"),
+            F.col(user_col).alias("u"),
+            convert_expr.cast("int").alias("c"),
+        )
+        .groupBy("arm", "u")
+        .agg(F.max("c").alias("converted"))
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    j = a0.crossJoin(F.broadcast(a1))
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (1 - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return j.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        (F.round(p0, 6) + F.lit(0.0)).alias("p0"),
+        (F.round(p1, 6) + F.lit(0.0)).alias("p1"),
+        (
+            F.round(F.when((pp > 0) & (pp < 1), (p0 - p1) / se), 6) + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def basket_pair_counts(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Co-occurrence counts for market-basket mining: distinct
+    (basket, item) grain → per-item basket counts and per-PAIR
+    co-basket counts (a < b normalized). The self-join is keyed on the
+    basket id, so its cost is Σ basket_size² — bounded by the basket
+    grain (an order has a handful of items), never |items|²; a
+    pathological mega-basket is the skew to cap upstream.
+
+    Returns (a, b, n_ab, n_a, n_b, n_baskets) — the sufficient
+    statistics every derived metric (support, confidence, lift,
+    cosine) is pure arithmetic over.
+    """
+    bi = items.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    item_n = bi.groupBy(F.col("it").alias("i")).agg(F.count(F.lit(1)).alias("n_i"))
+    x = bi.select("bk", F.col("it").alias("a"))
+    y = bi.select("bk", F.col("it").alias("b"))
+    pairs = (
+        x.join(y, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_baskets = bi.select("bk").distinct().count()
+    return (
+        pairs.join(item_n.withColumnRenamed("i", "a").withColumnRenamed("n_i", "n_a"), "a")
+        .join(item_n.withColumnRenamed("i", "b").withColumnRenamed("n_i", "n_b"), "b")
+        .select("a", "b", "n_ab", "n_a", "n_b", F.lit(n_baskets).alias("n_baskets"))
+    )
+
+
+def association_rules(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k association rules a→b by lift with a support floor — the
+    classic market-basket readout. Both rule directions are emitted
+    (confidence is asymmetric); lift = n_ab·N/(n_a·n_b) is computed as
+    exact integer products with ONE division (then 6dp), so ranking
+    ties can't flap between engines; the tiebreak is (a, b). Top-k is
+    TakeOrderedAndProject over the pair table (already ≪ data scale).
+    """
+    stats = basket_pair_counts(items, basket_col, item_col).filter(
+        F.col("n_ab") >= min_pair_count
+    )
+    fwd = stats.select(
+        F.col("a").alias("lhs"), F.col("b").alias("rhs"),
+        "n_ab", F.col("n_a").alias("n_lhs"), F.col("n_b").alias("n_rhs"), "n_baskets",
+    )
+    rev = stats.select(
+        F.col("b").alias("lhs"), F.col("a").alias("rhs"),
+        "n_ab", F.col("n_b").alias("n_lhs"), F.col("n_a").alias("n_rhs"), "n_baskets",
+    )
+    rules = fwd.unionByName(rev)
+    support = F.col("n_ab").cast("double") / F.col("n_baskets").cast("double")
+    confidence = F.col("n_ab").cast("double") / F.col("n_lhs").cast("double")
+    lift = (F.col("n_ab") * F.col("n_baskets")).cast("double") / (
+        F.col("n_lhs") * F.col("n_rhs")
+    ).cast("double")
+    scored = rules.select(
+        "lhs", "rhs", "n_ab",
+        (F.round(support, 6) + F.lit(0.0)).alias("support"),
+        (F.round(confidence, 6) + F.lit(0.0)).alias("confidence"),
+        (F.round(lift, 6) + F.lit(0.0)).alias("lift"),
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+    ).limit(k)
+
+
+def item_cosine_similarity(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k item-item cosine similarities over basket co-occurrence —
+    the memory-based collaborative-filtering neighborhood:
+    sim = n_ab/√(n_a·n_b), i.e. cosine over binary basket-incidence
+    vectors, computed ONLY for pairs that actually co-occur (the
+    inverted-index trick: zero-overlap pairs never materialize).
+    Exact integer product under the single √, 6dp, (a, b) tiebreak.
+    """
+    stats = basket_pair_counts(items, basket_col, item_col).filter(
+        F.col("n_ab") >= min_pair_count
+    )
+    sim = F.col("n_ab").cast("double") / F.sqrt(
+        (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        stats.select(
+            "a", "b", "n_ab", (F.round(sim, 6) + F.lit(0.0)).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )

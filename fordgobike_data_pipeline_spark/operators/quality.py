@@ -380,21 +380,24 @@ def chi_square_independence(
     still an order-dependent double sum, so it folds SEQUENTIALLY
     over the cell-ordered array (the psi_drift parity pattern).
     """
-    cells = df.groupBy(
+    obs = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).alias("o"))
-    ra = cells.groupBy("a").agg(F.sum("o").alias("rt"))
-    cb = cells.groupBy("b").agg(F.sum("o").alias("ct"))
-    n = cells.agg(
+    ra = obs.groupBy("a").agg(F.sum("o").alias("rt"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("ct"))
+    n = obs.agg(
         F.sum("o").alias("n"),
         F.countDistinct("a").alias("na"),
         F.countDistinct("b").alias("nb"),
     )
-    j = (
-        cells.join(F.broadcast(ra), "a")
-        .join(F.broadcast(cb), "b")
-        .crossJoin(F.broadcast(n))
+    # densify to the FULL |A|x|B| grid: zero cells still contribute
+    # (0-e)^2/e = e to the statistic — dropping them understates X^2
+    cells = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(obs, ["a", "b"], "left")
+        .select("a", "b", "rt", "ct", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
     )
+    j = cells.crossJoin(F.broadcast(n))
     # e = rt*ct/n: exact integer product, one division -> identical double
     e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
     term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e

@@ -216,3 +216,88 @@ def time_weighted_avg(
             / (F.lit(1000.0) * F.sum("dur").cast("double"))
         ).alias("twa"),
     )
+
+
+def ewma_latest(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Latest exponentially-weighted moving average per key with
+    α = 1/2 — the O(1)-state trend tracker a monitoring rollup keeps
+    per series (vs the rolling median's O(window) state).
+
+    s_1 = x_1, s_t = (s_{t−1} + x_t)/2. α = 1/2 is deliberate: every
+    intermediate is a dyadic rational, exact in binary floating point,
+    so the fold is bit-identical on any engine — a general α would
+    accumulate rounding that differs between fold implementations.
+    The recurrence is inherently sequential per key, so it folds over
+    the key's ordered value array (collect_list is bounded by the
+    per-key series length — daily grains, not raw events; for
+    unbounded series, fold incrementally per partition file instead).
+    Returns (grp, n_points, ewma).
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).cast("double").alias("v")))
+    )
+    g = df.groupBy(F.col(key_col).alias("grp")).agg(arr.alias("_a"))
+    vals = F.transform(F.col("_a"), lambda s: s["v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: (acc + x) / F.lit(2.0),
+    )
+    return g.select(
+        "grp", F.size("_a").alias("n_points"), folded.alias("ewma")
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    n_rows: int = 7,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detector: each point scored
+    against the mean/stddev of the PRIOR ``n_rows`` observations of
+    its key (the point itself excluded — a spike must not inflate its
+    own baseline). Emits every point with its z and an is_anomaly
+    flag; z is NULL until a full baseline window exists or when the
+    baseline is constant (zero variance).
+
+    Determinism: Σx and Σx² accumulate over the bounded rows-window as
+    exact BIGINTs (inputs integral — daily counts), sample variance in
+    the closed form (nΣx²−(Σx)²)/(n(n−1)), ONE sqrt + one division,
+    rounded 6dp. One window sort per key serves both running sums.
+    """
+    if n_rows < 2:
+        raise ValueError(f"n_rows must be >= 2, got {n_rows}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-n_rows, -1)
+    )
+    x = F.col(value_col).cast("long")
+    cnt = F.count(x).over(w)
+    sx = F.sum(x).over(w)
+    sxx = F.sum(x * x).over(w)
+    nn = cnt.cast("double")
+    mean = sx.cast("double") / nn
+    var = (nn * sxx.cast("double") - sx.cast("double") * sx.cast("double")) / (
+        nn * (nn - 1)
+    )
+    z = F.when(
+        (cnt == n_rows) & (var > 0),
+        (x.cast("double") - mean) / F.sqrt(var),
+    )
+    zr = F.round(z, 6) + F.lit(0.0)
+    return df.select(
+        F.col(key_col),
+        F.col(order_col),
+        F.col(value_col),
+        zr.alias("z"),
+        (F.abs(zr) > threshold).alias("is_anomaly"),
+    )

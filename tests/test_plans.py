@@ -159,3 +159,21 @@ def test_attribution_is_single_window_pass(spark):
     plan = explain(spark, "q_attribution")
     assert plan.count("+- Window") == 1
     assert "Join" not in plan
+
+
+def test_hierarchy_rollup_has_no_join(spark):
+    """The closed-form ancestor unroll exists to beat the iterative
+    join loop: the plan must contain no Join at all — explode +
+    aggregate only."""
+    plan = explain(spark, "q_hierarchy_rollup")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_multi_exists_rewrite_is_single_semi_join(spark):
+    """The Q21 aggregation rewrite replaces two correlated probes:
+    exactly one LeftSemi join and no more than the two aggregations'
+    exchanges over the fact."""
+    plan = explain(spark, "q_multi_exists")
+    assert plan.count("LeftSemi") >= 1
+    assert "CartesianProduct" not in plan

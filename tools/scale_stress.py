@@ -262,6 +262,60 @@ def main() -> None:
     timed(spark, "pagerank(3 iter)", graph.pagerank(fwd.unionByName(rev), 3))
     timed(spark, "global_row_index", warehouse.global_row_index(docs, ["doc_id"]))
 
+    # round-5 third-session operators: triangle counting's wedge join is
+    # Σ outdeg² under the degree orientation (disjoint-subgraph
+    # replication scales edges n×, wedges n×); basket pair counts cost
+    # Σ basket² (basket SIZE is replication-invariant here — only the
+    # basket COUNT grows); the count-min build is a fixed d×w grid
+    # whatever N; cohort retention is two aggs + one |users|-keyed join
+    from fordgobike_data_pipeline_spark.operators import analytics  # noqa: E402
+    from fordgobike_data_pipeline_spark.operators import sketches  # noqa: E402
+
+    li_ord = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    bcopies = [
+        li_ord.select(
+            (F.col("l_orderkey") + F.lit(i * 10_000_000)).alias("bk"),
+            (F.col("l_partkey") + F.lit(i * 10_000_000)).alias("it"),
+        )
+        for i in range(n)
+    ]
+    baskets = bcopies[0]
+    for c in bcopies[1:]:
+        baskets = baskets.unionByName(c)
+    x = baskets.select("bk", F.col("it").alias("a"))
+    y = baskets.select("bk", F.col("it").alias("b"))
+    copurchase = x.join(y, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+    timed(spark, "triangle_count", graph.triangle_count(copurchase, "a", "b"))
+    timed(
+        spark,
+        "assoc_rules",
+        analytics.association_rules(baskets, "bk", "it", min_pair_count=3, k=25),
+    )
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    timed(spark, "count_min_build", sketches.count_min_build(tok, depth=4, width=256))
+    from fordgobike_data_pipeline_spark.io import load_tables  # noqa: E402
+
+    # events.ts is parquet TIMESTAMP(NANOS) — load_tables normalizes it
+    ev = load_tables(spark, SF_DIR, ("events",))["events"].select(
+        "event_id", "ts", "user_id"
+    )
+    ecopies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+        )
+        for i in range(n)
+    ]
+    events = ecopies[0]
+    for c in ecopies[1:]:
+        events = events.unionByName(c)
+    timed(spark, "cohort_retention", analytics.cohort_retention(events))
+
     spark.stop()  # flush the event log
     parse_event_log(evdir)
     skews = [r["worst_skew"] for r in RESULTS if r["worst_skew"] is not None]
