@@ -167,6 +167,10 @@ HEADLINE = [
     "q_item_sim",
     "q_multi_exists",
     "q_hierarchy_rollup",
+    "q_mmr_rerank",
+    "q_gini",
+    "q_freq_triples",
+    "q_funnel_latency",
 ]
 
 

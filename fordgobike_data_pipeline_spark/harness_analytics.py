@@ -1146,3 +1146,188 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / F.lit(100.0)).alias("subtree_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Concentration, itemset, funnel-latency, and MMR diversification.
+# ---------------------------------------------------------------------------
+
+_MMR_NORM = """
+    n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS nv
+        FROM embeddings
+    )
+"""
+_MMR_DOT = "round(list_sum(list_transform(range(64), i -> {a}.nv[i+1] * {b}.nv[i+1])), 6) + 0.0"
+
+
+def _mmr_oracle_sql(k: int = 5, n_cand: int = 20, query_id: int = 0) -> str:
+    """Unrolled greedy MMR in plain SQL: k explicit pick stages (no
+    recursive CTE — aggregates are not allowed in recursive terms).
+    All selection arithmetic is INTEGER micro-units (floor(dot·1e6) on
+    the bit-identical raw dot; λ in tenths), so no float op can flap a
+    pick; outputs divide once at the end."""
+    mu = "CAST(floor(({d}) * 1000000) AS BIGINT)"
+    parts = [
+        f"WITH {_MMR_NORM},",
+        "rel0 AS (SELECT c.vec_id AS id, "
+        + mu.format(d="list_sum(list_transform(range(64), i -> c.nv[i+1] * q.nv[i+1]))")
+        + f" AS rel_u FROM n c, (SELECT nv FROM n WHERE vec_id = {query_id}) q"
+        f" WHERE c.vec_id != {query_id}),",
+        f"cand AS (SELECT id, rel_u FROM rel0 ORDER BY rel_u DESC, id LIMIT {n_cand}),",
+        "ps AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        + mu.format(d="list_sum(list_transform(range(64), i -> a.nv[i+1] * b.nv[i+1]))")
+        + " AS s_u FROM n a JOIN n b ON a.vec_id != b.vec_id"
+        " WHERE a.vec_id IN (SELECT id FROM cand)"
+        " AND b.vec_id IN (SELECT id FROM cand)),",
+        "p1 AS (SELECT id, rel_u, 7*rel_u - 3*0 AS raw FROM cand"
+        " ORDER BY raw DESC, id LIMIT 1),",
+        "ch1 AS (SELECT id FROM p1),",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"sc{i} AS (SELECT c.id, c.rel_u,"
+            f" 7*c.rel_u - 3*coalesce(mx.m, 0) AS raw"
+            f" FROM cand c LEFT JOIN"
+            f" (SELECT ia AS id, max(s_u) AS m FROM ps"
+            f"  WHERE ib IN (SELECT id FROM ch{i-1}) GROUP BY ia) mx"
+            f" ON mx.id = c.id"
+            f" WHERE c.id NOT IN (SELECT id FROM ch{i-1})),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT id, rel_u, raw FROM sc{i} ORDER BY raw DESC, id LIMIT 1),"
+        )
+        parts.append(
+            f"ch{i} AS (SELECT id FROM ch{i-1} UNION ALL SELECT id FROM p{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT {i} AS rank, id AS cand_id,"
+        f" CAST(rel_u AS DOUBLE) / 1000000.0 AS rel,"
+        f" CAST(raw AS DOUBLE) / 10000000.0 AS mmr_score"
+        f" FROM p{i}"
+        for i in range(1, k + 1)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("q_mmr_rerank", _mmr_oracle_sql())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification
+    (similarity.mmr_rerank): top-20 candidates by cosine to query
+    vector 0, then 5 greedy λ=0.7 picks trading relevance against
+    redundancy — the dedup step between retrieval and a context
+    window. Distributed scoring + driver-side greedy over the BOUNDED
+    pre-rounded sim matrix (IVF-centroid sanction); the oracle unrolls
+    the same greedy into 5 explicit SQL pick stages, so the hash match
+    certifies the whole pick sequence."""
+    from .operators import similarity
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.mmr_rerank(emb, query_id=0, n_candidates=20, k=5, lam_tenths=7)
+
+
+@query(
+    "q_gini",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    rk AS (
+        SELECT CAST(cents AS HUGEINT) AS x,
+               CAST(row_number() OVER (ORDER BY cents, l_suppkey) AS HUGEINT) AS r
+        FROM rev
+    ),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(r * x) AS srx FROM rk)
+    SELECT n,
+           round((2 * CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS gini
+    FROM s
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration
+    (analytics.gini_coefficient): closed form over the
+    ascending-ranked series, Σ rank·cents as DECIMAL(38,0) (HUGEINT
+    twin — rank·cents overflows BIGINT at realistic scale), one
+    division, 6dp. The rank window runs over the |suppliers| aggregate
+    (q_ntile trade)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    return analytics.gini_coefficient(rev, "cents", "l_suppkey")
+
+
+@query(
+    "q_freq_triples",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    fp AS (
+        SELECT x.it AS a, y.it AS b
+        FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        GROUP BY a, b HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT x.it AS a, y.it AS b, z.it AS c
+        FROM bi x
+        JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        JOIN bi z ON x.bk = z.bk AND y.it < z.it
+    ),
+    pruned AS (
+        SELECT t.a, t.b, t.c FROM tri t
+        SEMI JOIN fp f1 ON f1.a = t.a AND f1.b = t.b
+        SEMI JOIN fp f2 ON f2.a = t.a AND f2.b = t.c
+        SEMI JOIN fp f3 ON f3.a = t.b AND f3.b = t.c
+    )
+    SELECT a, b, c, count(*) AS support
+    FROM pruned GROUP BY a, b, c HAVING count(*) >= 2
+    ORDER BY support DESC, a, b, c LIMIT 20
+    """,
+)
+def q_freq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequent item triples with A-priori pruning
+    (analytics.frequent_triples): a triple is only enumerated when all
+    three of its pairs pass the pair-support floor — the pruning that
+    keeps itemset mining off the Σ C(basket,3) cliff; the counting
+    aggregation runs only over surviving candidates."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return analytics.frequent_triples(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, min_triple_count=2, k=20
+    )
+
+
+@query(
+    "q_funnel_latency",
+    """
+    WITH fu AS (
+        SELECT user_id AS u,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY u
+    ),
+    lat AS (
+        SELECT e.user_id AS u,
+               min(epoch_us(e.ts) - epoch_us(fu.t1)) AS latency_us
+        FROM events e JOIN fu ON fu.u = e.user_id
+        WHERE e.event_type = 'purchase' AND fu.t1 IS NOT NULL AND e.ts > fu.t1
+        GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_converted,
+           quantile_cont(latency_us, 0.25) / 1000000.0 AS p25_s,
+           quantile_cont(latency_us, 0.5) / 1000000.0 AS p50_s,
+           quantile_cont(latency_us, 0.75) / 1000000.0 AS p75_s
+    FROM lat
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles (analytics.funnel_latency): per
+    user, seconds from first view to first subsequent purchase; exact
+    interpolated quartiles over whole-second integers — the "how long
+    does the funnel take" readout beside q_funnel's stage counts."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return analytics.funnel_latency(ev, "view", "purchase")

@@ -555,3 +555,144 @@ def item_cosine_similarity(
         .orderBy(F.col("cosine").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(k)
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient over integer values (cents) —
+    the revenue-concentration readout ("what share of revenue do the
+    top suppliers hold"). Closed form over the ascending-sorted
+    series: G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx).
+
+    The rank is one global window over the |entities|-sized aggregate
+    (bounded — never raw data; documented q_ntile trade), with an id
+    tiebreak so equal values rank deterministically. Σ rank·x
+    accumulates as DECIMAL(38,0) (rank·cents overflows BIGINT at
+    ~1e7 entities × 1e9 cents; decimal sums stay exact), ONE double
+    division at the end, 6dp.
+    """
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(value_col).cast("decimal(38,0)").alias("x"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("r"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).alias("srx"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    srx = F.col("srx").cast("double")
+    return s.select(
+        "n",
+        (
+            F.round((2 * srx - (nn + 1) * sx) / (nn * sx), 6) + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+def frequent_triples(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    min_triple_count: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k frequent item TRIPLES with A-priori candidate pruning:
+    a triple can only be frequent if all three of its pairs are, so
+    the triple enumeration semi-joins each pair edge against the
+    frequent-pair table BEFORE counting — the pruning that makes
+    itemset mining survive scale (the unpruned 3-way self-join
+    enumerates Σ C(basket,3) candidates; pruning cuts it to triples
+    whose pairs already passed the support floor).
+    """
+    bi = items.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    x = bi.select("bk", F.col("it").alias("a"))
+    y = bi.select("bk", F.col("it").alias("b"))
+    z = bi.select("bk", F.col("it").alias("c"))
+    fpairs = (
+        x.join(y, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_pair_count)
+        .select("a", "b")
+    )
+    # enumerate triples only through frequent (a,b); then A-priori
+    # prune on (a,c) and (b,c) before the counting aggregation
+    tri = (
+        x.join(y, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .join(fpairs, ["a", "b"], "left_semi")
+        .join(z, "bk")
+        .filter(F.col("b") < F.col("c"))
+    )
+    tri = tri.join(
+        fpairs.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    ).join(
+        fpairs.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    counted = (
+        tri.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_triple_count)
+    )
+    return counted.orderBy(
+        F.col("support").desc(), F.col("a").asc(), F.col("b").asc(), F.col("c").asc()
+    ).limit(k)
+
+
+def funnel_latency(
+    events: DataFrame,
+    first_type: str,
+    second_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency distribution: per user, the seconds from the
+    FIRST ``first_type`` event to the first ``second_type`` event
+    AFTER it; one row of exact percentiles (p25/p50/p75, in seconds)
+    + count — the "how long does the funnel take" readout next to
+    q_funnel's "how many make it".
+
+    Two per-user aggregations (min over a conditional); latencies in
+    exact MICROSECOND BIGINTs (whole-second truncation would diverge
+    from engines whose epoch() is fractional), exact interpolated
+    percentiles on those integers, one /1e6 division at the end (the
+    approx_percentile swap applies at 100 TB as everywhere else).
+    """
+    first_ts = F.min(
+        F.when(F.col(type_col) == first_type, F.col(ts_col))
+    ).alias("t1")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(first_ts)
+    joined = (
+        events.select(F.col(user_col).alias("u"), F.col(type_col), F.col(ts_col))
+        .join(per_user, "u")
+        .filter(
+            (F.col(type_col) == second_type)
+            & F.col("t1").isNotNull()
+            & (F.col(ts_col) > F.col("t1"))
+        )
+        .groupBy("u")
+        .agg(
+            F.min(
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("t1"))
+            ).alias("latency_us")
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.percentile(F.col("latency_us"), F.lit(0.25)) / 1e6).alias("p25_s"),
+        (F.percentile(F.col("latency_us"), F.lit(0.5)) / 1e6).alias("p50_s"),
+        (F.percentile(F.col("latency_us"), F.lit(0.75)) / 1e6).alias("p75_s"),
+    )

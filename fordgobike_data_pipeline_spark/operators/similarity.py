@@ -1414,3 +1414,99 @@ def ivfpq_adc_topk(
         F.col("e.cand_id").alias("cand_id"),
         F.col("e.approx_dist").alias("approx_dist"),
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the query's
+    ``n_candidates`` most-relevant vectors, greedily select ``k`` that
+    trade relevance against redundancy —
+    score(c) = λ·rel(c) − (1−λ)·max_{s∈chosen} sim(c, s) —
+    the standard diversification step between retrieval and a context
+    window (near-identical passages waste prompt tokens).
+
+    Split by scale the way IVF does: relevance scoring and the
+    candidate cut are DISTRIBUTED (brute-force cosine + top-n with id
+    tiebreak; swap the LSH/IVF path in for big corpora), while the
+    greedy selection — inherently sequential, k steps over an
+    n_candidates² sim matrix — runs driver-side on that BOUNDED
+    control set (≤ n²+n values; the same sanction as collecting IVF
+    centroids).
+
+    Determinism: sims are fixed-pointed to MICRO-UNITS
+    (floor(dot·1e6) — the raw dot is already bit-identical across
+    engines, so the integer is too) and λ is tenths, making every
+    greedy score the exact integer λ₁₀·rel_µ − (10−λ₁₀)·red_µ: NO
+    float arithmetic anywhere in selection, so the pick sequence
+    cannot flap on a rounding ulp (cross-engine round() differs by
+    1 ulp often enough to matter — measured). Outputs divide once.
+    """
+    if k > n_candidates:
+        raise ValueError(f"k={k} > n_candidates={n_candidates}")
+    if not (0 <= lam_tenths <= 10):
+        raise ValueError(f"lam_tenths must be in [0,10], got {lam_tenths}")
+    nrm = emb.select(
+        F.col(id_col).alias("id"), unit_normalize(F.col(vec_col)).alias("nv")
+    )
+    q = nrm.filter(F.col("id") == query_id).select(F.col("nv").alias("qv"))
+    rel = (
+        nrm.filter(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "id",
+            "nv",
+            F.floor(dot(F.col("nv"), F.col("qv")) * 1_000_000)
+            .cast("long")
+            .alias("rel_u"),
+        )
+        .orderBy(F.col("rel_u").desc(), F.col("id").asc())
+        .limit(n_candidates)
+    )
+    cand = rel.localCheckpoint(eager=True)  # cut the top-n lineage once
+    a = cand.select(F.col("id").alias("ia"), F.col("nv").alias("va"))
+    b = cand.select(F.col("id").alias("ib"), F.col("nv").alias("vb"))
+    pair_rows = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(dot(F.col("va"), F.col("vb")) * 1_000_000)
+            .cast("long")
+            .alias("s_u"),
+        )
+        .collect()
+    )
+    rel_rows = cand.select("id", "rel_u").collect()
+    sims: dict[tuple[int, int], int] = {}
+    for r in pair_rows:
+        sims[(r.ia, r.ib)] = r.s_u
+        sims[(r.ib, r.ia)] = r.s_u
+    rels = {r.id: r.rel_u for r in rel_rows}
+    chosen: list[tuple[int, int, float, float]] = []
+    chosen_ids: list[int] = []
+    remaining = set(rels)
+    for step in range(1, k + 1):
+        best = None
+        for c in remaining:
+            red = max((sims[(c, s)] for s in chosen_ids), default=0)
+            score10_u = lam_tenths * rels[c] - (10 - lam_tenths) * red
+            key = (-score10_u, c)
+            if best is None or key < best[0]:
+                best = (key, c, score10_u)
+        chosen.append(
+            (step, best[1], rels[best[1]] / 1e6, best[2] / 1e7)
+        )
+        chosen_ids.append(best[1])
+        remaining.discard(best[1])
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        chosen, "rank INT, cand_id BIGINT, rel DOUBLE, mmr_score DOUBLE"
+    )
