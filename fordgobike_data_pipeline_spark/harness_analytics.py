@@ -1331,3 +1331,271 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the funnel take" readout beside q_funnel's stage counts."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return analytics.funnel_latency(ev, "view", "purchase")
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: clamped running balance, BFS reachability, Benford audit,
+# weighted median, Kaplan-Meier survival.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_running_balance",
+    """
+    WITH ev AS (
+        SELECT user_id AS u, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100) AS BIGINT)
+                    ELSE -CAST(floor(value * 100) AS BIGINT) END AS delta
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    p1 AS (
+        SELECT u, ts, event_id,
+               sum(delta) OVER (PARTITION BY u ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS prefix
+        FROM ev
+    ),
+    p2 AS (
+        SELECT u, ts, event_id, prefix,
+               least(0, min(prefix) OVER (PARTITION BY u ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)) AS runmin,
+               least(0, coalesce(min(prefix) OVER (
+                   PARTITION BY u ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   AS runmin_prev
+        FROM p1
+    ),
+    p3 AS (
+        SELECT u, prefix - runmin AS bal,
+               CASE WHEN prefix - runmin_prev < 0 THEN 1 ELSE 0 END AS hit,
+               row_number() OVER (PARTITION BY u ORDER BY ts DESC, event_id DESC)
+                   AS rd
+        FROM p2
+    )
+    SELECT u AS user_id,
+           count(*) AS n_events,
+           CAST(sum(hit) AS BIGINT) AS floor_hits,
+           CAST(max(bal) AS BIGINT) AS max_balance,
+           CAST(max(CASE WHEN rd = 1 THEN bal END) AS BIGINT) AS final_balance
+    FROM p3 GROUP BY u
+    """,
+)
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped per-user balance (temporal.clamped_running_balance):
+    purchases credit cents, clicks debit them, the balance never drops
+    below 0 — the recurrence b_k = max(0, b_{k-1} + d_k) that LOOKS
+    sequential but collapses to the prefix-min closed form
+    c_k = P_k − min(0, min_{j≤k} P_j), i.e. three windows over one
+    sort, pure codegen, no applyInPandas; the oracle runs the same
+    closed form and the unit test cross-checks a literal Python scan."""
+    from .operators import temporal
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    signed = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-F.floor(F.col("value") * 100).cast("long"))
+        .alias("delta"),
+    )
+    out = temporal.clamped_running_balance(
+        signed, "user_id", "ts", "event_id", "delta", floor=0
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_events",
+        "floor_hits",
+        "max_balance",
+        "final_balance",
+    )
+
+
+@query(
+    "q_bfs_hops",
+    """
+    WITH RECURSIVE bi AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    pe AS (
+        SELECT x.it AS a, y.it AS b
+        FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        GROUP BY a, b HAVING count(*) >= 2
+    ),
+    ed AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+    seed AS (SELECT min(a) AS s FROM ed),
+    walk(node, hop) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT e.b, w.hop + 1 FROM walk w JOIN ed e ON e.a = w.node
+        WHERE w.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (graph.bfs_hops) over the repeat-co-purchase
+    graph (parts sharing an order at least twice), seeded at the
+    smallest node, 3 hops: frontier-expansion joins with an anti-join
+    visited set — each hop one equi-join, lineage cut per iteration —
+    vs the oracle's genuine WITH RECURSIVE fixpoint, so the hash match
+    certifies the distributed iteration against the recursive-CTE
+    semantics it replaces."""
+    from .operators import graph
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    x = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    y = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    pairs = (
+        x.join(y, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    seed = pairs.agg(F.min("a")).first()[0]  # 1 value: control data
+    return graph.bfs_hops(pairs, [seed], max_hops=3)
+
+
+@query(
+    "q_benford",
+    """
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice) AS BIGINT) AS iv
+        FROM lineitem WHERE floor(l_extendedprice) >= 1
+    ),
+    c AS (
+        SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n_obs
+        FROM v GROUP BY digit
+    ),
+    t AS (SELECT sum(n_obs) AS n_total FROM c)
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n_total, 6) + 0.0 AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) + 0.0 AS benford_share,
+           round((n_obs - log10(1.0 + 1.0 / digit) * n_total)
+                 * (n_obs - log10(1.0 + 1.0 / digit) * n_total)
+                 / (log10(1.0 + 1.0 / digit) * n_total), 6) + 0.0 AS chi2_term
+    FROM c, t
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (analytics.benford_digit_audit) on
+    l_extendedprice: observed digit shares vs log10(1+1/d) with
+    per-digit chi-square contributions. Leading digit via the integer
+    STRING rendering (substr of a BIGINT) — not floor(log10(x)), whose
+    float boundary at exact powers of ten is engine-dependent."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return analytics.benford_digit_audit(li, "l_extendedprice")
+
+
+@query(
+    "q_weighted_median",
+    """
+    WITH r AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    c AS (
+        SELECT g, v,
+               sum(wt) OVER (PARTITION BY g ORDER BY v) AS cumw,
+               sum(wt) OVER (PARTITION BY g) AS total_w
+        FROM r
+    )
+    SELECT g AS l_returnflag,
+           min(v) AS wmedian_cents,
+           CAST(max(total_w) AS BIGINT) AS total_qty
+    FROM c WHERE 2 * cumw >= total_w GROUP BY g
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag
+    (analytics.weighted_median): smallest price cents whose cumulative
+    quantity reaches half the total — RANGE-frame cumulative weights
+    make tied values share one cumulative total, so selection needs no
+    intra-tie ordering; the 2·cumw ≥ total test stays integer."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rows = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = analytics.weighted_median(rows, "l_returnflag", "cents", "qty")
+    return out.select(
+        "l_returnflag",
+        F.col("wmedian").alias("wmedian_cents"),
+        F.col("total_w").alias("total_qty"),
+    )
+
+
+@query(
+    "q_survival",
+    """
+    WITH life AS (
+        SELECT user_id AS u,
+               date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                   AS dur,
+               CASE WHEN max(ts) <
+                    (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS observed
+        FROM events GROUP BY u
+    ),
+    per_t AS (
+        SELECT dur AS t, sum(observed) AS d, count(*) AS departed
+        FROM life GROUP BY t
+    ),
+    n AS (SELECT count(*) AS nn FROM life),
+    ar AS (
+        SELECT t, d,
+               nn - coalesce(sum(departed) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS n_at_risk
+        FROM per_t, n
+    ),
+    ev AS (
+        SELECT t, d, n_at_risk,
+               CASE WHEN n_at_risk > d
+                    THEN ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) END AS lt,
+               CASE WHEN n_at_risk = d THEN 1 ELSE 0 END AS dead
+        FROM ar WHERE d > 0
+    )
+    SELECT t, CAST(d AS BIGINT) AS d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(CASE WHEN sum(dead) OVER w > 0 THEN 0.0
+                      ELSE exp(sum(lt) OVER w) END, 6) + 0.0 AS survival
+    FROM ev
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-churn (analytics.km_survival): user
+    lifetime in whole days from first to last event; churn OBSERVED
+    only when the last event predates the global horizon minus 7 days,
+    later users are right-censored — they leave the at-risk set
+    without an event, which is exactly the bias a naive mean-lifetime
+    ignores. Product limit via exp(Σ ln(1−d/n)) cumsum windows, both
+    engines accumulating the same doubles in the same order."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    life = (
+        ev.groupBy(F.col("user_id").alias("u"))
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.to_date("t1"), F.to_date("t0")).alias("dur"),
+            (F.col("t1") < F.col("cutoff")).alias("observed"),
+        )
+    )
+    out = analytics.km_survival(life, "dur", "observed")
+    return out.select(
+        "t", F.col("d").cast("long").alias("d"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"), "survival"
+    )

@@ -696,3 +696,146 @@ def funnel_latency(
         (F.percentile(F.col("latency_us"), F.lit(0.5)) / 1e6).alias("p50_s"),
         (F.percentile(F.col("latency_us"), F.lit(0.75)) / 1e6).alias("p75_s"),
     )
+
+
+def benford_digit_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-numbers screen for financial columns. Per digit
+    1–9: observed count, observed share, Benford expectation
+    log10(1 + 1/d), and the chi-square contribution
+    (obs − exp)²/exp on counts.
+
+    The leading digit comes from the INTEGER STRING rendering of
+    floor(value) (substr of a BIGINT cast) — never from
+    floor(log10(x)) powers, whose float boundary behavior at exact
+    powers of ten differs per engine. One groupBy on a 9-value key;
+    shares and chi terms are single double divisions, 6dp.
+    """
+    v = F.floor(F.col(value_col)).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(v >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n_total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    n_exp = expected * F.col("n_total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            (F.round(F.col("n_obs") / F.col("n_total"), 6) + F.lit(0.0)).alias(
+                "obs_share"
+            ),
+            (F.round(expected, 6) + F.lit(0.0)).alias("benford_share"),
+            (
+                F.round((F.col("n_obs") - n_exp) * (F.col("n_obs") - n_exp) / n_exp, 6)
+                + F.lit(0.0)
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted median per group over integer values and integer
+    weights: the smallest value v whose cumulative weight reaches half
+    the total — the robust center when observations carry volume
+    (price per unit weighted by quantity), where the unweighted median
+    over-counts small lots.
+
+    The cumulative weight window uses the default RANGE frame
+    (ties in the value share one cumulative total), so the selection
+    `min(value | 2·cumw >= total)` is deterministic with NO intra-tie
+    ordering assumptions. All comparisons are integer (2·cumw vs
+    total — no halving, no fractions); one shuffle on the group key.
+    """
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("wt"),
+    )
+    cum = rows.select(
+        "g",
+        "v",
+        F.sum("wt").over(w).alias("cumw"),
+        F.sum("wt").over(Window.partitionBy("g")).alias("total_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("g")
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.max("total_w").alias("total_w"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "wmedian",
+            "total_w",
+        )
+    )
+
+
+def km_survival(
+    subjects: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over right-censored integer
+    durations: one row per distinct event time t with d_t (observed
+    events at t), n_t (subjects still at risk at t), and the product-
+    limit estimate S(t) = Π_{u<=t} (1 − d_u/n_u) — the time-to-churn
+    readout that a naive "mean lifetime of churned users" biases by
+    ignoring the still-alive (censored) population.
+
+    The running product is computed as exp(Σ ln(1 − d/n)) via a
+    cumulative-sum window: both engines evaluate the SAME ln() inputs
+    (one double division of exact integers each) in the SAME total
+    order (event time ascending), so left-to-right float accumulation
+    is bit-reproducible across engines; rounded 6dp on output. n_t is
+    N − (cumulative subjects departed before t) — a second window over
+    the same per-time aggregate (|distinct durations| rows, bounded),
+    no pass over raw subjects beyond the first groupBy.
+    """
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("int")).alias("d"),
+        F.count(F.lit(1)).alias("departed"),
+    )
+    n_total = subjects.count()
+    wprev = (
+        Window.orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcur = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = F.lit(n_total) - F.coalesce(F.sum("departed").over(wprev), F.lit(0))
+    with_n = per_t.select("t", "d", at_risk.alias("n_at_risk")).filter(
+        F.col("d") > 0
+    )
+    # ln(0) diverges across engines (Spark log -> NULL, DuckDB -> -inf),
+    # so the d == n "curve hits zero" step is handled as an explicit
+    # flag: log terms only for n > d, survival pinned to 0.0 once any
+    # prior step extinguished the at-risk set.
+    log_term = F.when(
+        F.col("n_at_risk") > F.col("d"),
+        F.log((F.col("n_at_risk") - F.col("d")).cast("double") / F.col("n_at_risk")),
+    )
+    dead = F.sum((F.col("n_at_risk") == F.col("d")).cast("int")).over(wcur)
+    surv = F.when(dead > 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(wcur))
+    )
+    return with_n.select(
+        "t",
+        "d",
+        "n_at_risk",
+        (F.round(surv, 6) + F.lit(0.0)).alias("survival"),
+    )

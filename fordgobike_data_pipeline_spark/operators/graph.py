@@ -144,3 +144,55 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list[int],
+    max_hops: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set over an undirected
+    edge table: every node reachable within ``max_hops`` hops, labeled
+    with its MINIMUM hop count — the reachability primitive behind
+    "within k degrees of a trusted seed" quality propagation and
+    recall expansion over co-occurrence graphs.
+
+    Frontier-expansion shape (the Pregel iteration, expressed as
+    DataFrame ops): each hop is ONE equi-join of the current frontier
+    against the edge table plus one anti-join against the visited set
+    — no all-pairs work, and a node is expanded exactly once no matter
+    how many paths reach it (the anti-join dedups). The loop runs
+    ``max_hops`` times on the driver but every iteration's data work
+    is fully distributed; ``localCheckpoint`` cuts the lineage each
+    hop so plan depth stays constant (the iterative-algorithm
+    discipline PageRank at :func:`pagerank` uses).
+
+    The frontier is usually the small side — Spark's AQE converts the
+    expansion join to broadcast when it fits; the visited set grows
+    monotonically and stays partitioned by node for the anti-join.
+    """
+    spark = edges.sparkSession
+    und = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    und = und.filter(F.col("src") != F.col("dst")).distinct()
+    visited = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(seeds))], "node BIGINT, hop INT"
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -301,3 +301,69 @@ def rolling_zscore_anomalies(
         zr.alias("z"),
         (F.abs(zr) > threshold).alias("is_anomaly"),
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    delta_col: str,
+    floor: int = 0,
+) -> DataFrame:
+    """Floor-clamped running balance per key — the gift-card/inventory
+    recurrence b_k = max(floor, b_{k-1} + delta_k), summarized per key
+    as (n_events, floor_hits, max_balance, final_balance).
+
+    The recurrence LOOKS inherently sequential (each step consumes the
+    clamped previous step), which would force a per-key Python scan
+    (applyInPandas). It is not: with c = b - floor and prefix sums
+    P_k = sum(delta_1..delta_k), the clamp has the closed form
+
+        c_k = P_k - min(0, min_{j<=k} P_j)
+
+    (the running prefix-min absorbs exactly the mass the clamp would
+    have discarded), so the whole scan is THREE window functions over
+    one sort — cumulative sum, running min of it, and a lagged
+    running min for the hit test (step k clamped iff
+    c_{k-1} + delta_k < 0). Pure JVM whole-stage codegen, one shuffle
+    on the key, no Python in the loop; the sequential reference scan
+    lives in the unit test as the cross-check.
+
+    Deltas must be exact integers (cents); all window arithmetic stays
+    in BIGINT, so partitioning cannot perturb any sum. The balance
+    starts AT the floor (c_0 = 0 — you cannot open below the floor),
+    which is what makes the closed form exact.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    wcur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    d = F.col(delta_col).cast("long")
+    prefix = F.sum(d).over(wcur)
+    runmin = F.least(F.lit(0).cast("long"), F.min(prefix).over(wcur))
+    runmin_prev = F.least(
+        F.lit(0).cast("long"), F.coalesce(F.min(prefix).over(wprev), F.lit(0))
+    )
+    bal = prefix - runmin
+    clamped = (prefix - runmin_prev) < 0
+    # keep the ORIGINAL key column through the aggregation: aliasing it
+    # first mints a new exprId, and the groupBy exchange can no longer
+    # see that the window already hash-partitioned on the same key —
+    # measured as a second full shuffle in the plan before this fix
+    stepped = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        bal.alias("bal"),
+        clamped.cast("int").alias("hit"),
+    )
+    return stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("hit").alias("floor_hits"),
+        (F.max("bal") + floor).alias("max_balance"),
+        (F.max_by("bal", F.struct(F.col("_ts"), F.col("_tb"))) + floor).alias(
+            "final_balance"
+        ),
+    ).withColumnRenamed(key_col, "key")
