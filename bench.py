@@ -171,6 +171,13 @@ HEADLINE = [
     "q_gini",
     "q_freq_triples",
     "q_funnel_latency",
+    "q_running_balance",
+    "q_bfs_hops",
+    "q_benford",
+    "q_weighted_median",
+    "q_survival",
+    "q_file_stats",
+    "q_provenance",
 ]
 
 

@@ -660,3 +660,77 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema,
     )
     return spark.read.parquet(os.path.join(root, "snap"))
+
+
+@query(
+    "q_file_stats",
+    """
+    SELECT lang, count(*) AS n_rows_meta, CAST(1 AS BIGINT) AS n_files
+    FROM documents GROUP BY lang
+    """,
+)
+def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-metadata table statistics (sources/parquet_meta): write
+    the corpus hive-partitioned by lang, then reconstruct per-lang row
+    counts from parquet FOOTERS ONLY — a distributed mapInPandas over
+    the file list, zero data pages read. The oracle counts the
+    ORIGINAL rows, so a hash match proves the metadata census equals
+    the data (and the single-file-per-partition layout the
+    hash-repartitioned write promises: each lang lives in exactly one
+    shuffle partition, so exactly one file)."""
+    import tempfile
+
+    from .sources import parquet_meta
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    root = tempfile.mkdtemp(prefix="file_stats_")
+    (
+        docs.select("doc_id", "text", "lang")
+        .repartition(F.col("lang"))
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(root)
+    )
+    paths = parquet_meta.list_parquet_files(root)
+    footers = parquet_meta.harvest_footers(spark, paths)
+    lang = F.regexp_extract(F.col("path"), r"lang=([^/]+)/", 1)
+    return (
+        footers.select(lang.alias("lang"), "n_rows")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_rows").alias("n_rows_meta"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+    )
+
+
+@query(
+    "q_provenance",
+    """
+    SELECT 'orders.parquet' AS source_file, count(*) AS n_rows FROM orders
+    UNION ALL
+    SELECT 'lineitem.parquet' AS source_file, count(*) AS n_rows FROM lineitem
+    """,
+)
+def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance (F.input_file_name): every row tagged
+    with the physical file it was scanned from, aggregated to a
+    per-source-file row count — the lineage primitive behind
+    quarantine-a-bad-shard and reprocess-one-batch workflows, where
+    'which file did this row come from' must be answerable without a
+    separate bookkeeping column. The basename is extracted in the JVM
+    (element_at(split(...))) and the oracle pins the counts per
+    physical source."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    tagged = [
+        df.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file")
+        )
+        for df in (t["orders"], t["lineitem"])
+    ]
+    return (
+        tagged[0]
+        .unionByName(tagged[1])
+        .groupBy("source_file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -531,3 +531,64 @@ def table_diff(
             F.col("_in_b").isNotNull() & F.col("_in_a").isNotNull(), n_diff
         ).otherwise(F.lit(None).cast("int")).alias("n_cols_changed"),
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    append-heavy lake table needs: streaming/CDC appends accumulate
+    KB-sized files, and at 100 TB the resulting per-file open/footer/
+    seek overhead (plus task-per-file scheduling) dominates scan time
+    long before data volume does.
+
+    Shape: footer-only size census (sources/parquet_meta — no data
+    read to PLAN the compaction), then one distributed rewrite sized
+    so output files land near ``target_file_bytes``
+    (`n_out = ceil(total_bytes / target)`), published through the
+    atomic temp-dir-and-swap (io.publish_overwrite) so readers never
+    see a half-compacted table. With ``sort_cols`` the rewrite
+    clusters via repartitionByRange + sortWithinPartitions — restoring
+    min/max skip-stat locality (the same reasoning as q_zorder) in the
+    same pass. With ``partition_by`` the rewrite shuffles on the
+    partition columns so each hive partition directory collapses to
+    one file per shuffle partition that owns it.
+
+    Returns a stats dict (files/bytes before and after) — control
+    data, not a DataFrame: compaction is a lifecycle action like
+    io.publish_overwrite, and its caller is an orchestrator, not a
+    query plan.
+    """
+    import math
+
+    from ..io import publish_overwrite
+    from ..sources.parquet_meta import harvest_footers, list_parquet_files
+
+    before_paths = list_parquet_files(path)
+    census = (
+        harvest_footers(spark, before_paths)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_byte_size").alias("b"))
+        .first()
+    )
+    total_bytes = int(census.b or 0)
+    df = spark.read.parquet(path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if partition_by:
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    elif sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_out)
+    publish_overwrite(df, path, partition_by=partition_by)
+    after_paths = list_parquet_files(path)
+    return {
+        "n_files_before": len(before_paths),
+        "n_files_after": len(after_paths),
+        "total_bytes_before": total_bytes,
+        "target_file_bytes": target_file_bytes,
+    }
