@@ -178,6 +178,7 @@ HEADLINE = [
     "q_survival",
     "q_file_stats",
     "q_provenance",
+    "q_bucketed_join",
 ]
 
 

@@ -734,3 +734,123 @@ def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "q_bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-bucketed join (io.publish_bucketed): orders and
+    lineitem are persisted bucketed+sorted on the order key, then
+    joined as catalog tables — the sort-merge join reads bucket i
+    against bucket i with ZERO exchange (the pre-paid shuffle every
+    recurring 100 TB fact-fact join should use; plan pinned
+    exchange-free in tests/test_bucketing.py — this entry adjudicates
+    the RESULT of that plan against the plain-join oracle). Broadcast
+    is disabled during materialization so the bucketed SMJ path is the
+    one actually exercised; the eager localCheckpoint forces planning
+    under that pin (plans resolve at action time, and the driver
+    collects after conf is restored)."""
+    from .io import publish_bucketed
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    publish_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "bj_orders",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    publish_bucketed(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("rev_cents"),
+        ),
+        "bj_lineitem",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            spark.table("bj_lineitem")
+            .join(spark.table("bj_orders"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("rev_cents").alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
+@query(
+    "q_stream_join",
+    """
+    SELECT c.user_id AS click_user, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stream-stream interval join, SQL-adjudicated
+    (streaming/incremental.stream_stream_join): clicks and views
+    arrive as two independent watermarked streams; each click joins
+    same-user views from its preceding 30 minutes, with both sides'
+    state evicted as the watermark advances — the 100 TB property is
+    BOUNDED state, not buffer-everything. The oracle is the batch
+    interval join over the same events, so the hash match certifies
+    the streaming join emitted exactly the batch-semantics result (no
+    dropped late matches, no duplicates across micro-batches)."""
+    import os
+    import tempfile
+
+    from .streaming import incremental
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_join_q_")
+    c_src, v_src = os.path.join(root, "clicks"), os.path.join(root, "views")
+    clicks.write.parquet(c_src)
+    views.write.parquet(v_src)
+    c_stream = spark.readStream.schema(clicks.schema).parquet(c_src)
+    v_stream = spark.readStream.schema(views.schema).parquet(v_src)
+    out_dir = os.path.join(root, "joined")
+    q = (
+        incremental.stream_stream_join(c_stream, v_stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

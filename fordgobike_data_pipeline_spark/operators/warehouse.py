@@ -592,3 +592,4 @@ def compact_small_files(
         "total_bytes_before": total_bytes,
         "target_file_bytes": target_file_bytes,
     }
+

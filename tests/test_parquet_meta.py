@@ -79,3 +79,4 @@ def test_compact_sorted_clusters_ranges(spark, tmp_path):
     spans.sort()
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo
+
