@@ -86,84 +86,68 @@ def _ensure_extensions_loaded() -> None:
 # family head). Deferred to r6: the remaining r03-green entries and
 # everything certified in r04 (tail comment).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round: never driver-checked
-    "q_cdc_apply",
-    "q_hist_quantiles",
-    "q_bloom_join",
-    "q_rrf_fusion",
-    "q_knn_graph",
-    "q_winsorize",
-    "q_row_index",
-    "q_stratum_sample",
-    "q_pagerank",
-    "q_late_interaction",
-    "q_gap_fill",
-    "q_knn_incr",
-    "q_stream_mv",
-    "q_bpe_seeded",
-    "q_decontaminate_near",
-    "q_scd2",
-    "q_mv_merge",
-    "q_zorder",
-    "q_heavy_hitters",
-    "q_ann_recall",
-    "q_ivfpq",
-    "q_jsonl_roundtrip",
-    "q_rolling_range",
-    "q_ntile",
-    "q_funnel",
-    "q_fuzzy_match",
-    "q_scd2_pit",
-    # last official row r01 (2)
-    "q_scan_csv_literal",
-    "q_string_funcs",
-    # last official row r02 (31) — the round-4 deferred list
-    "q_join_role_playing",
-    "q_join_full_outer",
-    "q_nearest_neighbor",
-    "q_anti_join",
-    "q_distinct_on",
-    "q_topk_routes",
-    "q_upsert_skip_conflict",
-    "q_decontaminate",
-    "q_dedup_exact",
-    "q_embed_cosine_pairs",
-    "q_ann_topk",
-    "q_token_count",
-    "q_text_quality",
-    "q_winnow_fingerprint",
-    "q_tfidf",
-    "q_token_budget",
-    "q_dedup_incremental",
-    "q_text_stats",
-    "q_doc_fingerprint",
-    "q_multimodal_meta",
-    "q_frame_sample",
-    # (deferred to r6 to make room for the THIRTEEN new never-checked
-    # queries this round: the rows-only q_ann_ivf, q_bpe_token_count,
-    # q_image_features, q_resize_images (each judge-smoked r4; the
-    # seeded oracle twins of the first two remain IN the window),
-    # the curation ops q_pack_sequences, q_train_split, q_domain_cap,
-    # q_normalize_text, q_repetition_ratio, q_pii_redact
-    # (r02-official-green, unit-tested, locally green this round), and
-    # the r03-head scalars q_hash_key, q_weekend_flag, q_date_parts —
-    # each green at its latest official check AND locally green this
-    # session.)
-    # (also deferred to r6, every one green at its latest official check
-    # AND locally green this session (tests/driver simulation): the
-    # rest of the r03 window — q_date_names, q_smart_date_key, q_key_to_date, q_generate_series,
-    # q_round_minutes, q_string_concat, q_coalesce_defaults, q_nullif_sentinel,
-    # q_case_age_clean, q_join_inner, q_summary_stats,
-    # q_project_rename, q_agg_expr_key, q_agg_first, q_agg_max_dedup,
-    # q_agg_minmax_bounds, q_agg_null_audit, q_agg_routes,
-    # q_approx_sketches, q_asof_join, q_audio_features,
-    # q_char_entropy, q_chunk_docs, q_cross_join,
-    # q_deterministic_sample, q_filter_compound, q_filter_eq,
-    # q_filter_flag, q_filter_notnull, q_json_extract, q_lang_id,
-    # q_quantize_embed, q_random_projection, q_range_join,
-    # q_sessionize, q_top_ngrams, q_union_all_null, q_union_distinct,
-    # q_window_hopping, q_window_rownum, q_window_time_bucket —
-    # plus the entire r04-certified set)
+    # Round-6 rotation: 50 of the 56 oracle-backed queries that have
+    # NEVER appeared in an official CORRECTNESS_r{N}.json window (all
+    # were added after the r5 window was frozen; every one is green in
+    # the local mirror run this session). Deferred to r7 (each has an
+    # officially-green sibling exercising the same code path):
+    # q_zorder3 (sibling q_zorder, r5), q_orc_roundtrip
+    # (q_jsonl_roundtrip, r5 — same interchange harness),
+    # q_semi_additive (q_scd2_pit, r5 — same warehouse family),
+    # q_bucketed_join (q_salted_join, r4 — same join-lever family),
+    # q_provenance (q_file_stats IS in this window — same footer
+    # harvest core), q_stream_join (q_stream_mv/q_stream_cdc — same
+    # AvailableNow streaming harness, q_stream_cdc in this window).
+    "q_cohort_retention",
+    "q_markov_transitions",
+    "q_attribution",
+    "q_rolling_median",
+    "q_rfm",
+    "q_subquery_avg_filter",
+    "q_scalar_share",
+    "q_exists_returned",
+    "q_anti_scalar",
+    "q_count_min",
+    "q_table_diff",
+    "q_triangle_count",
+    "q_keyword_search",
+    "q_mad_outliers",
+    "q_chi_square",
+    "q_corr_matrix",
+    "q_ols_trend",
+    "q_skyline",
+    "q_id_gaps",
+    "q_ab_test",
+    "q_ewma",
+    "q_anomaly_zscore",
+    "q_assoc_rules",
+    "q_item_sim",
+    "q_multi_exists",
+    "q_hierarchy_rollup",
+    "q_mmr_rerank",
+    "q_gini",
+    "q_freq_triples",
+    "q_funnel_latency",
+    "q_running_balance",
+    "q_bfs_hops",
+    "q_benford",
+    "q_weighted_median",
+    "q_survival",
+    "q_dataset_stats",
+    "q_psi_drift",
+    "q_quantile_norm",
+    "q_ks_drift",
+    "q_knn_label_vote",
+    "q_ann_multiprobe",
+    "q_capped_topk",
+    "q_weighted_sample",
+    "q_readability",
+    "q_oov_rate",
+    "q_time_weighted_avg",
+    "q_interleave_shards",
+    "q_pmi_collocations",
+    "q_stream_cdc",
+    "q_file_stats",
 )
 
 

@@ -62,6 +62,9 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
+    # deg re-aggregates the CHECKPOINTED edge table per iteration — one
+    # cheap map-side-combined agg; an eager checkpoint of deg measured
+    # ~1s slower at sf0.1 than the recompute (blocking write dominates)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
@@ -106,7 +109,8 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
 
     Returns one audit row: (n_edges, n_wedges, n_triangles).
     """
-    # normalize + dedup; drop self-loops
+    # normalize + dedup; drop self-loops — materialize once: e feeds
+    # the degree agg, the orientation join, AND the n_edges audit count
     e = (
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("u"),
@@ -114,20 +118,39 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
-    both = e.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
-        e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    deg = both.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    # orientation key: (degree, node) totally orders endpoints
+    # orient each UNDIRECTED edge once (|E| rows, not the 2|E| directed
+    # union): (degree, node) totally orders the endpoints, so pick the
+    # direction from the smaller endpoint row-by-row
     keyed = (
-        both.join(deg.withColumnRenamed("n", "m").withColumnRenamed("d", "dm"), "m")
-        .join(deg, "n")
-        .select("n", "m", "d", "dm")
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
     )
-    oriented = keyed.filter(
-        (F.col("d") < F.col("dm")) | ((F.col("d") == F.col("dm")) & (F.col("n") < F.col("m")))
-    ).select(F.col("n").alias("src"), F.col("m").alias("dst"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented is probed THREE times (two wedge legs + closing edges);
+    # checkpoint so the degree-join chain runs once
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()
+    # wedge COUNT needs no join: every out-pair at a pivot is a wedge,
+    # so n_wedges = Σ C(outdeg, 2) over the oriented out-degrees —
+    # this halves the heavy work (the count(*) over the materialized
+    # wedge join used to re-run the self-join a second time)
+    n_wedges_df = (
+        oriented.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(F.expr("od * (od - 1) div 2")).alias("n_wedges"))
+    )
     o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
     o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
     # each unordered wedge once: x < y in plain node order
@@ -141,7 +164,7 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     tri = wedges.join(closing, ["x", "y"], "left_semi")
     return (
         e.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(n_wedges_df)
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
 
@@ -177,7 +200,10 @@ def bfs_hops(
     und = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    und = und.filter(F.col("src") != F.col("dst")).distinct()
+    # the edge table is probed EVERY hop — materialize the distinct
+    # union once instead of re-running its (often expensive) upstream
+    # lineage per iteration
+    und = und.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
     visited = spark.createDataFrame(
         [(int(s), 0) for s in sorted(set(seeds))], "node BIGINT, hop INT"
     )
