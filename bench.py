@@ -188,6 +188,14 @@ HEADLINE = [
     "q_file_stats",
     "q_provenance",
     "q_bucketed_join",
+    # round-6 additions
+    "q_target_encode_loo",
+    "q_feature_hash",
+    "q_onehot_topk",
+    "q_minmax_scale",
+    "q_acf",
+    "q_cusum_changepoint",
+    "q_seasonal_dow",
 ]
 
 # The compact driver-facing JSON line carries only these queries — the

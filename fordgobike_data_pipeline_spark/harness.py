@@ -59,6 +59,7 @@ def _ensure_extensions_loaded() -> None:
     from . import (  # noqa: F401  (register queries)
         harness_analytics,
         harness_curation,
+        harness_features,
         harness_quality,
         harness_scale,
         harness_warehouse,

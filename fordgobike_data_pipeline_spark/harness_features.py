@@ -1,0 +1,241 @@
+"""Harness entries for the ML feature-prep operators
+(operators/features.py) and the time-series probes added alongside
+them (operators/temporal.py acf_daily / cusum_changepoint /
+seasonal_profile_dow) — the tabular-feature-engineering surface a
+training-data pipeline runs before any model sees the data, each with
+a DuckDB oracle twin.
+
+Parity rules (repo-wide discipline): continuous targets are summed as
+fixed-point BIGINT cents; every emitted fraction is one double
+division of exact integers (or integer products); hash buckets use
+the md5 signed-64 idiom from functions/exprs.py; DOW is pinned to
+DuckDB's 0=Sunday via Spark ``dayofweek() − 1``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import query
+from .io import load_tables
+from .operators import features, temporal
+
+
+@query(
+    "q_target_encode_loo",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderpriority, sum(cents) AS sum_cat, count(*) AS cnt_cat
+        FROM t GROUP BY o_orderpriority
+    ),
+    a AS (SELECT sum(cents) AS total, count(*) AS n FROM t)
+    SELECT t.o_orderkey, t.o_orderpriority,
+           round(CASE WHEN cnt_cat > 1
+                      THEN CAST(sum_cat - cents AS DOUBLE) / (cnt_cat - 1)
+                      ELSE CAST(total - cents AS DOUBLE) / (n - 1)
+                 END / 100.0, 9) AS te_loo
+    FROM t JOIN g USING (o_orderpriority) CROSS JOIN a
+    """,
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (features.target_encode_loo) of
+    order priority against order value: each order's category encodes
+    to the mean total of the OTHER orders sharing its priority —
+    CV-safe (no self-leak), exact (cents fixed-point sums, one final
+    division), and broadcast-join shaped (category stats are 5 rows)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    t = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return features.target_encode_loo(t, "o_orderpriority", "cents").select(
+        "o_orderkey", "o_orderpriority", "te_loo"
+    )
+
+
+@query(
+    "q_feature_hash",
+    """
+    WITH u AS (
+        SELECT 'p_brand' AS feature, 'p_brand=' || p_brand AS s FROM part
+        UNION ALL
+        SELECT 'p_type', 'p_type=' || p_type FROM part
+    ),
+    h AS (
+        SELECT feature,
+               ((CAST(CAST(from_hex(substr(md5(s), 1, 16)) AS BIT) AS BIGINT)
+                 % 64) + 64) % 64 AS bucket,
+               CASE WHEN substr(md5(s), 32, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1 ELSE -1 END AS sign
+        FROM u
+    )
+    SELECT feature, bucket, count(*) AS n, sum(sign) AS signed_sum
+    FROM h GROUP BY feature, bucket
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing trick (features.feature_hash): part brand and
+    type hashed into 64 signed buckets (md5 parity idiom shared
+    bit-exactly with the oracle), pooled to a per-(feature, bucket)
+    histogram — stateless, vocabulary-free categorical encoding, all
+    codegen expressions plus one map-side-combined groupBy."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return features.feature_hash(part, ["p_brand", "p_type"], n_buckets=64)
+
+
+@query(
+    "q_onehot_topk",
+    """
+    WITH c AS (SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand),
+    top AS (
+        SELECT p_brand AS topcat,
+               CAST(row_number() OVER (ORDER BY n DESC, p_brand) AS INT) AS rk
+        FROM c QUALIFY rk <= 5
+    )
+    SELECT p_partkey, p_brand,
+           CASE WHEN rk IS NOT NULL THEN p_brand ELSE 'OTHER' END AS mapped,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS oh_1,
+           CAST(CASE WHEN rk = 2 THEN 1 ELSE 0 END AS INT) AS oh_2,
+           CAST(CASE WHEN rk = 3 THEN 1 ELSE 0 END AS INT) AS oh_3,
+           CAST(CASE WHEN rk = 4 THEN 1 ELSE 0 END AS INT) AS oh_4,
+           CAST(CASE WHEN rk = 5 THEN 1 ELSE 0 END AS INT) AS oh_5
+    FROM part LEFT JOIN top ON p_brand = topcat
+    """,
+)
+def q_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k one-hot encoding (features.onehot_topk): the 5 most
+    frequent part brands (count desc, name asc) keep identity columns
+    oh_1..oh_5, the tail maps to OTHER — the k-row top table
+    broadcasts back and the encode is a codegen CASE chain."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    enc = features.onehot_topk(
+        part.select("p_partkey", "p_brand"), "p_brand", k=5
+    )
+    return enc.select(
+        "p_partkey", "p_brand", "mapped", "oh_1", "oh_2", "oh_3", "oh_4", "oh_5"
+    )
+
+
+@query(
+    "q_minmax_scale",
+    """
+    WITH s AS (
+        SELECT p_type, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+        FROM part GROUP BY p_type
+    )
+    SELECT p_partkey, part.p_type, p_retailprice,
+           round(CASE WHEN hi = lo THEN 0.0
+                      ELSE (p_retailprice - lo) / (hi - lo) END, 9) AS scaled
+    FROM part JOIN s ON part.p_type = s.p_type
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max scaling (features.minmax_scale) of retail
+    price within part type: min/max are order-independent (unlike
+    sums) and the scale is one division, so no fixed-point needed;
+    the |groups|-sized stats broadcast back onto the rows."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return features.minmax_scale(
+        part.select("p_partkey", "p_type", "p_retailprice"),
+        "p_retailprice",
+        "p_type",
+    ).select("p_partkey", "p_type", "p_retailprice", "scaled")
+
+
+@query(
+    "q_acf",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY day
+    ),
+    b AS (SELECT min(day) AS d0 FROM d),
+    i AS (
+        SELECT date_diff('day', d0, day) AS i, CAST(c AS BIGINT) AS c
+        FROM d CROSS JOIN b
+    ),
+    l AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(lag)),
+    x AS (SELECT lag, i + lag AS j, c AS x FROM i CROSS JOIN l),
+    y AS (SELECT i AS j, c AS y FROM i),
+    p AS (SELECT lag, x, y FROM x JOIN y USING (j)),
+    s AS (
+        SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM p GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS acf
+    FROM s
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7
+    (temporal.acf_daily): Pearson r from exact BIGINT sufficient
+    statistics — the weekly-seasonality probe; the events table is
+    scanned once, everything after is |days|-sized."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.acf_daily(events, max_lag=7)
+
+
+@query(
+    "q_cusum_changepoint",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY day
+    ),
+    t AS (SELECT sum(v) AS t_all, count(*) AS n_days FROM d),
+    c AS (
+        SELECT day, n_days, t_all,
+               n_days * sum(v) OVER (ORDER BY day)
+                   - row_number() OVER (ORDER BY day) * t_all AS ns
+        FROM d CROSS JOIN t
+    )
+    SELECT day AS changepoint_day, n_days, abs(ns) AS abs_ns,
+           round(CAST(abs(ns) AS DOUBLE)
+                 / CAST(n_days * abs(t_all) AS DOUBLE), 9) AS cusum_frac
+    FROM c ORDER BY abs(ns) DESC, day ASC LIMIT 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection (temporal.cusum_changepoint) over
+    daily event value: changepoint = argmax |cumulative deviation from
+    mean|, computed in the integer closed form n·S_t = n·P_t − t·T so
+    the argmax is exact; ties break to the earliest day."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.cusum_changepoint(events)
+
+
+@query(
+    "q_seasonal_dow",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY day
+    ),
+    bd AS (
+        SELECT dayofweek(day) AS dow, sum(c) AS sum_d, count(*) AS days_d
+        FROM d GROUP BY dow
+    ),
+    t AS (SELECT sum(c) AS sum_all, count(*) AS days_all FROM d)
+    SELECT CAST(dow AS INT) AS dow, days_d, sum_d,
+           round(CAST(sum_d * days_all AS DOUBLE)
+                 / CAST(days_d * sum_all AS DOUBLE), 9) AS seasonal_index
+    FROM bd CROSS JOIN t
+    """,
+)
+def q_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index (temporal.seasonal_profile_dow):
+    mean daily count per DOW over the overall mean, one division of
+    integer products; DOW pinned to DuckDB 0=Sunday."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.seasonal_profile_dow(events)

@@ -367,3 +367,150 @@ def clamped_running_balance(
             "final_balance"
         ),
     ).withColumnRenamed(key_col, "key")
+
+
+def acf_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of the DAILY EVENT-COUNT series at lags
+    1..max_lag — the seasonality probe run before picking a forecast
+    window or a partition cadence (a lag-7 spike = weekly cycle).
+
+    Determinism: counts are integers, so every Pearson sufficient
+    statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT sum;
+    the coefficient is then a closed-form double expression of exact
+    integers — no order-dependent double accumulation anywhere.
+
+    Scale shape: one groupBy to the |days|-sized series, a broadcast
+    of the lag list, one self-equi-join on shifted day index, one
+    groupBy per lag. The heavy table (events) is touched exactly once.
+    """
+    spark = events.sparkSession
+    counts = events.groupBy(
+        F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # dense integer index from the series' own min day
+    base = counts.agg(F.min("day").alias("d0"))
+    idx = counts.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("i"),
+        F.col("c").cast("long").alias("c"),
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    x = idx.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("i") + F.col("lag")).alias("j"), F.col("c").alias("x")
+    )
+    y = idx.select(F.col("i").alias("j"), F.col("c").alias("y"))
+    pairs = x.join(y, "j")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            num.cast("double") / (F.sqrt(denx) * F.sqrt(deny)), 9
+        ).alias("acf"),
+    )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """CUSUM level-shift detection over the daily total of ``val_col``:
+    the changepoint is the day maximizing |Σ_{i≤t}(x_i − x̄)| — the
+    classic single-changepoint statistic, used to catch a corpus
+    source changing volume or a metric stepping after a deploy.
+
+    Integer closed form: with daily totals v_i in fixed-point cents
+    and P_t the cumulative sum, n·S_t = n·P_t − t·T (T = grand total)
+    — every term BIGINT-exact, so argmax and the reported statistic
+    are deterministic. The emitted ``cusum_frac`` = |n·S_t| / (n·|T|)
+    is the one double division.
+
+    One groupBy to days, one window cumsum over the day order (a
+    single |days|-sized partition — fine: the series is already
+    aggregated), one 1-row argmax.
+    """
+    daily = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.sum(F.round(F.col(val_col) * 100).cast("long")).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("v").alias("t_all"), F.count(F.lit(1)).alias("n_days")
+    )
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        "t_all",
+        (
+            F.col("n_days") * F.sum("v").over(w)
+            - F.row_number().over(Window.orderBy("day")) * F.col("t_all")
+        ).alias("ns"),
+    )
+    return cum.select(
+        F.struct(
+            F.abs(F.col("ns")).alias("a"),
+            (-F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))).alias(
+                "neg_d"
+            ),
+            F.col("day"),
+            F.col("n_days"),
+            F.col("ns"),
+            F.col("t_all"),
+        ).alias("s")
+    ).agg(
+        F.max("s").alias("m")
+    ).select(
+        F.col("m.day").alias("changepoint_day"),
+        F.col("m.n_days").alias("n_days"),
+        F.col("m.a").alias("abs_ns"),
+        F.round(
+            F.col("m.a").cast("double")
+            / (F.col("m.n_days") * F.abs(F.col("m.t_all"))).cast("double"),
+            9,
+        ).alias("cusum_frac"),
+    )
+
+
+def seasonal_profile_dow(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Day-of-week seasonal index: (mean daily count on DOW d) /
+    (mean daily count overall), per DOW — the additive-seasonality
+    profile a gap-fill or anomaly monitor normalizes against.
+
+    Index = (sum_d · days_all) / (days_d · sum_all): one division of
+    exact integer products. DOW convention pinned to DuckDB's
+    ``dayofweek`` (0=Sunday) via Spark's ``dayofweek() − 1``.
+    """
+    daily = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bydow = daily.groupBy(
+        (F.dayofweek("day") - 1).alias("dow")
+    ).agg(F.sum("c").alias("sum_d"), F.count(F.lit(1)).alias("days_d"))
+    tot = daily.agg(
+        F.sum("c").alias("sum_all"), F.count(F.lit(1)).alias("days_all")
+    )
+    return bydow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "days_d",
+        "sum_d",
+        F.round(
+            (F.col("sum_d") * F.col("days_all")).cast("double")
+            / (F.col("days_d") * F.col("sum_all")).cast("double"),
+            9,
+        ).alias("seasonal_index"),
+    )
