@@ -196,6 +196,10 @@ HEADLINE = [
     "q_acf",
     "q_cusum_changepoint",
     "q_seasonal_dow",
+    "q_gdpr_delete",
+    "q_pii_census",
+    "q_clustering_coeff",
+    "q_kcore",
 ]
 
 # The compact driver-facing JSON line carries only these queries — the

@@ -60,6 +60,7 @@ def _ensure_extensions_loaded() -> None:
         harness_analytics,
         harness_curation,
         harness_features,
+        harness_governance,
         harness_quality,
         harness_scale,
         harness_warehouse,

@@ -1,0 +1,246 @@
+"""Harness entries for the governance operators
+(operators/governance.py: GDPR erasure propagation, PII census) and
+the node-level graph probes (operators/graph.py
+local_clustering_coefficient, kcore_peel) — each with a DuckDB
+oracle twin.
+
+Graph queries run on the co-purchase graph (parts linked by a shared
+order) restricted to a deterministic quarter of orders
+(``l_orderkey % 4 = 0``) so the per-node triangle enumeration stays
+benchable; the restriction is part of the query contract, mirrored in
+the oracle. The PII census injects deterministic synthetic contact
+strings (the corpus has no real PII), same pattern as q_pii_redact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import query
+from .io import load_tables
+from .operators import governance, graph
+
+_COPURCHASE_SQL = """
+    op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    pr AS (
+        SELECT x.p AS a, y.p AS b FROM op x JOIN op y
+        ON x.o = y.o AND x.p < y.p
+    ),
+    e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        FROM pr WHERE a <> b
+    )
+"""
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = (
+        li.filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    y = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    return x.join(y, "o").filter(F.col("a") < F.col("b")).select("a", "b")
+
+
+@query(
+    "q_gdpr_delete",
+    """
+    WITH m AS (
+        SELECT event_type,
+               CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END AS del
+        FROM events
+    )
+    SELECT event_type, count(*) AS rows_before,
+           sum(del) AS rows_deleted,
+           count(*) - sum(del) AS rows_after,
+           round(CAST(sum(del) AS DOUBLE) / count(*), 9) AS deleted_frac
+    FROM m GROUP BY event_type
+    """,
+)
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit
+    (governance.gdpr_delete_audit): subjects = every user with
+    user_id % 97 == 0 (the synthetic erasure batch), audited per
+    event_type — one broadcast mark join + one groupBy, the events
+    table scanned once. gdpr_purge (the anti-join itself) is
+    unit-tested; this emits the evidence trail."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    subjects = (
+        events.select("user_id").distinct().filter(F.col("user_id") % 97 == 0)
+    )
+    audit = governance.gdpr_delete_audit(events, subjects, "user_id", "event_type")
+    return audit.select(
+        "event_type",
+        "rows_before",
+        "rows_deleted",
+        "rows_after",
+        "deleted_frac",
+    )
+
+
+@query(
+    "q_pii_census",
+    r"""
+    WITH raw AS (
+        SELECT source,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact bob@example.com' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' from 192.168.1.1' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' tel +1 415 555 0100' ELSE '' END AS t
+        FROM documents
+    ),
+    f AS (
+        SELECT source,
+               CASE WHEN regexp_matches(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                    THEN 1 ELSE 0 END AS he,
+               CASE WHEN regexp_matches(t,
+                    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')
+                    THEN 1 ELSE 0 END AS hi,
+               CASE WHEN regexp_matches(t, '\+\d[\d -]{7,}\d')
+                    THEN 1 ELSE 0 END AS hp
+        FROM raw
+    )
+    SELECT source, count(*) AS n_docs, sum(he) AS n_email, sum(hi) AS n_ip,
+           sum(hp) AS n_phone,
+           round(CAST(sum(CASE WHEN he + hi + hp > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 9) AS pii_frac
+    FROM f GROUP BY source
+    """,
+)
+def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-exposure census per source (governance.pii_census): email /
+    IPv4 / phone detection with the same patterns pii_redact masks,
+    over text with deterministic synthetic contact strings injected
+    into id-keyed subsets — three codegen rlike probes in one scan."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" contact bob@example.com")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" from 192.168.1.1")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" tel +1 415 555 0100")).otherwise(F.lit("")),
+    )
+    return governance.pii_census(
+        docs.select("source", t.alias("text")), "text", "source"
+    )
+
+
+@query(
+    "q_clustering_coeff",
+    f"""
+    WITH {_COPURCHASE_SQL},
+    deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+        ) GROUP BY n
+    ),
+    keyed AS (
+        SELECT u, v, du.d AS du, dv.d AS dv
+        FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ),
+    o AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+        FROM keyed
+    ),
+    w AS (
+        SELECT o1.src, o1.dst AS x, o2.dst AS y
+        FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    cl AS (SELECT least(src, dst) AS x, greatest(src, dst) AS y FROM o),
+    tri AS (SELECT w.src, w.x, w.y FROM w JOIN cl ON w.x = cl.x AND w.y = cl.y),
+    tpn AS (
+        SELECT n, count(*) AS tri FROM (
+            SELECT src AS n FROM tri
+            UNION ALL SELECT x AS n FROM tri
+            UNION ALL SELECT y AS n FROM tri
+        ) GROUP BY n
+    ),
+    top AS (
+        SELECT n, d FROM (
+            SELECT n, d, row_number() OVER (ORDER BY d DESC, n) AS rk FROM deg
+        ) WHERE rk <= 20
+    )
+    SELECT top.n AS node, d AS degree, COALESCE(tri, 0) AS n_triangles,
+           round(CASE WHEN d > 1
+                      THEN CAST(2 * COALESCE(tri, 0) AS DOUBLE)
+                           / CAST(d * (d - 1) AS DOUBLE)
+                      ELSE 0.0 END, 9) AS lcc
+    FROM top LEFT JOIN tpn ON tpn.n = top.n
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the 20 highest-degree parts in
+    the (quarter-sampled) co-purchase graph
+    (graph.local_clustering_coefficient): per-node triangle counts
+    from the degree-ordered orientation — each triangle enumerated
+    once and exploded to its three corners, no neighborhood
+    materialization; lcc = 2·tri/(d·(d−1)) as one division."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return graph.local_clustering_coefficient(pairs, top_n=20)
+
+
+@query(
+    "q_kcore",
+    f"""
+    WITH {_COPURCHASE_SQL},
+    d1 AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+        ) GROUP BY n
+    ),
+    k1 AS (SELECT n FROM d1 WHERE d >= 3),
+    e1 AS (
+        SELECT u, v FROM e
+        WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)
+    ),
+    d2 AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e1 UNION ALL SELECT v AS n FROM e1
+        ) GROUP BY n
+    ),
+    k2 AS (SELECT n FROM d2 WHERE d >= 3),
+    e2 AS (
+        SELECT u, v FROM e1
+        WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)
+    ),
+    d3 AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2
+        ) GROUP BY n
+    ),
+    k3 AS (SELECT n FROM d3 WHERE d >= 3),
+    e3 AS (
+        SELECT u, v FROM e2
+        WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)
+    )
+    SELECT CAST(1 AS INT) AS iter,
+           count(DISTINCT n) AS n_nodes, CAST(count(*) / 2 AS BIGINT) AS n_edges
+    FROM (SELECT u AS n FROM e1 UNION ALL SELECT v AS n FROM e1)
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           count(DISTINCT n), CAST(count(*) / 2 AS BIGINT)
+    FROM (SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2)
+    UNION ALL
+    SELECT CAST(3 AS INT),
+           count(DISTINCT n), CAST(count(*) / 2 AS BIGINT)
+    FROM (SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3)
+    """,
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peel over the (quarter-sampled) co-purchase
+    graph (graph.kcore_peel): three rounds of drop-degree-<3 nodes,
+    per-round (n_nodes, n_edges) evidence — a converged tail (equal
+    consecutive rows) means the true 3-core was reached."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return graph.kcore_peel(pairs, k=3, iterations=3)

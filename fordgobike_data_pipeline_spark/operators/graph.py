@@ -222,3 +222,143 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, top_n: int = 20, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Local clustering coefficient for the ``top_n`` highest-degree
+    nodes: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each
+    hub's neighborhood is to a clique, the node-level cohesion probe
+    (triangle_count is the graph-level one).
+
+    Per-node triangle counts reuse the degree-ordered orientation: the
+    wedge⋈closing-edge INNER join yields each triangle exactly once as
+    a (pivot, x, y) triple, and exploding the triple credits all three
+    corners — no per-node neighborhood materialization. The top-n cut
+    is (degree desc, node asc) over the |V|-sized degree table; lcc is
+    one double division of exact integers.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = e.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    # inner join (closing edges are distinct) -> one row per triangle
+    triples = wedges.join(closing, ["x", "y"])
+    tri_per_node = (
+        triples.select(F.explode(F.array("src", "x", "y")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("d"), F.asc("n"))
+    top = (
+        deg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .drop("rk")
+    )
+    return (
+        top.join(tri_per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.when(F.col("d") > 1,
+                       (2 * F.coalesce(F.col("tri"), F.lit(0))).cast("double")
+                       / (F.col("d") * (F.col("d") - 1)).cast("double"))
+                .otherwise(F.lit(0.0)),
+                9,
+            ).alias("lcc"),
+        )
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    iterations: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Bounded k-core peeling: ``iterations`` rounds of "drop every
+    node with degree < k, then drop edges touching dropped nodes" —
+    the dense-core extractor (spam-farm detection, community seeding).
+    A fixed iteration count keeps the operator oracle-expressible and
+    the lineage bounded; at convergence the surviving subgraph IS the
+    k-core, and the emitted per-round stats show whether it converged
+    (n_edges stops moving).
+
+    Each round is one degree aggregate plus two semi-joins — no
+    driver-side graph, state is only the shrinking edge table,
+    checkpointed per round to keep plan depth constant.
+
+    Emits one row per round: (iter, n_nodes, n_edges) AFTER that
+    round's peel.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    stats = []
+    for i in range(1, iterations + 1):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+        row = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .agg(
+                F.lit(i).alias("iter"),
+                F.countDistinct("n").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            )
+        )
+        stats.append(row)
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
