@@ -200,6 +200,11 @@ HEADLINE = [
     "q_pii_census",
     "q_clustering_coeff",
     "q_kcore",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_mixture_temperature",
+    "q_zipf_fit",
 ]
 
 # The compact driver-facing JSON line carries only these queries — the

@@ -63,6 +63,7 @@ def _ensure_extensions_loaded() -> None:
         harness_governance,
         harness_quality,
         harness_scale,
+        harness_tpch,
         harness_warehouse,
     )
 

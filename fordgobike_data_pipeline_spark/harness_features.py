@@ -239,3 +239,137 @@ def q_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer products; DOW pinned to DuckDB 0=Sunday."""
     events = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.seasonal_profile_dow(events)
+
+
+@query(
+    "q_mixture_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS total FROM c),
+    p AS (
+        SELECT source, n, CAST(n AS DOUBLE) / total AS p,
+               sqrt(CAST(n AS DOUBLE) / total) AS w_raw
+        FROM c CROSS JOIN t
+    ),
+    z AS (SELECT sum(w_raw) AS z FROM p)
+    SELECT source, n AS n_docs, round(p, 9) AS p,
+           round(w_raw / z, 9) AS w_temp,
+           round((w_raw / z) / p, 9) AS upsample_factor
+    FROM p CROSS JOIN z
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted domain mixture (τ = 0.5): sampling
+    weights w_i ∝ p_i^τ flatten the source distribution — the
+    standard low-resource-upweighting scheme for multi-source
+    training corpora. τ pinned to 0.5 so the power is sqrt (IEEE
+    correctly-rounded, unlike pow — parity-safe); the normalizer sums
+    |sources| doubles, rounded at 9 dp. Emits per-source p, w, and
+    the upsample factor w/p."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p"),
+        F.sqrt(F.col("n").cast("double") / F.col("total")).alias("w_raw"),
+    )
+    z = p.agg(F.sum("w_raw").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("p"), 9).alias("p"),
+        F.round(F.col("w_raw") / F.col("z"), 9).alias("w_temp"),
+        F.round((F.col("w_raw") / F.col("z")) / F.col("p"), 9).alias(
+            "upsample_factor"
+        ),
+    )
+
+
+@query(
+    "q_zipf_fit",
+    r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    ),
+    freq AS (
+        SELECT t, count(*) AS f FROM tok WHERE t <> '' GROUP BY t
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+        FROM freq QUALIFY r <= 200
+    ),
+    fx AS (
+        SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM fx
+    )
+    SELECT n AS n_ranks,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) / n
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / n)) / 1000000.0, 9) AS intercept_ln
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) for the top-200 tokens — the
+    token-distribution health probe (a healthy natural-language
+    corpus slopes near −1; scraped boilerplate flattens it). The
+    logs are quantized to 1e-6 fixed-point BIGINT so every OLS
+    sufficient statistic is an exact integer sum; the slope is one
+    double division. One scan + one vocabulary groupBy; the ranked
+    head is 200 rows."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+
+    ranked = (
+        freq.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("t")))
+        )
+        .filter(F.col("r") <= 200)
+    )
+    fx = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = fx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / 1000000.0,
+            9,
+        ).alias("intercept_ln"),
+    )
