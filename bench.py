@@ -205,6 +205,11 @@ HEADLINE = [
     "q_tpch_q10",
     "q_mixture_temperature",
     "q_zipf_fit",
+    "q_ttr_hapax",
+    "q_fano_burstiness",
+    "q_interarrival_quantiles",
+    "q_time_decay_cooccur",
+    "q_fusion_minmax",
 ]
 
 # The compact driver-facing JSON line carries only these queries — the

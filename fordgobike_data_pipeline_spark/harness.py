@@ -62,6 +62,7 @@ def _ensure_extensions_loaded() -> None:
         harness_features,
         harness_governance,
         harness_quality,
+        harness_retrieval,
         harness_scale,
         harness_tpch,
         harness_warehouse,

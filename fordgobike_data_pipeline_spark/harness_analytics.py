@@ -1599,3 +1599,66 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", F.col("d").cast("long").alias("d"),
         F.col("n_at_risk").cast("long").alias("n_at_risk"), "survival"
     )
+
+
+@query(
+    "q_time_decay_cooccur",
+    """
+    WITH e AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    mx AS (SELECT max(day) AS md FROM e),
+    p AS (
+        SELECT x.user_id, x.day, x.event_type AS a, y.event_type AS b
+        FROM e x JOIN e y
+        ON x.user_id = y.user_id AND x.day = y.day
+           AND x.event_type < y.event_type
+    ),
+    w AS (
+        SELECT a, b,
+               CAST(2 ** (20 - least(
+                   CAST(floor(date_diff('day', day, md) / 7) AS INT), 20))
+                    AS BIGINT) AS w
+        FROM p CROSS JOIN mx
+    )
+    SELECT a, b, count(*) AS n_cooccur, sum(w) AS score_int,
+           round(CAST(sum(w) AS DOUBLE) / 1048576.0, 9) AS decay_score
+    FROM w GROUP BY a, b
+    """,
+)
+def q_time_decay_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed co-occurrence scores between event types (the
+    co-visitation matrix behind recency-weighted recommenders):
+    same-user-same-day pairs weighted by 2^(−age_weeks), halving per
+    week. The weight is an EXACT power of two held as BIGINT
+    (2^(20−k), k capped at 20), so the decayed sum is an exact
+    integer — the floating-decay determinism problem never arises;
+    one division renders the score. The pair join runs on the
+    deduped (user, day, type) table, bounded by types-per-user-day."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    e = events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    mx = e.agg(F.max("day").alias("md"))
+    x = e.select("user_id", "day", F.col("event_type").alias("a"))
+    y = e.select(
+        F.col("user_id").alias("user_id2"),
+        F.col("day").alias("day2"),
+        F.col("event_type").alias("b"),
+    )
+    p = x.join(
+        y,
+        (x.user_id == y.user_id2) & (x.day == y.day2) & (F.col("a") < F.col("b")),
+    )
+    k = F.least(
+        F.floor(F.datediff(F.col("md"), F.col("day")) / 7).cast("int"), F.lit(20)
+    )
+    w = p.crossJoin(F.broadcast(mx)).select(
+        "a", "b", F.pow(F.lit(2.0), (F.lit(20) - k)).cast("long").alias("w")
+    )
+    return w.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_cooccur"),
+        F.sum("w").alias("score_int"),
+        F.round(F.sum("w").cast("double") / 1048576.0, 9).alias("decay_score"),
+    )

@@ -373,3 +373,143 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("intercept_ln"),
     )
+
+
+@query(
+    "q_ttr_hapax",
+    r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    ),
+    tc AS (
+        SELECT source, t, count(*) AS c FROM tok WHERE t <> ''
+        GROUP BY source, t
+    )
+    SELECT source,
+           sum(c) AS n_tokens,
+           count(*) AS n_types,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 9) AS ttr,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 9) AS hapax_frac
+    FROM tc GROUP BY source
+    """,
+)
+def q_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and hapax-
+    legomenon fraction — the vocabulary-health complement to
+    q_zipf_fit (template-generated text collapses TTR; OCR noise
+    inflates hapax). One scan, one (source, token) groupBy, one
+    |sources|-sized rollup; every ratio a single division of exact
+    counts."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c"), 9
+        ).alias("ttr"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("hapax_frac"),
+    )
+
+
+@query(
+    "q_fano_burstiness",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           sum(x) AS n_events,
+           round(CAST(sum(x) AS DOUBLE) / count(*), 9) AS mean_daily,
+           round(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                 / CAST(count(*) * sum(x) AS DOUBLE), 9) AS fano
+    FROM d GROUP BY event_type
+    """,
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of daily counts per event
+    type — the burstiness probe (Poisson traffic ≈ 1, bursty ≫ 1;
+    feeds crawl scheduling and anomaly thresholds). Population
+    variance over mean in the integer closed form
+    (n·Σx² − (Σx)²)/(n·Σx): exact BIGINT sums, one division."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    d = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return d.groupBy("event_type").agg(
+        n.alias("n_days"),
+        sx.alias("n_events"),
+        F.round(sx.cast("double") / n, 9).alias("mean_daily"),
+        F.round(
+            (n * sxx - sx * sx).cast("double") / (n * sx).cast("double"), 9
+        ).alias("fano"),
+    )
+
+
+@query(
+    "q_interarrival_quantiles",
+    """
+    WITH o AS (
+        SELECT event_type, user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, us - prev_us AS gap_us FROM o
+        WHERE prev_us IS NOT NULL
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1e6, 4) AS p50_sec,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1e6, 4) AS p90_sec
+    FROM d GROUP BY event_type
+    """,
+)
+def q_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival time distribution by event type: median
+    and p90 gap between consecutive events of the same (user, type) —
+    the cadence profile behind sessionization timeouts and rate
+    alarms. Gaps are exact BIGINT microseconds (epoch_us ==
+    unix_micros); the lag window orders by (ts, event_id) so ties are
+    deterministic. At 100 TB swap percentile → approx_percentile, as
+    q_percentiles documents."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    d = o.filter(F.col("prev_us").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev_us")).alias("gap_us")
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.percentile(F.col("gap_us").cast("double"), F.lit(0.5)) / 1e6, 4
+        ).alias("p50_sec"),
+        F.round(
+            F.percentile(F.col("gap_us").cast("double"), F.lit(0.9)) / 1e6, 4
+        ).alias("p90_sec"),
+    )

@@ -1,0 +1,92 @@
+"""Harness entries for hybrid-retrieval composition beyond RRF:
+score-aware min-max weighted fusion (operators/retrieval.py
+minmax_fuse) of the cosine and Euclidean rankers — the oracle
+reproduces both rankers bit-exactly (shared rounded metrics and id
+tiebreaks, same CTE fragments as q_rrf_fusion) and then the
+normalization/fusion arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+from .harness import query
+from .harness_scale import _L2_DIST, _NDOT, _NORM_CTE
+from .io import load_tables
+from .operators import retrieval, similarity
+
+
+@query(
+    "q_fusion_minmax",
+    f"""
+    WITH {_NORM_CTE},
+    q AS (SELECT vec_id, nv FROM n WHERE vec_id < 5),
+    ra AS (
+        SELECT query_id, cand_id, s FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round({_NDOT.format(a='q', b='c')}, 6) + 0.0 AS s,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_NDOT.format(a='q', b='c')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM q JOIN n c ON c.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    qr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    rb AS (
+        SELECT query_id, cand_id, d FROM (
+            SELECT qr.vec_id AS query_id, e.vec_id AS cand_id,
+                   {_L2_DIST.format(a='qr', b='e')} AS d,
+                   row_number() OVER (
+                       PARTITION BY qr.vec_id
+                       ORDER BY {_L2_DIST.format(a='qr', b='e')} ASC,
+                                e.vec_id) AS rank
+            FROM qr JOIN embeddings e ON e.vec_id != qr.vec_id
+        ) WHERE rank <= 10
+    ),
+    na AS (SELECT query_id, min(s) AS amn, max(s) AS amx FROM ra GROUP BY query_id),
+    nb AS (SELECT query_id, min(d) AS bmn, max(d) AS bmx FROM rb GROUP BY query_id),
+    sa AS (
+        SELECT ra.query_id, cand_id,
+               CASE WHEN amx = amn THEN 1.0
+                    ELSE (s - amn) / (amx - amn) END AS cn
+        FROM ra JOIN na ON na.query_id = ra.query_id
+    ),
+    sb AS (
+        SELECT rb.query_id, cand_id,
+               CASE WHEN bmx = bmn THEN 1.0
+                    ELSE (bmx - d) / (bmx - bmn) END AS ln
+        FROM rb JOIN nb ON nb.query_id = rb.query_id
+    ),
+    f AS (
+        SELECT COALESCE(sa.query_id, sb.query_id) AS query_id,
+               COALESCE(sa.cand_id, sb.cand_id) AS cand_id,
+               round(0.7 * COALESCE(cn, 0) + 0.3 * COALESCE(ln, 0), 9)
+                   AS fused_score,
+               CAST(CASE WHEN cn IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN ln IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS n_lists
+        FROM sa FULL JOIN sb
+        ON sa.query_id = sb.query_id AND sa.cand_id = sb.cand_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY fused_score DESC, cand_id) AS INT) AS fused_rank,
+           cand_id, fused_score, n_lists
+    FROM f
+    """,
+)
+def q_fusion_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max weighted fusion (retrieval.minmax_fuse, 0.7·cosine +
+    0.3·euclidean) of the two exact top-10 rankers — the score-aware
+    hybrid combiner next to q_rrf_fusion's score-free one. Candidates
+    missing from a list contribute 0 from it; n_lists records the
+    overlap. Fusion reads |queries|·k rows; the rankers bound the
+    cost."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    by_cos = similarity.cosine_topk(emb, queries, k=10)
+    by_l2 = retrieval.l2_topk(emb, queries, k=10)
+    return retrieval.minmax_fuse(by_cos, by_l2, w_sim=0.7)

@@ -382,3 +382,78 @@ def keyword_search(
         .select(id_col, "score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def minmax_fuse(
+    sim_ranking: DataFrame,
+    dist_ranking: DataFrame,
+    w_sim: float = 0.7,
+    sim_col: str = "sim",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Weighted linear fusion of a similarity ranker (higher better)
+    and a distance ranker (lower better) on min-max-normalized
+    scores — the score-aware complement to rrf_fuse (RRF discards
+    score magnitudes; min-max fusion keeps them, the other standard
+    hybrid-retrieval combiner).
+
+    Per query: sim → (s−min)/(max−min), dist → (max−d)/(max−min)
+    (degenerate one-score lists normalize to 1.0), fused =
+    w_sim·sim_n + (1−w_sim)·dist_n with 0 for a list that missed the
+    candidate; rank by fused desc, cand_id asc. Inputs are
+    |queries|·k rows, so every join here is broadcast-sized; the
+    expensive work happened in the rankers.
+    """
+    na = sim_ranking.groupBy("query_id").agg(
+        F.min(sim_col).alias("_amn"), F.max(sim_col).alias("_amx")
+    )
+    nb = dist_ranking.groupBy("query_id").agg(
+        F.min(dist_col).alias("_bmn"), F.max(dist_col).alias("_bmx")
+    )
+    sa = sim_ranking.join(na, "query_id").select(
+        "query_id",
+        "cand_id",
+        F.when(F.col("_amx") == F.col("_amn"), F.lit(1.0))
+        .otherwise(
+            (F.col(sim_col) - F.col("_amn")) / (F.col("_amx") - F.col("_amn"))
+        )
+        .alias("cn"),
+    )
+    sb = dist_ranking.join(nb, "query_id").select(
+        F.col("query_id").alias("query_id2"),
+        F.col("cand_id").alias("cand_id2"),
+        F.when(F.col("_bmx") == F.col("_bmn"), F.lit(1.0))
+        .otherwise(
+            (F.col("_bmx") - F.col(dist_col)) / (F.col("_bmx") - F.col("_bmn"))
+        )
+        .alias("ln"),
+    )
+    f = sa.join(
+        sb,
+        (sa.query_id == sb.query_id2) & (sa.cand_id == sb.cand_id2),
+        "full_outer",
+    ).select(
+        F.coalesce(sa.query_id, sb.query_id2).alias("query_id"),
+        F.coalesce(sa.cand_id, sb.cand_id2).alias("cand_id"),
+        F.round(
+            F.lit(w_sim) * F.coalesce(F.col("cn"), F.lit(0.0))
+            + F.lit(1.0 - w_sim) * F.coalesce(F.col("ln"), F.lit(0.0)),
+            9,
+        ).alias("fused_score"),
+        (
+            F.col("cn").isNotNull().cast("int")
+            + F.col("ln").isNotNull().cast("int")
+        ).alias("n_lists"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("fused_score"), F.asc("cand_id")
+    )
+    return f.select(
+        "query_id",
+        F.row_number().over(w).cast("int").alias("fused_rank"),
+        "cand_id",
+        "fused_score",
+        "n_lists",
+    )
