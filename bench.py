@@ -210,6 +210,12 @@ HEADLINE = [
     "q_interarrival_quantiles",
     "q_time_decay_cooccur",
     "q_fusion_minmax",
+    "q_attribution_position",
+    "q_theil_sen",
+    # q_setsim_prefix is deliberately NOT a headline: the synthetic
+    # corpus is template-heavy, so ~8% of ALL pairs qualify even at
+    # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the
+    # quadratic-oracle certificate runs at sf0.01 via the driver.
 ]
 
 # The compact driver-facing JSON line carries only these queries — the

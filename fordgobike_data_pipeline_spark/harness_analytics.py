@@ -1662,3 +1662,103 @@ def q_time_decay_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("score_int"),
         F.round(F.sum("w").cast("double") / 1048576.0, 9).alias("decay_score"),
     )
+
+
+@query(
+    "q_attribution_position",
+    """
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS p_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, p_us FROM p WHERE rn = 1),
+    t AS (
+        SELECT e.user_id, e.event_type AS channel,
+               epoch_us(e.ts) AS t_us, e.event_id AS t_id
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type IN ('click', 'view')
+          AND epoch_us(e.ts) < c.p_us
+          AND c.p_us - epoch_us(e.ts) <= 604800000000
+    ),
+    r AS (
+        SELECT channel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t_us, t_id) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM t
+    ),
+    cr AS (
+        SELECT channel,
+               CASE WHEN n = 1 THEN 1000
+                    WHEN n = 2 THEN 500
+                    WHEN rk = 1 THEN 400
+                    WHEN rk = n THEN 400
+                    ELSE (200 // (n - 2))
+                         + CASE WHEN rk = 2
+                                THEN 200 - (200 // (n - 2)) * (n - 2)
+                                ELSE 0 END
+               END AS pm
+        FROM r
+    ),
+    agg AS (
+        SELECT channel, count(*) AS n_touches, sum(pm) AS pm
+        FROM cr GROUP BY channel
+    ),
+    un AS (
+        SELECT 'unattributed' AS channel, count(*) AS n_touches,
+               count(*) * 1000 AS pm
+        FROM c WHERE NOT EXISTS (
+            SELECT 1 FROM t WHERE t.user_id = c.user_id)
+        HAVING count(*) > 0
+    )
+    SELECT channel, n_touches,
+           round(CAST(pm AS DOUBLE) / 1000.0, 9) AS credited_conversions
+    FROM agg
+    UNION ALL
+    SELECT channel, n_touches,
+           round(CAST(pm AS DOUBLE) / 1000.0, 9)
+    FROM un
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution
+    (analytics.attribute_position_based): each user's first purchase
+    splits 40/20/40 over its in-window preceding touches, in INTEGER
+    PERMILLE with the middle-split remainder pinned to the earliest
+    middle — exact integer credit sums (the 1/n float split of naive
+    linear attribution is order-dependent), one division at render."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return analytics.attribute_position_based(
+        ev, conversion_type="purchase", touch_types=("click", "view"), window_days=7
+    )
+
+
+@query(
+    "q_theil_sen",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY day
+    ),
+    b AS (SELECT min(day) AS d0 FROM d),
+    i AS (
+        SELECT date_diff('day', d0, day) AS i, CAST(c AS BIGINT) AS c
+        FROM d CROSS JOIN b
+    ),
+    s AS (
+        SELECT CAST(y.c - x.c AS DOUBLE) / (y.i - x.i) AS s
+        FROM i x JOIN i y ON x.i < y.i
+    )
+    SELECT count(*) AS n_pairs, round(quantile_cont(s, 0.5), 9) AS sen_slope
+    FROM s
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (analytics.theil_sen_trend) of daily
+    event volume: median of all pairwise slopes — every slope one
+    exact-integer division, the median a selection (no accumulation
+    order anywhere); outlier-proof where q_ols_trend is not. The
+    |days|² pair set is bounded control data, not a fact self-join."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return analytics.theil_sen_trend(ev)

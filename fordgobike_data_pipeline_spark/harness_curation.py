@@ -690,3 +690,42 @@ def q_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_turns"),
         F.md5("transcript").alias("transcript_md5"),
     )
+
+
+@query(
+    "q_setsim_prefix",
+    r"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS inter,
+               CAST(len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks)) AS INT) AS uni
+        FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, uni,
+           round(CAST(inter AS DOUBLE) / uni, 9) AS jaccard
+    FROM p WHERE inter * 2 >= uni * 1
+    """,
+)
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join
+    (dedup.setsim_join_prefix): token-set Jaccard ≥ 1/2 pairs found by
+    indexing only each doc's rarity-ordered prefix (the PPJoin-family
+    candidate generator — complete by the prefix pigeonhole, and the
+    postings lists are the RARE tokens, inverting the hot-shingle skew
+    of a full inverted index). The threshold is rational end-to-end
+    (integer ceil for the prefix length, inter·den ≥ num·uni for the
+    verify). The ORACLE is the independent quadratic all-pairs
+    formulation, so the hash match certifies the filter misses no
+    qualifying pair."""
+    from .operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.setsim_join_prefix(docs, threshold_num=1, threshold_den=2)

@@ -839,3 +839,137 @@ def km_survival(
         "n_at_risk",
         (F.round(surv, 6) + F.lit(0.0)).alias("survival"),
     )
+
+
+def attribute_position_based(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each user's
+    FIRST conversion distributes one unit of credit over the touch
+    events that precede it within the lookback window — 40% to the
+    first touch, 40% to the last, 20% split over the middles; a
+    conversion with no in-window touch is 'unattributed'.
+
+    Credit determinism: credit is INTEGER PERMILLE (400/400/200-split)
+    — the middle share is ``200 div (n−2)`` with the remainder
+    assigned to the EARLIEST middle touch, so per-channel totals are
+    exact integer sums no matter the partitioning (the 1/n floating
+    split of naive linear attribution is order-dependent); one final
+    division renders conversions. n=1 → 1000, n=2 → 500/500.
+
+    Shape: one (ts, id)-ordered min-struct per user for the first
+    conversion, one join of touches onto that |users|-sized table,
+    one rank window per user, one groupBy — no inequality self-join.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .groupBy(user_col)
+        .agg(
+            F.min(F.struct(us.alias("us"), F.col(id_col).alias("id"))).alias(
+                "_c"
+            )
+        )
+        .select(user_col, F.col("_c.us").alias("p_us"))
+    )
+    window_us = window_days * 86_400 * 1_000_000
+    touches = (
+        events.filter(F.col(type_col).isin(*touch_types))
+        .select(
+            user_col,
+            F.col(type_col).alias("channel"),
+            us.alias("t_us"),
+            F.col(id_col).alias("t_id"),
+        )
+        .join(conv, user_col)
+        .filter(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") <= window_us)
+        )
+    )
+    w = Window.partitionBy(user_col).orderBy("t_us", "t_id")
+    ranked = touches.select(
+        user_col,
+        "channel",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(user_col)).alias("n"),
+    )
+    base = F.expr("200 div (n - 2)")
+    rem = F.lit(200) - base * (F.col("n") - 2)
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000))
+        .when(F.col("n") == 2, F.lit(500))
+        .when(F.col("rk") == 1, F.lit(400))
+        .when(F.col("rk") == F.col("n"), F.lit(400))
+        .otherwise(base + F.when(F.col("rk") == 2, rem).otherwise(F.lit(0)))
+    ).cast("long")
+    credited = ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(credit).alias("_pm"),
+    )
+    # conversions whose user had no in-window touch
+    unattr = (
+        conv.join(
+            touches.select(user_col).distinct(), user_col, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n_unattr"))
+        .select(
+            F.lit("unattributed").alias("channel"),
+            F.col("n_unattr").alias("n_touches"),
+            (F.col("n_unattr") * 1000).alias("_pm"),
+        )
+        .filter(F.col("n_touches") > 0)
+    )
+    return credited.unionByName(unattr).select(
+        "channel",
+        "n_touches",
+        F.round(F.col("_pm").cast("double") / 1000.0, 9).alias(
+            "credited_conversions"
+        ),
+    )
+
+
+def theil_sen_trend(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series: the
+    MEDIAN of all pairwise slopes (c_j − c_i)/(j − i) — outlier-proof
+    where the OLS fit (ols_trend) is not (one traffic spike can't
+    move it). Each slope is a single division of exact integers
+    (deterministic), and the median is a selection, not a sum — no
+    accumulation-order hazard anywhere.
+
+    The pair enumeration is |days|² — the series is an aggregate, so
+    this is bounded control data (3.6k days = 6.5M pairs), not a
+    fact-table self-join.
+    """
+    counts = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    base = counts.agg(F.min("day").alias("d0"))
+    idx = counts.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("i"),
+        F.col("c").cast("long").alias("c"),
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("c").alias("ca"))
+    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    slopes = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("ib") - F.col("ia")).cast("double")
+            ).alias("s")
+        )
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile(F.col("s"), F.lit(0.5)), 9).alias("sen_slope"),
+    )

@@ -821,3 +821,97 @@ def edit_distance_join(
         .filter(F.col("distance") <= max_dist)
         .select(left_id, right_id, "distance")
     )
+
+
+def setsim_join_prefix(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs token-set similarity join via PREFIX FILTERING
+    (Chaudhuri et al. 2006 / PPJoin family): pairs with Jaccard ≥
+    num/den, found without enumerating all pairs.
+
+    The filter: order every doc's distinct tokens by GLOBAL RARITY
+    (frequency asc, token asc) and index only the first
+    ``|x| − ceil(t·|x|) + 1`` tokens — two sets meeting the threshold
+    MUST share a prefix token, so the inverted index over prefixes is
+    a complete candidate generator, and prefixes are dominated by
+    RARE tokens (tiny postings lists) — the opposite skew profile of
+    a full inverted index, which is what makes it the 100 TB shape.
+
+    Determinism discipline: the rarity order is the (freq, token)
+    tuple itself — no global row_number window over the vocabulary —
+    and the threshold is a RATIONAL: prefix length uses integer
+    ceiling ``(num·sz + den − 1) div den`` and the final test is
+    ``inter·den ≥ num·union`` — no float anywhere until the reported
+    jaccard rendering.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    ordered = (
+        toks.join(freq, "t")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("n"), F.col("t")))
+            ).alias("arr")
+        )
+        .select(
+            "doc",
+            F.transform(F.col("arr"), lambda x: x["t"]).alias("toks"),
+            F.size(F.col("arr")).alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({threshold_num} * sz + {threshold_den} - 1) div {threshold_den}")
+        + 1
+    )
+    prefixes = ordered.select(
+        "doc", F.explode(F.slice(F.col("toks"), 1, prefix_len)).alias("t")
+    )
+    cand = (
+        prefixes.alias("x")
+        .join(prefixes.alias("y"), "t")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    a = ordered.select(
+        F.col("doc").alias("doc_a"), F.col("toks").alias("ta"), F.col("sz").alias("sa")
+    )
+    b = ordered.select(
+        F.col("doc").alias("doc_b"), F.col("toks").alias("tb"), F.col("sz").alias("sb")
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("ta"), F.col("tb"))).alias("inter"),
+            (F.col("sa") + F.col("sb")).alias("_sab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("_sab") - F.col("inter")).alias("uni"),
+        )
+        .filter(F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "uni",
+        F.round(F.col("inter").cast("double") / F.col("uni"), 9).alias("jaccard"),
+    )
