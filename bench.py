@@ -212,6 +212,8 @@ HEADLINE = [
     "q_fusion_minmax",
     "q_attribution_position",
     "q_theil_sen",
+    "q_nearest_centroid",
+    "q_langid_confusion",
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
     # corpus is template-heavy, so ~8% of ALL pairs qualify even at
     # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the

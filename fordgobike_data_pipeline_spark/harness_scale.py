@@ -2840,3 +2840,106 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer rationals rounds to 6dp (the proven parity)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.pmi_collocations(docs, k=50, min_count=5)
+
+
+@query(
+    "q_nearest_centroid",
+    """
+    WITH q AS (
+        SELECT label AS lbl, t.range AS pos,
+               CAST(round(CAST(embedding[t.range + 1] AS DOUBLE) * 1e6)
+                    AS BIGINT) AS v
+        FROM embeddings CROSS JOIN range(64) t
+    ),
+    s AS (
+        SELECT lbl, pos, sum(v) AS s, count(*) AS n
+        FROM q GROUP BY lbl, pos
+    ),
+    c AS (
+        SELECT lbl,
+               list(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+                    ORDER BY pos) AS cvec
+        FROM s GROUP BY lbl
+    ),
+    d AS (
+        SELECT e.vec_id AS vid, e.label AS true_label, c.lbl,
+               round(sqrt(list_sum(list_transform(range(64), j ->
+                   (CAST(e.embedding[j+1] AS DOUBLE) - c.cvec[j+1])
+                   * (CAST(e.embedding[j+1] AS DOUBLE) - c.cvec[j+1])))),
+                   6) AS dist
+        FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vid, true_label,
+               min(struct_pack(d := dist, lbl := lbl)) AS m
+        FROM d GROUP BY vid, true_label
+    )
+    SELECT true_label, count(*) AS n,
+           sum(CASE WHEN m.lbl = true_label THEN 1 ELSE 0 END) AS n_correct,
+           round(CAST(sum(CASE WHEN m.lbl = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 9) AS accuracy
+    FROM a GROUP BY true_label
+    """,
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification accuracy per label
+    (similarity.nearest_centroid_eval): class centroids from 1e-6
+    fixed-point integer sums (one division per coordinate), distances
+    via the same sequential 64-term fold as the L2 ranker, 6dp
+    rounding + label-asc argmin tiebreak. |labels| centroid rows
+    broadcast into ONE embedding scan — the cheap embedding-quality
+    probe next to q_knn_label_vote."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.nearest_centroid_eval(emb)
+
+
+@query(
+    "q_langid_confusion",
+    """
+    WITH langs AS (
+        SELECT * FROM (VALUES
+            ('de', ['der','die','und','in','den','von','zu','das','mit','sich','des','auf']),
+            ('en', ['the','a','and','of','to','in','is','it','that','for','on','with']),
+            ('es', ['el','la','de','que','y','en','los','del','se','las','por','un']),
+            ('fr', ['le','la','de','et','les','des','en','un','du','une','que','est'])
+        ) AS t(lang, words)
+    ),
+    tok AS (
+        SELECT doc_id, lang AS true_lang,
+               list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, true_lang, langs.lang,
+               CAST(len(list_intersect(ts, words)) AS INT) AS score
+        FROM tok CROSS JOIN langs
+    ),
+    best AS (
+        SELECT doc_id, true_lang,
+               max(struct_pack(score := score, lang := langs_lang)) AS b
+        FROM (SELECT doc_id, true_lang, lang AS langs_lang, score FROM scored)
+        GROUP BY doc_id, true_lang
+    ),
+    pred AS (
+        SELECT true_lang,
+               CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
+        FROM best
+    )
+    SELECT true_lang, pred_lang, count(*) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the stopword-overlap classifier's
+    predictions (text.lang_id — same argmax, same tiebreak as
+    q_lang_id) cross-tabulated against the corpus's labeled lang
+    column — the eval harness a curation pipeline runs before
+    trusting a language filter."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pred = text.lang_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", F.col("lang_guess").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

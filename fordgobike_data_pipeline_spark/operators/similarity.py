@@ -1510,3 +1510,94 @@ def mmr_rerank(
     return spark.createDataFrame(
         chosen, "rank INT, cand_id BIGINT, rel DOUBLE, mmr_score DOUBLE"
     )
+
+
+def nearest_centroid_eval(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification accuracy per label —
+    the cheapest embedding-quality probe: if class centroids can't
+    separate the labels, the embedding space is weak (the companion
+    to q_knn_label_vote's kNN probe, one centroid table instead of a
+    k-neighbor search).
+
+    Determinism: centroids are built from 1e-6 FIXED-POINT quantized
+    coordinates — per-(label, dim) integer sums are exact, and each
+    centroid coordinate is ONE division ``sum / (n·1e6)``; distances
+    then use the same sequential 64-term fold as the L2 ranker
+    (rounded to 6dp, label-asc tiebreak on the argmin).
+
+    Shape: one posexplode groupBy for the |labels|·dim sums (map-side
+    combined), centroids collapse to |labels| rows BROADCAST into one
+    scan of the embeddings; no pairwise anything.
+    """
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    expl = emb.select(
+        F.col(label_col).alias("lbl"), F.posexplode(q).alias("pos", "v")
+    )
+    sums = expl.groupBy("lbl", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cents = (
+        sums.groupBy("lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (
+                            F.col("s").cast("double")
+                            / (F.col("n") * F.lit(1_000_000)).cast("double")
+                        ).alias("c"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select("lbl", F.transform(F.col("arr"), lambda x: x["c"]).alias("cvec"))
+    )
+    pairs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("true_label"),
+        F.col(vec_col).alias("x"),
+    ).crossJoin(F.broadcast(cents))
+    diff = F.zip_with(
+        F.col("x"),
+        F.col("cvec"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    dist = F.round(
+        F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)), 6
+    )
+    assigned = (
+        pairs.select(
+            "vid",
+            "true_label",
+            F.struct(dist.alias("d"), F.col("lbl").alias("lbl")).alias("e"),
+        )
+        .groupBy("vid", "true_label")
+        .agg(F.min("e").alias("m"))
+        .select("vid", "true_label", F.col("m.lbl").alias("pred_label"))
+    )
+    return (
+        assigned.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct").cast("double") / F.col("n"), 9).alias(
+                "accuracy"
+            ),
+        )
+    )
