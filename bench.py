@@ -214,6 +214,9 @@ HEADLINE = [
     "q_theil_sen",
     "q_nearest_centroid",
     "q_langid_confusion",
+    "q_window_breadth",
+    # q_er_canonical: oracle-only (connected-components fixpoint loop
+    # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
     # corpus is template-heavy, so ~8% of ALL pairs qualify even at
     # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the

@@ -2943,3 +2943,155 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.col("lang_guess").alias("pred_lang"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_er_canonical",
+    f"""
+    WITH RECURSIVE
+    clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+    dirty AS (
+        SELECT p_partkey + 1000000 AS dirty_id,
+               substr(p_name, 1, {_FUZZY_POS.format(div='//')}) ||
+               substr(p_name, {_FUZZY_POS.format(div='//')} + 2) AS name
+        FROM part WHERE p_partkey % 5 = 0
+    ),
+    vl AS (
+        SELECT clean_id, v FROM clean,
+        UNNEST(list_distinct(list_append(
+            list_transform(range(length(name)),
+                           i -> substr(name, 1, i) || substr(name, i + 2)),
+            name))) AS t(v)
+    ),
+    vr AS (
+        SELECT dirty_id, v FROM dirty,
+        UNNEST(list_distinct(list_append(
+            list_transform(range(length(name)),
+                           i -> substr(name, 1, i) || substr(name, i + 2)),
+            name))) AS t(v)
+    ),
+    cand AS (SELECT DISTINCT vl.clean_id, vr.dirty_id FROM vl JOIN vr ON vl.v = vr.v),
+    p AS (
+        SELECT cand.clean_id, cand.dirty_id FROM cand
+        JOIN clean cl ON cl.clean_id = cand.clean_id
+        JOIN dirty d ON d.dirty_id = cand.dirty_id
+        WHERE levenshtein(cl.name, d.name) <= 1
+    ),
+    edges AS (
+        SELECT clean_id AS s, dirty_id AS d FROM p
+        UNION SELECT dirty_id, clean_id FROM p
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    nm AS (SELECT clean_id AS id, name FROM clean)
+    SELECT component, count(*) AS n_members,
+           sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS n_dirty,
+           min(nm.name) AS canonical_name
+    FROM lab JOIN nm ON nm.id = lab.component
+    GROUP BY component
+    """,
+)
+def q_er_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity-resolution pipeline: SymSpell fuzzy pairs
+    (dedup.edit_distance_join, same corrupted-names fixture as
+    q_fuzzy_match) → transitive closure (dedup.connected_components
+    min-label propagation) → canonical record per cluster (min-id
+    member supplies the surviving name, plus member/dirty counts) —
+    the match→cluster→survivorship composition every MDM/dedup flow
+    runs; the oracle's recursive-CTE reachability adjudicates the
+    whole chain."""
+    from .operators import dedup as dedup_mod
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    clean = part.select(
+        F.col("p_partkey").alias("clean_id"), F.col("p_name").alias("name")
+    )
+    pos = _FUZZY_POS.format(div="div")
+    dirty = part.filter("p_partkey % 5 = 0").select(
+        (F.col("p_partkey") + 1000000).alias("dirty_id"),
+        F.expr(
+            f"concat(substring(p_name, 1, {pos}), "
+            f"substring(p_name, {pos} + 2, length(p_name)))"
+        ).alias("name"),
+    )
+    pairs = dedup_mod.edit_distance_join(
+        clean, dirty, "clean_id", "dirty_id", "name", max_dist=1
+    ).select("clean_id", "dirty_id")
+    cc = dedup_mod.connected_components(pairs, "clean_id", "dirty_id")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("node") >= 1000000).cast("long")).alias("n_dirty"),
+        )
+        .join(
+            clean.select(
+                F.col("clean_id").alias("component"),
+                F.col("name").alias("canonical_name"),
+            ),
+            "component",
+        )
+        .select("component", "n_members", "n_dirty", "canonical_name")
+    )
+
+
+@query(
+    "q_window_breadth",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day, c,
+           round(percent_rank() OVER
+               (PARTITION BY event_type ORDER BY c, day), 9) AS pr,
+           round(cume_dist() OVER
+               (PARTITION BY event_type ORDER BY c, day), 9) AS cd,
+           nth_value(c, 3) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS third_day_count,
+           first_value(c) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_day_count,
+           last_value(c) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_day_count
+    FROM d
+    """,
+)
+def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface breadth: percent_rank + cume_dist over a
+    totally-ordered (c, day) key (ties removed from the ORDER BY, so
+    both engines agree row-for-row) and nth/first/last_value over the
+    explicit full frame — the remaining SQL:2003 window functions not
+    yet pinned by an oracle row."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wrk = Window.partitionBy("event_type").orderBy("c", "day")
+    wfull = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "c",
+        F.round(F.percent_rank().over(wrk), 9).alias("pr"),
+        F.round(F.cume_dist().over(wrk), 9).alias("cd"),
+        F.nth_value("c", 3).over(wfull).alias("third_day_count"),
+        F.first("c").over(wfull).alias("first_day_count"),
+        F.last("c").over(wfull).alias("last_day_count"),
+    )
