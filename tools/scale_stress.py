@@ -316,6 +316,33 @@ def main() -> None:
         events = events.unionByName(c)
     timed(spark, "cohort_retention", analytics.cohort_retention(events))
 
+    # round-6 operators: k-core peel and local clustering coefficient
+    # share the degree-oriented machinery (wedge work Σ outdeg²,
+    # disjoint-subgraph replication scales it n×); the prefix-filtered
+    # set-similarity join's candidate mass tracks the TRUE near-dup
+    # pairs (cross-copy duplicates), like the other exact pairwise
+    # metrics; nearest-centroid is one scan + |labels| broadcast rows
+    timed(spark, "kcore_peel(k=3,3it)", graph.kcore_peel(copurchase, k=3, iterations=3))
+    timed(
+        spark,
+        "clustering_coeff(top20)",
+        graph.local_clustering_coefficient(copurchase, top_n=20),
+    )
+    # setsim_join_prefix is NOT stressed here: on the replicated corpus
+    # every doc has n−1 exact copies, so its TRUE pair mass is
+    # Θ(docs·n²·template-neighbors) ≈ 100M rows at 10× — the same
+    # output-mass blowup the module docstring documents for
+    # containment_pairs/exact_jaccard; the sketch paths are the scale
+    # route and are measured above.
+    emb_lbl = replicate(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), "vec_id", n
+    )
+    timed(
+        spark,
+        "nearest_centroid_eval",
+        similarity.nearest_centroid_eval(emb_lbl),
+    )
+
     spark.stop()  # flush the event log
     parse_event_log(evdir)
     skews = [r["worst_skew"] for r in RESULTS if r["worst_skew"] is not None]
