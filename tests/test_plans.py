@@ -177,3 +177,51 @@ def test_multi_exists_rewrite_is_single_semi_join(spark):
     plan = explain(spark, "q_multi_exists")
     assert plan.count("LeftSemi") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_q10_topk_is_take_ordered(spark):
+    """The TPC-H top-k shapes must compile to TakeOrderedAndProject
+    (per-partition heap + merge), never a global sort."""
+    for name in ("q_tpch_q3", "q_tpch_q10"):
+        plan = explain(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "GlobalLimit" not in plan, name
+
+
+def test_tpch_q5_broadcasts_dims_single_smj(spark):
+    """nation/region/supplier sides broadcast; the only SortMergeJoin
+    is the genuinely large-large customer-orders-lineitem chain."""
+    plan = explain(spark, "q_tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 2  # c⋈o and (c⋈o)⋈l
+
+
+def test_feature_hash_single_aggregate_no_join(spark):
+    """The hashing trick must stay join-free: codegen expressions plus
+    one partial/final aggregate pair, no python eval."""
+    plan = explain(spark, "q_feature_hash")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_target_encode_broadcasts_stats(spark):
+    """Category stats (5 rows) and the global 1-row aggregate must
+    broadcast back onto the fact rows — no fact-side shuffle join."""
+    plan = explain(spark, "q_target_encode_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nearest_centroid_broadcasts_centroids(spark):
+    """The |labels|-row centroid table must broadcast into the single
+    embedding scan (BroadcastNestedLoopJoin for the crossJoin)."""
+    plan = explain(spark, "q_nearest_centroid")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gdpr_audit_single_scan_broadcast_mark(spark):
+    """The erasure mark join must broadcast the subject list; the
+    events table is scanned once (one row-count-bearing scan node)."""
+    plan = explain(spark, "q_gdpr_delete")
+    assert "BroadcastHashJoin" in plan
