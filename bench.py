@@ -215,6 +215,10 @@ HEADLINE = [
     "q_nearest_centroid",
     "q_langid_confusion",
     "q_window_breadth",
+    "q_badword_filter",
+    "q_url_blocklist",
+    "q_tokenizer_fertility",
+    "q_dedup_keep_best",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -729,3 +729,155 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.setsim_join_prefix(docs, threshold_num=1, threshold_den=2)
+
+
+@query(
+    "q_badword_filter",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks,
+                    x -> x IN ('slow', 'big', 'the'))) AS BIGINT) AS n_bad
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_bad,
+           round(CAST(n_bad AS DOUBLE) / n_tokens, 9) AS bad_frac,
+           n_bad * 10 < n_tokens AS keep
+    FROM s
+    """,
+)
+def q_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-lexicon filter: per-doc blocked-token occurrence count
+    and fraction against a broadcast-literal lexicon, keep = frac <
+    10% decided as the EXACT integer comparison n_bad·10 < n_tokens
+    (no float threshold flap). The standard toxicity/NSFW word-ratio
+    gate of a curation pipeline; the lexicon here is three corpus
+    words so the ratios are non-degenerate. One scan, all
+    higher-order-function codegen, no join."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bad = F.filter(toks, lambda x: x.isin("slow", "big", "the"))
+    s = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(bad).cast("long").alias("n_bad"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_bad",
+        F.round(F.col("n_bad").cast("double") / F.col("n_tokens"), 9).alias(
+            "bad_frac"
+        ),
+        (F.col("n_bad") * 10 < F.col("n_tokens")).alias("keep"),
+    )
+
+
+@query(
+    "q_url_blocklist",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               'https://www.' || source || CAST(doc_id % 3 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(url, '^https://([^/]+)', 1)),
+                              '^www\\.', '') AS host
+        FROM raw
+    ),
+    b AS (
+        SELECT * FROM (VALUES
+            ('src10.example.com'), ('src31.example.com'),
+            ('src72.example.com')) AS t(domain)
+    )
+    SELECT coalesce(b.domain, 'allowed') AS verdict,
+           count(*) AS n_urls, count(DISTINCT h.doc_id) AS n_docs
+    FROM h LEFT JOIN b ON h.host = b.domain
+    GROUP BY verdict
+    """,
+)
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist audit: urls (synthesized deterministically per
+    doc) resolved to registrable hosts and equi-joined against a
+    BROADCAST blocklist table — the scalable shape (host equality on
+    normalized keys, not per-row wildcard scans); per-verdict URL and
+    doc counts. Crawl pipelines run this before any content work."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    h = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^https://([^/]+)", 1)),
+            r"^www\.",
+            "",
+        ).alias("host"),
+    )
+    b = docs.sparkSession.createDataFrame(
+        [("src10.example.com",), ("src31.example.com",), ("src72.example.com",)],
+        "domain STRING",
+    )
+    return (
+        h.join(F.broadcast(b), h.host == b.domain, "left")
+        .groupBy(F.coalesce(F.col("domain"), F.lit("allowed")).alias("verdict"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q_tokenizer_fertility",
+    r"""
+    WITH t AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+               CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS BIGINT) AS nt
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs, sum(nc) AS total_chars,
+           sum(nt) AS total_tokens,
+           round(CAST(sum(nc) AS DOUBLE) / sum(nt), 9) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars-per-token over the
+    corpus (the budget planner's input — a language with 2× fertility
+    costs 2× the tokens per char under a given tokenizer). Exact
+    integer char/token sums, one division per language."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    t = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(toks).cast("long").alias("nt"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(
+            F.sum("nc").cast("double") / F.sum("nt"), 9
+        ).alias("chars_per_token"),
+    )

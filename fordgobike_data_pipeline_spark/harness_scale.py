@@ -3095,3 +3095,55 @@ def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c").over(wfull).alias("first_day_count"),
         F.last("c").over(wfull).alias("last_day_count"),
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_mh_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    j AS (
+        SELECT lab.component, lab.node, d.n_chars
+        FROM lab JOIN documents d ON d.doc_id = lab.node
+    )
+    SELECT component,
+           -max(struct_pack(nc := n_chars, negid := -node)).negid
+               AS survivor_id,
+           max(struct_pack(nc := n_chars, negid := -node)).nc
+               AS survivor_chars,
+           count(*) AS n_members
+    FROM j GROUP BY component
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: near-dup clusters (the cached
+    MinHash pairs → connected components, same closure as
+    q_dedup_clusters) keep their HIGHEST-QUALITY member — longest
+    n_chars, min-id tiebreak via max(struct(n_chars, −id)) — instead
+    of the naive min-id survivor. The policy real curation uses:
+    when near-dups differ, keep the most complete copy. One join of
+    the |cluster-members|-sized label table onto documents + one
+    argmax aggregate."""
+    cc = dedup.connected_components(_cached_mh_pairs(spark, sf_dir))
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    j = cc.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("node")).alias("negid"))
+    )
+    return j.groupBy("component").agg(
+        (-best["negid"]).alias("survivor_id"),
+        best["nc"].alias("survivor_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
