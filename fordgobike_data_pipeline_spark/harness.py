@@ -102,6 +102,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_provenance (q_file_stats IS in this window — same footer
     # harvest core), q_stream_join (q_stream_mv/q_stream_cdc — same
     # AvailableNow streaming harness, q_stream_cdc in this window).
+    #
+    # ROUND-7 ROTATION QUEUE (never officially checked; all green in
+    # this round's vanilla-session verify): the 6 deferrals above plus
+    # the round-6 additions — q_target_encode_loo, q_feature_hash,
+    # q_onehot_topk, q_minmax_scale, q_acf, q_cusum_changepoint,
+    # q_seasonal_dow, q_gdpr_delete, q_pii_census, q_clustering_coeff,
+    # q_kcore, q_tpch_q3, q_tpch_q5, q_tpch_q10, q_mixture_temperature,
+    # q_zipf_fit, q_ttr_hapax, q_fano_burstiness,
+    # q_interarrival_quantiles, q_time_decay_cooccur, q_fusion_minmax,
+    # q_attribution_position, q_theil_sen, q_setsim_prefix,
+    # q_er_canonical, q_window_breadth, q_nearest_centroid,
+    # q_langid_confusion, q_badword_filter, q_url_blocklist,
+    # q_tokenizer_fertility, q_dedup_keep_best (= 38 total; the r7
+    # window has room for 12 r7 additions).
     "q_cohort_retention",
     "q_markov_transitions",
     "q_attribution",

@@ -364,3 +364,32 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     keyed = ev.withColumn("side", (F.col("event_id") % 2).cast("int"))
     return quality.ks_drift(keyed, "value", "event_type", "side")
+
+
+@query(
+    "q_rank_select_median",
+    """
+    WITH o AS (SELECT p_retailprice AS v, p_partkey AS id FROM part),
+    nn AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS k FROM o),
+    rr AS (
+        SELECT v, id, row_number() OVER (ORDER BY v, id) AS rn FROM o
+    )
+    SELECT nn.n, nn.k, rr.v AS kth_value, rr.id AS kth_id
+    FROM rr CROSS JOIN nn WHERE rn = k
+    """,
+)
+def q_rank_select_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global lower median by rank selection
+    (quality.rank_select_kth): a 1024-bucket histogram locates the
+    target bucket, then ONLY that bucket (~n/1024 rows) is ranked —
+    no global sort anywhere, the order-statistics pattern that
+    survives 100 TB. The ORACLE is the independent global-sort
+    row_number formulation, so the hash match certifies the
+    rank-selection algorithm end-to-end (n and k are carried as
+    columns — nothing collected to the driver)."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return quality.rank_select_kth(
+        part.select(F.col("p_retailprice").alias("v"), F.col("p_partkey").alias("id")),
+        "v",
+        "id",
+    )

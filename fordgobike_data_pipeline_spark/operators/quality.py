@@ -469,3 +469,85 @@ def corr_matrix(
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def rank_select_kth(
+    df: DataFrame,
+    val_col: str,
+    id_col: str,
+    k_expr: str = "(n + 1) div 2",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact k-th smallest element (default: lower median) by
+    (value, id) order WITHOUT a global sort — the rank-selection
+    pattern for order statistics at scale: a global sort of 100 TB to
+    read one row is the classic anti-plan.
+
+    Two passes: (1) a histogram over ``n_buckets`` equi-width buckets
+    plus the (min, max, count) control row finds WHICH bucket holds
+    rank k and how many rows precede it; (2) only that bucket's rows
+    (≈ n / n_buckets, sized to executor memory by the bucket count)
+    are ranked with a window and the (k − preceding)-th is taken.
+    ``k_expr`` is a SQL expression over the row count ``n`` — a
+    column, so nothing is collected to the driver.
+
+    The float bucket boundaries only steer the SEARCH — the answer is
+    the exact order statistic, which is why the oracle can be the
+    independent global-sort row_number formulation.
+
+    Returns one row: (n, k, kth_value, kth_id).
+    """
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.min(val_col).alias("_mn"),
+        F.max(val_col).alias("_mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("k", F.expr(k_expr))
+    b = F.when(
+        F.col("_mx") == F.col("_mn"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(val_col) - F.col("_mn"))
+                / (F.col("_mx") - F.col("_mn"))
+                * n_buckets
+            ).cast("int"),
+        )
+    )
+    bucketed = df.crossJoin(F.broadcast(stats)).select(
+        F.col(val_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        b.alias("_b"),
+        "n",
+        "k",
+    )
+    counts = bucketed.groupBy("_b", "n", "k").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "_b",
+        "n",
+        "k",
+        F.sum("_c").over(wcum).alias("_cum"),
+        (F.sum("_c").over(wcum) - F.col("_c")).alias("_before"),
+    )
+    # the unique bucket whose cumulative count first reaches k
+    target = cum.filter(
+        (F.col("_cum") >= F.col("k")) & (F.col("_before") < F.col("k"))
+    ).select("_b", "_before")
+    # pass 2: rank only the target bucket's rows
+    in_bucket = bucketed.join(F.broadcast(target), "_b")
+    wrank = Window.partitionBy("_b").orderBy("_v", "_id")
+    return (
+        in_bucket.withColumn("_rn", F.row_number().over(wrank))
+        .filter(F.col("_rn") == F.col("k") - F.col("_before"))
+        .select(
+            "n",
+            "k",
+            F.col("_v").alias("kth_value"),
+            F.col("_id").alias("kth_id"),
+        )
+    )

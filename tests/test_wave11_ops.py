@@ -82,3 +82,24 @@ def test_theil_sen_ignores_single_outlier(spark):
     )
     r = analytics.theil_sen_trend(ev).collect()[0]
     assert r["sen_slope"] == pytest.approx(10.0)
+
+
+def test_rank_select_kth_edges(spark):
+    from fordgobike_data_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate([5, 3, 9, 1, 7, 3])],
+        "v DOUBLE, id LONG",
+    )
+    # lower median of [1,3,3,5,7,9] -> k=3 -> value 3 (id tiebreak: the
+    # second 3 has the larger id, so k=3 is id 5)
+    r = quality.rank_select_kth(df, "v", "id").collect()[0]
+    assert (r["n"], r["k"], r["kth_value"]) == (6, 3, 3.0)
+    # k = 1 (min) and k = n (max)
+    lo = quality.rank_select_kth(df, "v", "id", k_expr="1").collect()[0]
+    hi = quality.rank_select_kth(df, "v", "id", k_expr="n").collect()[0]
+    assert lo["kth_value"] == 1.0 and hi["kth_value"] == 9.0
+    # degenerate: all values equal -> single bucket 0 path
+    eq = spark.createDataFrame([(2.0, i) for i in range(5)], "v DOUBLE, id LONG")
+    r = quality.rank_select_kth(eq, "v", "id").collect()[0]
+    assert r["kth_value"] == 2.0 and r["kth_id"] == 2  # (v, id) order -> 3rd id
