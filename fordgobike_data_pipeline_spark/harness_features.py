@@ -513,3 +513,62 @@ def q_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("gap_us").cast("double"), F.lit(0.9)) / 1e6, 4
         ).alias("p90_sec"),
     )
+
+
+@query(
+    "q_alloc_largest_remainder",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS total, count(*) AS n_src FROM c),
+    b AS (
+        SELECT source, n, total,
+               (n * 1000) // total AS base,
+               n * 1000 - ((n * 1000) // total) * total AS rem
+        FROM c CROSS JOIN t
+    ),
+    l AS (SELECT 1000 - sum(base) AS leftover FROM b),
+    r AS (
+        SELECT source, n, base, rem,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+        FROM b
+    )
+    SELECT source, n AS n_docs, base,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r CROSS JOIN l
+    """,
+)
+def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sampling
+    budget (1000 docs) across sources pro-rata: integer base shares
+    ``(n_i·B) div T`` plus one extra for the largest remainders until
+    the budget is exact — Σ alloc == B always, no floating rounding
+    drift (the naive round(p_i·B) can mis-total by several units).
+    The allocation every fixed-budget corpus sampler runs; all
+    integer arithmetic, |sources|-sized after one count."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark.sql import Window
+
+    B = 1000
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    b = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.expr(f"(n * {B}) div total").alias("base"),
+        F.expr(f"n * {B} - ((n * {B}) div total) * total").alias("rem"),
+    )
+    leftover = b.agg((F.lit(B) - F.sum("base")).alias("leftover"))
+    r = b.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    )
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "base",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("alloc"),
+    )

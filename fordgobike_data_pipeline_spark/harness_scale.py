@@ -3147,3 +3147,101 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["nc"].alias("survivor_chars"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@query(
+    "q_er_eval",
+    f"""
+    WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+    dirty AS (
+        SELECT p_partkey + 1000000 AS dirty_id,
+               substr(p_name, 1, {_FUZZY_POS.format(div='//')}) ||
+               substr(p_name, {_FUZZY_POS.format(div='//')} + 2) AS name
+        FROM part WHERE p_partkey % 5 = 0
+    ),
+    vl AS (
+        SELECT clean_id, v FROM clean,
+        UNNEST(list_distinct(list_append(
+            list_transform(range(length(name)),
+                           i -> substr(name, 1, i) || substr(name, i + 2)),
+            name))) AS t(v)
+    ),
+    vr AS (
+        SELECT dirty_id, v FROM dirty,
+        UNNEST(list_distinct(list_append(
+            list_transform(range(length(name)),
+                           i -> substr(name, 1, i) || substr(name, i + 2)),
+            name))) AS t(v)
+    ),
+    cand AS (SELECT DISTINCT vl.clean_id, vr.dirty_id FROM vl JOIN vr ON vl.v = vr.v),
+    p AS (
+        SELECT cand.clean_id, cand.dirty_id FROM cand
+        JOIN clean cl ON cl.clean_id = cand.clean_id
+        JOIN dirty d ON d.dirty_id = cand.dirty_id
+        WHERE levenshtein(cl.name, d.name) <= 1
+    ),
+    s AS (
+        SELECT count(*) AS n_pairs,
+               sum(CASE WHEN dirty_id - 1000000 = clean_id
+                        THEN 1 ELSE 0 END) AS tp
+        FROM p
+    ),
+    rec AS (
+        SELECT count(DISTINCT dirty_id) AS recovered
+        FROM p WHERE dirty_id - 1000000 = clean_id
+    ),
+    nd AS (SELECT count(*) AS n_dirty FROM dirty)
+    SELECT n_pairs, tp, n_dirty,
+           round(CAST(tp AS DOUBLE) / n_pairs, 9) AS precision,
+           round(CAST(recovered AS DOUBLE) / n_dirty, 9) AS recall
+    FROM s CROSS JOIN rec CROSS JOIN nd
+    """,
+)
+def q_er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution evaluation against known ground truth: the
+    corruption fixture plants the truth (dirty_id − 1000000 ==
+    clean_id), so pair precision and dirty-record recall of the
+    SymSpell matcher are exactly computable — the match-quality gate
+    run before trusting a linkage rule. Integer counts, two
+    divisions."""
+    from .operators import dedup as dedup_mod
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    clean = part.select(
+        F.col("p_partkey").alias("clean_id"), F.col("p_name").alias("name")
+    )
+    pos = _FUZZY_POS.format(div="div")
+    dirty = part.filter("p_partkey % 5 = 0").select(
+        (F.col("p_partkey") + 1000000).alias("dirty_id"),
+        F.expr(
+            f"concat(substring(p_name, 1, {pos}), "
+            f"substring(p_name, {pos} + 2, length(p_name)))"
+        ).alias("name"),
+    )
+    pairs = dedup_mod.edit_distance_join(
+        clean, dirty, "clean_id", "dirty_id", "name", max_dist=1
+    ).select("clean_id", "dirty_id")
+    is_true = (F.col("dirty_id") - 1000000 == F.col("clean_id")).cast("long")
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum(is_true).alias("tp")
+    )
+    rec = (
+        pairs.filter(F.col("dirty_id") - 1000000 == F.col("clean_id"))
+        .agg(F.countDistinct("dirty_id").alias("recovered"))
+    )
+    nd = dirty.agg(F.count(F.lit(1)).alias("n_dirty"))
+    return (
+        s.crossJoin(rec)
+        .crossJoin(nd)
+        .select(
+            "n_pairs",
+            "tp",
+            "n_dirty",
+            F.round(F.col("tp").cast("double") / F.col("n_pairs"), 9).alias(
+                "precision"
+            ),
+            F.round(
+                F.col("recovered").cast("double") / F.col("n_dirty"), 9
+            ).alias("recall"),
+        )
+    )
