@@ -222,6 +222,8 @@ HEADLINE = [
     "q_rank_select_median",
     "q_alloc_largest_remainder",
     "q_er_eval",
+    "q_phrase_search",
+    "q_keyset_pagination",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -881,3 +881,51 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc").cast("double") / F.sum("nt"), 9
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "q_phrase_search",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> ''), ' ') AS s
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST((length(s) - length(replace(s, 'value table', '')))
+                    / length('value table') AS BIGINT) AS n_occur
+        FROM t
+    )
+    SELECT doc_id, n_occur FROM c WHERE n_occur > 0
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("value table" as ADJACENT tokens):
+    the Spark side is the scalable POSITIONAL-INDEX shape — per-term
+    postings (doc, pos) equi-joined on pos+1, never a string scan of
+    every doc against every phrase — while the ORACLE counts the
+    phrase by independent substring arithmetic on the
+    canonical-spaced text (valid because the two phrase words are
+    distinct, so occurrences can't overlap). The hash match certifies
+    the adjacency join against plain string semantics."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    posting = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "t")
+    )
+    t1 = posting.filter(F.col("t") == "value").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = posting.filter(F.col("t") == "table").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2,
+        (t1.doc_id == t2.doc_id2) & (F.col("p2") == F.col("p1") + 1),
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occur"))

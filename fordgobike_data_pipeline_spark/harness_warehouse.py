@@ -854,3 +854,59 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_keyset_pagination",
+    """
+    WITH r AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_totalprice,
+               row_number() OVER (ORDER BY CAST(o_orderdate AS DATE),
+                                  o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM r WHERE rn BETWEEN 101 AND 150
+    """,
+)
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — page 3 of 50 over
+    (o_orderdate, o_orderkey): the cursor is the 100th row's key
+    (computed as a 1-row TakeOrdered aggregate and broadcast), the
+    page is ``WHERE (date, key) > cursor ORDER BY ... LIMIT 50`` —
+    two TakeOrderedAndProject passes that never materialize more
+    than cursor+page rows, vs the OFFSET anti-pattern that sorts and
+    skips everything before the page. The ORACLE is the independent
+    row_number BETWEEN formulation, certifying the seek predicate
+    returns exactly the page."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o = orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    cursor = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            ).alias("c")
+        )
+    )
+    page = (
+        o.crossJoin(F.broadcast(cursor))
+        .filter(
+            F.struct(
+                F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k")
+            )
+            > F.col("c")
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+    )
+    return page.select("o_orderkey", "o_orderdate", "o_totalprice")
