@@ -393,3 +393,43 @@ def q_rank_select_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "id",
     )
+
+
+@query(
+    "q_join_cardinality_estimate",
+    """
+    WITH a AS (SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY k),
+    b AS (SELECT p_partkey AS k, count(*) AS cb FROM part GROUP BY k)
+    SELECT count(*) AS n_common_keys,
+           sum(ca * cb) AS est_output_rows,
+           max(ca * cb) AS max_key_contribution,
+           round(CAST(max(ca * cb) AS DOUBLE) / sum(ca * cb), 9)
+               AS top_key_share
+    FROM a JOIN b USING (k)
+    """,
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion pre-flight: the exact output cardinality of
+    lineitem⋈part on partkey WITHOUT running the join —
+    Σ cnt_a(k)·cnt_b(k) over the two key histograms, plus the single
+    hottest key's contribution and share (the skew warning). Two
+    map-side-combined aggregates and a join of the (small) key
+    histograms — the check a pipeline runs before committing a
+    multi-TB shuffle, complementing q_skew_count's one-sided
+    histogram."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    a = t["lineitem"].groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = t["part"].groupBy(F.col("p_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    j = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("prod"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_common_keys"),
+        F.sum("prod").alias("est_output_rows"),
+        F.max("prod").alias("max_key_contribution"),
+        F.round(
+            F.max("prod").cast("double") / F.sum("prod"), 9
+        ).alias("top_key_share"),
+    )
