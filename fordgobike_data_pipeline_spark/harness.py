@@ -114,8 +114,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_attribution_position, q_theil_sen, q_setsim_prefix,
     # q_er_canonical, q_window_breadth, q_nearest_centroid,
     # q_langid_confusion, q_badword_filter, q_url_blocklist,
-    # q_tokenizer_fertility, q_dedup_keep_best (= 38 total; the r7
-    # window has room for 12 r7 additions).
+    # q_tokenizer_fertility, q_dedup_keep_best, q_rank_select_median,
+    # q_alloc_largest_remainder, q_er_eval, q_phrase_search,
+    # q_keyset_pagination, q_join_cardinality_estimate (= 44 total;
+    # r7 needs this window plus most of r8's to drain the queue —
+    # prioritize the 6 r5 deferrals and the heavier round-6 families
+    # first).
     "q_cohort_retention",
     "q_markov_transitions",
     "q_attribution",
