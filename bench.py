@@ -225,6 +225,9 @@ HEADLINE = [
     "q_phrase_search",
     "q_keyset_pagination",
     "q_join_cardinality_estimate",
+    "q_seasonal_anomaly",
+    "q_pct_change_wow",
+    "q_dup_inflation",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

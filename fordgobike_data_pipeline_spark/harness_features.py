@@ -572,3 +572,157 @@ def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("alloc"),
     )
+
+
+@query(
+    "q_seasonal_anomaly",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY day
+    ),
+    bd AS (
+        SELECT dayofweek(day) AS dow, sum(c) AS sum_d, count(*) AS days_d
+        FROM d GROUP BY dow
+    ),
+    r AS (
+        SELECT day, c, sum_d, days_d,
+               round(CAST(c * days_d AS DOUBLE) / sum_d, 9) AS vs_dow_avg
+        FROM d JOIN bd ON bd.dow = dayofweek(day)
+    )
+    SELECT day, c AS n_events, vs_dow_avg,
+           round(abs(vs_dow_avg - 1.0), 9) AS deviation
+    FROM r
+    ORDER BY abs(vs_dow_avg - 1.0) DESC, day LIMIT 5
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly days: each day's count divided by
+    its OWN day-of-week average (c·days_d / sum_d — one division of
+    exact integer products, so the ratio is deterministic), top-5 by
+    deviation from 1.0 — a Monday spike is judged against Mondays,
+    not the global mean (which the raw z-score monitor would use).
+    Composes the q_seasonal_dow profile with the anomaly ranking."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    d = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # _dow is internal grouping only (never emitted), so the Spark
+    # 1..7 convention needs no oracle alignment here
+    bd = d.groupBy(F.dayofweek("day").alias("_dow")).agg(
+        F.sum("c").alias("sum_d"), F.count(F.lit(1)).alias("days_d")
+    )
+    r = d.join(
+        F.broadcast(bd), F.dayofweek(F.col("day")) == F.col("_dow")
+    ).select(
+        "day",
+        "c",
+        F.round(
+            (F.col("c") * F.col("days_d")).cast("double") / F.col("sum_d"), 9
+        ).alias("vs_dow_avg"),
+    )
+    return (
+        r.select(
+            "day",
+            F.col("c").alias("n_events"),
+            "vs_dow_avg",
+            F.round(F.abs(F.col("vs_dow_avg") - 1.0), 9).alias("deviation"),
+        )
+        .orderBy(F.desc(F.abs(F.col("vs_dow_avg") - 1.0)), F.asc("day"))
+        .limit(5)
+    )
+
+
+@query(
+    "q_pct_change_wow",
+    """
+    WITH w AS (
+        SELECT DATE '2000-01-03' + CAST(
+                   7 * floor(date_diff('day', DATE '2000-01-03',
+                                       CAST(ts AS DATE)) / 7) AS INT) AS week,
+               count(*) AS n
+        FROM events GROUP BY week
+    ),
+    l AS (
+        SELECT week, n, lag(n) OVER (ORDER BY week) AS prev_n FROM w
+    )
+    SELECT week, n,
+           round(CAST(n - prev_n AS DOUBLE) / prev_n, 9) AS pct_change
+    FROM l WHERE prev_n IS NOT NULL
+    """,
+)
+def q_pct_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change of event volume: weeks bucketed
+    by the same epoch-Monday integer arithmetic as q_cohort_retention
+    (no engine WEEK() semantics), change = one division of exact
+    counts over a lag window — the elementary BI trend everybody
+    asks for first."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    from pyspark.sql import Window
+
+    week = F.date_add(
+        F.to_date(F.lit("2000-01-03")),
+        (
+            7
+            * F.floor(
+                F.datediff(F.to_date("ts"), F.to_date(F.lit("2000-01-03"))) / 7
+            )
+        ).cast("int"),
+    )
+    w = events.groupBy(week.alias("week")).agg(F.count(F.lit(1)).alias("n"))
+    l = w.withColumn("prev_n", F.lag("n").over(Window.orderBy("week")))
+    return l.filter(F.col("prev_n").isNotNull()).select(
+        "week",
+        "n",
+        F.round(
+            (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n"), 9
+        ).alias("pct_change"),
+    )
+
+
+@query(
+    "q_dup_inflation",
+    r"""
+    WITH t AS (
+        SELECT source, md5(text) AS h,
+               count(*) AS n_copies,
+               min(CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS BIGINT)) AS tok
+        FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           sum(n_copies) AS n_docs,
+           count(*) AS n_distinct,
+           sum(n_copies * tok) AS total_tokens,
+           sum(tok) AS deduped_tokens,
+           round(CAST(sum(n_copies * tok) AS DOUBLE) / sum(tok), 9)
+               AS inflation
+    FROM t GROUP BY source
+    """,
+)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token inflation from exact duplicates per source: total tokens
+    the corpus pays vs tokens after one-per-distinct-text dedup —
+    the 'how much budget do duplicates burn' number that justifies
+    the dedup stage. One (source, text-hash) aggregation (token
+    counts ride along as min — identical text, identical count),
+    one rollup; exact integer sums, one division."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    t = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.size(toks).cast("long")).alias("tok"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n_copies") * F.col("tok")).alias("total_tokens"),
+        F.sum("tok").alias("deduped_tokens"),
+        F.round(
+            F.sum(F.col("n_copies") * F.col("tok")).cast("double")
+            / F.sum("tok"),
+            9,
+        ).alias("inflation"),
+    )
