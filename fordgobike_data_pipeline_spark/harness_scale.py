@@ -3245,3 +3245,74 @@ def q_er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "q_quality_agreement",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+    total AS (SELECT sum(tf) AS N FROM vocab),
+    s AS (
+        SELECT doc_id, log2(tf / N) AS lp
+        FROM toks JOIN vocab USING (token) CROSS JOIN total
+    ),
+    ce AS (
+        SELECT doc_id, round(-avg(lp), 6) AS cross_entropy
+        FROM s GROUP BY doc_id
+    ),
+    q AS (
+        SELECT doc_id, cross_entropy,
+               CAST(ntile(4) OVER (ORDER BY cross_entropy, doc_id) AS INT)
+                   AS ce_quartile
+        FROM ce
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (
+        SELECT doc_id,
+               (len(words) >= 30 AND len(words) <= 100000)
+               AND (round(list_sum(list_transform(words, x -> length(x)))
+                          / len(words), 6) BETWEEN 3.0 AND 10.0)
+               AND round(len(list_filter(words,
+                        x -> regexp_matches(x, '[a-zA-Z]'))) / len(words), 6)
+                   >= 0.8
+               AND round(len(list_filter(words,
+                        x -> contains(x, '#') OR contains(x, '...')))
+                         / len(words), 6) <= 0.1
+               AND CAST(len(list_intersect(list_distinct(words),
+                        ['the','a','value','table','row','key'])) AS INT) >= 2
+                   AS gopher_pass
+        FROM w
+    )
+    SELECT ce_quartile, gopher_pass, count(*) AS n_docs
+    FROM q JOIN g USING (doc_id)
+    GROUP BY ce_quartile, gopher_pass
+    """,
+)
+def q_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal agreement audit: do the LM-style filter
+    (unigram cross-entropy quartiles, (score, doc_id)-ordered ntile)
+    and the rule-based filter (Gopher flags) agree? The contingency
+    table a curation pipeline inspects before picking thresholds —
+    heavy disagreement in Q1/Q4 means one signal is broken. Composes
+    two already-oracled operators; only the cross-tab is new."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ce = text.unigram_cross_entropy(docs).select("doc_id", "cross_entropy")
+    q = ce.withColumn(
+        "ce_quartile",
+        F.ntile(4)
+        .over(Window.orderBy("cross_entropy", "doc_id"))
+        .cast("int"),
+    )
+    g = text.gopher_quality_flags(
+        docs, min_words=30, stopwords=("the", "a", "value", "table", "row", "key")
+    ).select("doc_id", "gopher_pass")
+    return (
+        q.join(g, "doc_id")
+        .groupBy("ce_quartile", "gopher_pass")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
