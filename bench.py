@@ -229,6 +229,7 @@ HEADLINE = [
     "q_pct_change_wow",
     "q_dup_inflation",
     "q_quality_agreement",
+    "q_corpus_report",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -929,3 +929,152 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t1.doc_id == t2.doc_id2) & (F.col("p2") == F.col("p1") + 1),
     )
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occur"))
+
+
+@query(
+    "q_corpus_report",
+    r"""
+    WITH base AS (
+        SELECT source, lang, md5(text) AS h,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks,
+               text
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source, lang, h,
+               CAST(len(toks) AS BIGINT) AS nt,
+               CAST(len(list_filter(toks,
+                    x -> x IN ('slow', 'big', 'the'))) AS BIGINT) AS nbad,
+               CASE WHEN len(toks) >= 30
+                     AND round(list_sum(list_transform(toks, x -> length(x)))
+                               / len(toks), 6) BETWEEN 3.0 AND 10.0
+                     AND CAST(len(list_intersect(list_distinct(toks),
+                          ['the','a','value','table','row','key'])) AS INT) >= 2
+                    THEN 1 ELSE 0 END AS gpass
+        FROM base
+    ),
+    dedup AS (
+        SELECT source, h, count(*) AS n_copies, min(nt) AS tok
+        FROM per_doc GROUP BY source, h
+    ),
+    infl AS (
+        SELECT source,
+               sum(n_copies * tok) AS total_tokens,
+               sum(tok) AS deduped_tokens
+        FROM dedup GROUP BY source
+    ),
+    lang_counts AS (
+        SELECT source, lang, count(*) AS c FROM per_doc GROUP BY source, lang
+    ),
+    major AS (
+        SELECT source,
+               max(struct_pack(c := c, lang := lang)).lang AS majority_lang,
+               max(struct_pack(c := c, lang := lang)).c AS major_c
+        FROM lang_counts GROUP BY source
+    ),
+    agg AS (
+        SELECT source, count(*) AS n_docs,
+               sum(nbad) AS n_bad, sum(nt) AS n_tok,
+               sum(gpass) AS n_gpass
+        FROM per_doc GROUP BY source
+    )
+    SELECT agg.source, n_docs,
+           infl.total_tokens,
+           round(CAST(infl.total_tokens AS DOUBLE) / infl.deduped_tokens, 9)
+               AS dup_inflation,
+           round(CAST(n_bad AS DOUBLE) / n_tok, 9) AS bad_token_frac,
+           round(CAST(n_gpass AS DOUBLE) / n_docs, 9) AS gopher_pass_frac,
+           major.majority_lang,
+           round(CAST(major.major_c AS DOUBLE) / n_docs, 9) AS lang_purity
+    FROM agg
+    JOIN infl ON infl.source = agg.source
+    JOIN major ON major.source = agg.source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard row — the one table a curation
+    review starts from: document and token volume, duplicate token
+    inflation, safety-lexicon token fraction, Gopher pass rate,
+    majority language and purity. Pure composition of the oracled
+    signal family over a SINGLE pass of the corpus (one tokenize,
+    shared by every signal) plus |sources|-sized rollups; every
+    fraction one division of exact integers."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    mean_wl = F.round(
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / F.size(toks),
+        6,
+    )
+    gpass = (
+        (F.size(toks) >= 30)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(w) for w in ("the", "a", "value", "table", "row", "key")]),
+                )
+            )
+            >= 2
+        )
+    ).cast("long")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.filter(toks, lambda x: x.isin("slow", "big", "the")))
+        .cast("long")
+        .alias("nbad"),
+        gpass.alias("gpass"),
+    )
+    dedup_t = per_doc.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("nt").alias("tok")
+    )
+    infl = dedup_t.groupBy("source").agg(
+        F.sum(F.col("n_copies") * F.col("tok")).alias("total_tokens"),
+        F.sum("tok").alias("deduped_tokens"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mstruct = F.max(F.struct(F.col("c"), F.col("lang")))
+    major = lang_counts.groupBy("source").agg(
+        mstruct["lang"].alias("majority_lang"), mstruct["c"].alias("major_c")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nbad").alias("n_bad"),
+        F.sum("nt").alias("n_tok"),
+        F.sum("gpass").alias("n_gpass"),
+    )
+    return (
+        agg.join(infl, "source")
+        .join(major, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("deduped_tokens"),
+                9,
+            ).alias("dup_inflation"),
+            F.round(F.col("n_bad").cast("double") / F.col("n_tok"), 9).alias(
+                "bad_token_frac"
+            ),
+            F.round(
+                F.col("n_gpass").cast("double") / F.col("n_docs"), 9
+            ).alias("gopher_pass_frac"),
+            "majority_lang",
+            F.round(
+                F.col("major_c").cast("double") / F.col("n_docs"), 9
+            ).alias("lang_purity"),
+        )
+    )

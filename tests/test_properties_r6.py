@@ -142,3 +142,37 @@ def test_kcore_monotone_shrinking(spark, edges):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["n_nodes"] <= prev["n_nodes"]
         assert cur["n_edges"] <= prev["n_edges"]
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_setsim_prefix_complete_vs_bruteforce(spark, docs_tokens):
+    """The prefix filter must find EXACTLY the pairs brute force finds
+    (completeness is the pigeonhole guarantee; this fuzzes it)."""
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.setsim_join_prefix(df, 1, 2).collect()
+    }
+    sets = [set(t) for t in docs_tokens]
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            if inter * 2 >= uni:
+                want.add((i, j))
+    assert got == want
