@@ -118,9 +118,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_alloc_largest_remainder, q_er_eval, q_phrase_search,
     # q_keyset_pagination, q_join_cardinality_estimate,
     # q_seasonal_anomaly, q_pct_change_wow, q_dup_inflation,
-    # q_quality_agreement (= 48 total; r7 needs this window plus part
-    # of r8's to drain the queue — prioritize the 6 r5 deferrals and
-    # the heavier round-6 families first).
+    # q_quality_agreement, q_corpus_report (= 49 total; r7's window
+    # takes 49 of these 50 — prioritize the 6 r5 deferrals and the
+    # heavier round-6 families first).
     "q_cohort_retention",
     "q_markov_transitions",
     "q_attribution",
