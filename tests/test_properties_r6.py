@@ -176,3 +176,68 @@ def test_setsim_prefix_complete_vs_bruteforce(spark, docs_tokens):
             if inter * 2 >= uni:
                 want.add((i, j))
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon eta",
+                "one two three four five six seven",
+                "unique words entirely different here now",
+            ]
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_minhash_pairs_verified_and_identical_always_pair(spark, texts):
+    """Two guarantees of the LSH pipeline regardless of banding luck:
+    (1) every emitted pair's EXACT verified Jaccard >= threshold (the
+    verify step filters candidates), and (2) identical texts always
+    pair (equal signatures land in every band together)."""
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.8, k=3).collect()
+    for r in pairs:
+        assert r["jaccard"] >= 0.8
+    dup_groups = {}
+    for i, t in enumerate(texts):
+        dup_groups.setdefault(t, []).append(i)
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for ids in dup_groups.values():
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                assert (min(ids[a], ids[b]), max(ids[a], ids[b])) in got
+
+
+@PROP
+@given(
+    st.lists(
+        st.sampled_from(["x y z", "p q r", "x y z", "m n o"]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_exact_dedup_one_survivor_per_text(spark, texts):
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    out = dedup.exact_dedup(df, ["text"]).collect()
+    assert len(out) == len(set(texts))
+    from collections import Counter
+
+    c = Counter(texts)
+    # survivor is the MIN id of its group; counts conserved
+    by_text = {t: min(i for i, tt in enumerate(texts) if tt == t) for t in c}
+    total = sum(r["n_copies"] for r in out)
+    assert total == len(texts)
+    for r in out:
+        assert r["keep_id"] in by_text.values()
