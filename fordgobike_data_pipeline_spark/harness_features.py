@@ -726,3 +726,116 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("inflation"),
     )
+
+
+@query(
+    "q_tv_distance",
+    r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\s+'),
+                      x -> x <> '')) AS t
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (
+        SELECT t,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+        FROM tok GROUP BY t
+    ),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
+    SELECT count(*) AS n_tokens_union,
+           round(CAST(sum(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                 / CAST(2 * n1 * n2 AS DOUBLE), 9) AS tv_distance
+    FROM c CROSS JOIN n
+    GROUP BY n1, n2
+    """,
+)
+def q_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT total-variation distance between two sources' token
+    distributions: TV = ½·Σ|p_i − q_i| computed as
+    Σ|c1·N2 − c2·N1| / (2·N1·N2) — every term an exact BIGINT
+    cross-product, ONE final division (the binned monitors q_psi_drift
+    / q_ks_drift approximate; this is the exact categorical
+    distance). One token groupBy with both counts in a single pass,
+    one 1-row rollup."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("t"),
+        )
+    )
+    c = tok.groupBy("t").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("c1"),
+        F.sum((F.col("source") == "src1").cast("long")).alias("c2"),
+    )
+    n = c.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_union"),
+            F.round(
+                F.sum(
+                    F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+                ).cast("double")
+                / (2 * F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ).alias("tv_distance"),
+        )
+        .select("n_tokens_union", "tv_distance")
+    )
+
+
+@query(
+    "q_rolling_dau",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dom AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    contrib AS (
+        SELECT DISTINCT user_id, day + t.i AS w_day
+        FROM ud CROSS JOIN (
+            SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS v(i)
+        ) t
+    )
+    SELECT w_day AS day, count(DISTINCT user_id) AS dau_7d
+    FROM contrib CROSS JOIN dom
+    WHERE w_day BETWEEN lo AND hi
+    GROUP BY w_day
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the classic
+    engagement metric, computed LINEARLY: each (user, active-day) row
+    contributes to the 7 window-end days it stays visible in
+    (explode by 0..6), then one distinct count per day — never a
+    per-day self-join over the window (which re-scans the activity
+    table 7×). Domain-clipped to observed days."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dom = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("i"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("i")).alias("w_day")).distinct()
+    return (
+        contrib.crossJoin(F.broadcast(dom))
+        .filter(F.col("w_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("w_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )

@@ -244,3 +244,99 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive rows) means the true 3-core was reached."""
     pairs = _copurchase_pairs(spark, sf_dir)
     return graph.kcore_peel(pairs, k=3, iterations=3)
+
+
+@query(
+    "q_random_walks",
+    f"""
+    WITH {_COPURCHASE_SQL},
+    und AS (
+        SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v, u FROM e
+    ),
+    seeds AS (
+        SELECT node AS seed FROM (
+            SELECT DISTINCT src AS node FROM und
+        ) ORDER BY node LIMIT 5
+    ),
+    s0 AS (SELECT seed, seed AS cur FROM seeds),
+    s1 AS (
+        SELECT seed,
+               min(struct_pack(h := CAST(CAST(from_hex(substr(md5(
+                   CAST(cur AS VARCHAR) || '|1|' || CAST(dst AS VARCHAR)
+                   ), 1, 16)) AS BIT) AS BIGINT), m := dst)).m AS cur
+        FROM s0 JOIN und ON und.src = s0.cur GROUP BY seed
+    ),
+    s2 AS (
+        SELECT seed,
+               min(struct_pack(h := CAST(CAST(from_hex(substr(md5(
+                   CAST(cur AS VARCHAR) || '|2|' || CAST(dst AS VARCHAR)
+                   ), 1, 16)) AS BIT) AS BIGINT), m := dst)).m AS cur
+        FROM s1 JOIN und ON und.src = s1.cur GROUP BY seed
+    ),
+    s3 AS (
+        SELECT seed,
+               min(struct_pack(h := CAST(CAST(from_hex(substr(md5(
+                   CAST(cur AS VARCHAR) || '|3|' || CAST(dst AS VARCHAR)
+                   ), 1, 16)) AS BIT) AS BIGINT), m := dst)).m AS cur
+        FROM s2 JOIN und ON und.src = s2.cur GROUP BY seed
+    )
+    SELECT seed, CAST(0 AS INT) AS step, seed AS node FROM seeds
+    UNION ALL SELECT seed, CAST(1 AS INT), cur FROM s1
+    UNION ALL SELECT seed, CAST(2 AS INT), cur FROM s2
+    UNION ALL SELECT seed, CAST(3 AS INT), cur FROM s3
+    """,
+)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' walks (the DeepWalk/node2vec sampling
+    primitive made hash-checkable): from 5 seed nodes, 3 steps where
+    each step picks the neighbor minimizing the md5-parity hash of
+    (current, step, neighbor) — uniform-ish, reproducible on any
+    engine/partitioning, no RNG state. Each step is one
+    join + argmin aggregate over the frontier (|seeds| rows) against
+    the edge table — the walk batch a graph-embedding pipeline emits,
+    scaled by seeds × steps, never by |V|."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    und = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint()
+    seeds = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+        .select(F.col("node").alias("seed"))
+    )
+    out = seeds.select("seed", F.lit(0).cast("int").alias("step"), F.col("seed").alias("node"))
+    cur = seeds.select("seed", F.col("seed").alias("cur"))
+    for t in (1, 2, 3):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("cur").cast("string"),
+                        F.lit(str(t)),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                16,
+            ),
+            16,
+            -10,
+        ).cast("long")
+        nxt = (
+            cur.join(und, cur.cur == und.src)
+            .groupBy("seed")
+            .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("m"))).alias("e"))
+            .select("seed", F.col("e.m").alias("cur"))
+        )
+        out = out.unionByName(
+            nxt.select("seed", F.lit(t).cast("int").alias("step"), F.col("cur").alias("node"))
+        )
+        cur = nxt
+    return out
