@@ -233,6 +233,8 @@ HEADLINE = [
     "q_random_walks",
     "q_tv_distance",
     "q_rolling_dau",
+    "q_bellman_ford",
+    "q_naive_bayes_langid",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

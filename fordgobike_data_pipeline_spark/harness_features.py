@@ -839,3 +839,137 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w_day").alias("day"))
         .agg(F.countDistinct("user_id").alias("dau_7d"))
     )
+
+
+@query(
+    "q_naive_bayes_langid",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\s+'),
+                      x -> x <> '')) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT count(DISTINCT t) AS V FROM tok),
+    langs AS (
+        SELECT lang, count(*) AS n_l, count(DISTINCT doc_id) AS d_l
+        FROM tok GROUP BY lang
+    ),
+    total_docs AS (SELECT count(DISTINCT doc_id) AS D FROM tok),
+    ctl AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t),
+    doc_tok AS (SELECT doc_id, lang AS true_lang, t FROM tok),
+    scored AS (
+        SELECT dt.doc_id, dt.true_lang, l.lang AS cand,
+               CAST(round(ln(
+                   (COALESCE(ctl.c, 0) + 1)
+                   / CAST(l.n_l + vocab.V AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS lp
+        FROM doc_tok dt
+        CROSS JOIN langs l
+        CROSS JOIN vocab
+        LEFT JOIN ctl ON ctl.lang = l.lang AND ctl.t = dt.t
+    ),
+    doc_scores AS (
+        SELECT doc_id, true_lang, cand,
+               sum(lp)
+               + (SELECT CAST(round(ln(d_l / CAST(D AS DOUBLE)) * 1000000)
+                         AS BIGINT)
+                  FROM langs l2 CROSS JOIN total_docs
+                  WHERE l2.lang = cand) AS score
+        FROM scored GROUP BY doc_id, true_lang, cand
+    ),
+    pred AS (
+        SELECT doc_id, true_lang,
+               max(struct_pack(s := score, lang := cand)).lang AS pred_lang
+        FROM doc_scores GROUP BY doc_id, true_lang
+    )
+    SELECT true_lang, count(*) AS n_docs,
+           sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 9) AS accuracy
+    FROM pred GROUP BY true_lang
+    """,
+)
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL (tiny) ML model trained and applied entirely in-engine:
+    multinomial Naive Bayes language ID with Laplace smoothing,
+    trained on the corpus's own labels and evaluated in-sample per
+    language. Determinism: every log-probability is quantized to
+    1e-6 fixed-point BIGINT, so the per-doc log-sum is an EXACT
+    integer sum (float log-sums are order-dependent) and the argmax
+    (score, lang-last tiebreak via struct max) is reproducible.
+    Shape: token-lang count table + broadcastable |langs| priors;
+    scoring joins each doc token against the 5 candidate rows —
+    tokens×|langs| rows, one groupBy, no driver state."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    )
+    vocab_v = tok.agg(F.countDistinct("t").alias("V"))
+    langs = tok.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.countDistinct("doc_id").alias("d_l"),
+    )
+    total_docs = tok.agg(F.countDistinct("doc_id").alias("D"))
+    ctl = tok.groupBy(F.col("true_lang").alias("clang"), "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cand = langs.crossJoin(F.broadcast(vocab_v)).crossJoin(
+        F.broadcast(total_docs)
+    )
+    scored = (
+        tok.crossJoin(F.broadcast(cand))
+        .join(
+            ctl,
+            (F.col("clang") == F.col("lang")) & (ctl.t == tok.t),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("cand"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_l") + F.col("V")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp"),
+            F.round(
+                F.log(F.col("d_l") / F.col("D").cast("double")) * 1000000
+            )
+            .cast("long")
+            .alias("prior"),
+        )
+    )
+    doc_scores = scored.groupBy("doc_id", "true_lang", "cand").agg(
+        (F.sum("lp") + F.first("prior")).alias("score")
+    )
+    pred = doc_scores.groupBy("doc_id", "true_lang").agg(
+        F.max(
+            F.struct(F.col("score").alias("s"), F.col("cand").alias("lang"))
+        )["lang"].alias("pred_lang")
+    )
+    return pred.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("pred_lang") == F.col("true_lang")).cast("long")).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum((F.col("pred_lang") == F.col("true_lang")).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("accuracy"),
+    )

@@ -340,3 +340,94 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = nxt
     return out
+
+
+@query(
+    "q_bellman_ford",
+    f"""
+    WITH {_COPURCHASE_SQL},
+    wed AS (
+        SELECT u, v, 1 + (u + v) % 7 AS w FROM e
+    ),
+    und AS (
+        SELECT u AS src, v AS dst, w FROM wed
+        UNION ALL SELECT v, u, w FROM wed
+    ),
+    seeds AS (
+        SELECT node AS seed FROM (
+            SELECT DISTINCT src AS node FROM und
+        ) ORDER BY node LIMIT 5
+    ),
+    d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds),
+    r1 AS (
+        SELECT seed, node, min(dist) AS dist FROM (
+            SELECT seed, node, dist FROM d0
+            UNION ALL
+            SELECT d0.seed, und.dst AS node, d0.dist + und.w
+            FROM d0 JOIN und ON und.src = d0.node
+        ) GROUP BY seed, node
+    ),
+    r2 AS (
+        SELECT seed, node, min(dist) AS dist FROM (
+            SELECT seed, node, dist FROM r1
+            UNION ALL
+            SELECT r1.seed, und.dst AS node, r1.dist + und.w
+            FROM r1 JOIN und ON und.src = r1.node
+        ) GROUP BY seed, node
+    ),
+    r3 AS (
+        SELECT seed, node, min(dist) AS dist FROM (
+            SELECT seed, node, dist FROM r2
+            UNION ALL
+            SELECT r2.seed, und.dst AS node, r2.dist + und.w
+            FROM r2 JOIN und ON und.src = r2.node
+        ) GROUP BY seed, node
+    )
+    SELECT seed, count(*) AS n_reached, sum(dist) AS total_dist,
+           max(dist) AS max_dist
+    FROM r3 GROUP BY seed
+    """,
+)
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths, 3 Bellman–Ford relaxation rounds from
+    5 seeds over the co-purchase graph (deterministic synthetic edge
+    weights 1+(u+v)%7 — the graph has no native weights): each round
+    is one frontier⋈edges join plus a min-aggregate — the min-plus
+    analogue of the BFS hop loop (q_bfs_hops), with integer distances
+    so every min is exact. Emits per-seed reach/total/max distance
+    (the 3-round ego-network cost profile)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    wed = e.select("u", "v", (1 + (F.col("u") + F.col("v")) % 7).alias("w"))
+    und = wed.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        wed.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    ).localCheckpoint()
+    seeds = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+        .select(F.col("node").alias("seed"))
+    )
+    d = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(3):
+        relaxed = d.join(und, d.node == und.src).select(
+            "seed", F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return d.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").alias("total_dist"),
+        F.max("dist").alias("max_dist"),
+    )
