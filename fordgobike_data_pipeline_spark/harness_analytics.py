@@ -1762,3 +1762,87 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days|² pair set is bounded control data, not a fact self-join."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return analytics.theil_sen_trend(ev)
+
+
+@query(
+    "q_next_event_eval",
+    """
+    WITH o AS (
+        SELECT user_id, event_type AS cur, CAST(ts AS DATE) AS day,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt,
+               lead(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt_day
+        FROM events
+    ),
+    pairs AS (SELECT cur, nxt, nxt_day FROM o WHERE nxt IS NOT NULL),
+    cutoff AS (SELECT max(nxt_day) - INTERVAL 30 DAY AS cut FROM pairs),
+    train AS (
+        SELECT cur, nxt, count(*) AS c
+        FROM pairs CROSS JOIN cutoff WHERE nxt_day < cut
+        GROUP BY cur, nxt
+    ),
+    model AS (
+        SELECT cur, max(struct_pack(c := c, nxt := nxt)).nxt AS pred
+        FROM train GROUP BY cur
+    ),
+    test AS (
+        SELECT cur, nxt FROM pairs CROSS JOIN cutoff WHERE nxt_day >= cut
+    )
+    SELECT test.cur, count(*) AS n_test,
+           sum(CASE WHEN model.pred = test.nxt THEN 1 ELSE 0 END) AS n_correct,
+           round(CAST(sum(CASE WHEN model.pred = test.nxt THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 9) AS accuracy
+    FROM test JOIN model ON model.cur = test.cur
+    GROUP BY test.cur
+    """,
+)
+def q_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction evaluated out-of-time: a first-order
+    Markov argmax model (majority next event per current type,
+    count-then-type-last struct tiebreak — the q_lang_id convention)
+    trained on everything before the last 30 days and scored on the
+    holdout — the temporal-split eval discipline (a random split
+    would leak future behavior into training). One lead window over
+    the sorted stream, a |types|² count table, a broadcast model
+    join; per-type holdout accuracy."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead(F.to_date("ts")).over(w).alias("nxt_day"),
+    )
+    pairs = o.filter(F.col("nxt").isNotNull())
+    cutoff = pairs.agg(
+        F.date_sub(F.max("nxt_day"), 30).alias("cut")
+    )
+    pc = pairs.crossJoin(F.broadcast(cutoff))
+    train = (
+        pc.filter(F.col("nxt_day") < F.col("cut"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = train.groupBy("cur").agg(
+        F.max(F.struct(F.col("c"), F.col("nxt")))["nxt"].alias("pred")
+    )
+    test = pc.filter(F.col("nxt_day") >= F.col("cut")).select("cur", "nxt")
+    return (
+        test.join(F.broadcast(model), "cur")
+        .groupBy("cur")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("pred") == F.col("nxt")).cast("long")).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.sum((F.col("pred") == F.col("nxt")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                9,
+            ).alias("accuracy"),
+        )
+    )
