@@ -973,3 +973,77 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("accuracy"),
     )
+
+
+@query(
+    "q_isotonic_trend",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY day
+    ),
+    idx AS (
+        SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM d
+    ),
+    pre AS (
+        SELECT day, y, i,
+               sum(y) OVER (ORDER BY i) AS p
+        FROM idx
+    ),
+    pairs AS (
+        SELECT j.i AS j, k.i AS k,
+               CAST(k.p - COALESCE(jm.p, 0) AS DOUBLE) / (k.i - j.i + 1)
+                   AS avg_jk
+        FROM pre j
+        JOIN pre k ON k.i >= j.i
+        LEFT JOIN pre jm ON jm.i = j.i - 1
+    ),
+    m AS (SELECT j, min(avg_jk) AS mj FROM pairs GROUP BY j),
+    iso AS (
+        SELECT i, day, y,
+               max(mj) OVER (ORDER BY i) AS iso_raw
+        FROM pre JOIN m ON m.j = pre.i
+    )
+    SELECT day, y, round(iso_raw, 9) AS iso
+    FROM iso
+    """,
+)
+def q_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the daily
+    count series via the MAX-MIN CLOSED FORM iso(i) = max_{j≤i}
+    min_{k≥j} mean(y[j..k]) — the pool-adjacent-violators result
+    WITHOUT the sequential PAV loop (which doesn't distribute): the
+    |days|² segment-average table is bounded control data (the series
+    is an aggregate), each average is one division of exact prefix
+    sums, and min/max are selections — no accumulation-order hazard.
+    The monotone-calibration primitive (score calibration, trend
+    flooring)."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    d = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    idx = d.withColumn("i", F.row_number().over(Window.orderBy("day")))
+    pre = idx.withColumn(
+        "p", F.sum("y").over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    j = pre.select(F.col("i").alias("j"), F.col("p").alias("pj"))
+    k = pre.select(F.col("i").alias("k"), F.col("p").alias("pk"))
+    jm = pre.select((F.col("i") + 1).alias("j"), F.col("p").alias("pjm"))
+    pairs = (
+        j.join(k, F.col("k") >= F.col("j"))
+        .join(jm, "j", "left")
+        .select(
+            "j",
+            (
+                (F.col("pk") - F.coalesce(F.col("pjm"), F.lit(0))).cast("double")
+                / (F.col("k") - F.col("j") + 1)
+            ).alias("avg_jk"),
+        )
+    )
+    m = pairs.groupBy("j").agg(F.min("avg_jk").alias("mj"))
+    iso = (
+        pre.join(m, pre.i == m.j)
+        .withColumn("iso_raw", F.max("mj").over(Window.orderBy("i")))
+    )
+    return iso.select("day", "y", F.round("iso_raw", 9).alias("iso"))

@@ -103,3 +103,18 @@ def test_rank_select_kth_edges(spark):
     eq = spark.createDataFrame([(2.0, i) for i in range(5)], "v DOUBLE, id LONG")
     r = quality.rank_select_kth(eq, "v", "id").collect()[0]
     assert r["kth_value"] == 2.0 and r["kth_id"] == 2  # (v, id) order -> 3rd id
+
+
+def test_isotonic_trend_is_monotone_and_mean_preserving(spark):
+    from fordgobike_data_pipeline_spark import harness
+
+    qs = harness.all_queries()
+    rows = sorted(
+        qs["q_isotonic_trend"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["day"],
+    )
+    iso = [r["iso"] for r in rows]
+    y = [r["y"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))  # monotone
+    # PAV preserves the total mass of the series
+    assert abs(sum(iso) - sum(y)) < 1e-4 * max(1, sum(y))
