@@ -237,6 +237,8 @@ HEADLINE = [
     "q_naive_bayes_langid",
     "q_next_event_eval",
     "q_isotonic_trend",
+    "q_hits_authority",
+    "q_week_overlap",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -1846,3 +1846,85 @@ def q_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+@query(
+    "q_week_overlap",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               DATE '2000-01-03' + CAST(
+                   7 * floor(date_diff('day', DATE '2000-01-03',
+                                       CAST(ts AS DATE)) / 7) AS INT) AS week
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.week AS week, count(*) AS n_inter
+        FROM uw a JOIN uw b
+        ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+        GROUP BY a.week
+    ),
+    sizes AS (SELECT week, count(*) AS n FROM uw GROUP BY week)
+    SELECT s1.week, s1.n AS n_users, s2.n AS n_users_next,
+           COALESCE(p.n_inter, 0) AS n_both,
+           round(CAST(COALESCE(p.n_inter, 0) AS DOUBLE)
+                 / (s1.n + s2.n - COALESCE(p.n_inter, 0)), 9) AS jaccard
+    FROM sizes s1
+    JOIN sizes s2 ON s2.week = s1.week + INTERVAL 7 DAY
+    LEFT JOIN pairs p ON p.week = s1.week
+    """,
+)
+def q_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-user set similarity: Jaccard of
+    consecutive weeks' user sets — audience stability as a set
+    metric (the cohort matrix's scalar cousin; a churn spike shows
+    as a Jaccard dip). Epoch-Monday integer week buckets, one
+    self-equi-join on (user, week+7), exact counts, one division."""
+    from pyspark.sql import Window  # noqa: F401  (sibling convention)
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    week = F.date_add(
+        F.to_date(F.lit("2000-01-03")),
+        (
+            7
+            * F.floor(
+                F.datediff(F.to_date("ts"), F.to_date(F.lit("2000-01-03"))) / 7
+            )
+        ).cast("int"),
+    )
+    uw = events.select("user_id", week.alias("week")).distinct()
+    nxt = uw.select(
+        F.col("user_id").alias("uid2"), F.col("week").alias("week2")
+    )
+    pairs = (
+        uw.join(
+            nxt,
+            (F.col("uid2") == F.col("user_id"))
+            & (F.col("week2") == F.date_add(F.col("week"), 7)),
+        )
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = uw.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
+    s2 = sizes.select(
+        F.col("week").alias("week_n"), F.col("n").alias("n_users_next")
+    )
+    return (
+        sizes.join(s2, F.col("week_n") == F.date_add(F.col("week"), 7))
+        .join(pairs, "week", "left")
+        .select(
+            "week",
+            F.col("n").alias("n_users"),
+            "n_users_next",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_both"),
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("n")
+                    + F.col("n_users_next")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ),
+                9,
+            ).alias("jaccard"),
+        )
+    )

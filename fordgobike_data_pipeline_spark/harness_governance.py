@@ -431,3 +431,71 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dist").alias("total_dist"),
         F.max("dist").alias("max_dist"),
     )
+
+
+@query(
+    "q_hits_authority",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    h1 AS (SELECT p, count(*) * 1000000 AS h FROM e GROUP BY p),
+    mh1 AS (SELECT max(h) AS m FROM h1),
+    h1n AS (SELECT p, h * 1000000 // m AS h FROM h1 CROSS JOIN mh1),
+    a1 AS (
+        SELECT s, sum(h1n.h) AS a FROM e JOIN h1n USING (p) GROUP BY s
+    ),
+    ma1 AS (SELECT max(a) AS m FROM a1),
+    a1n AS (SELECT s, a * 1000000 // m AS a FROM a1 CROSS JOIN ma1),
+    h2 AS (
+        SELECT p, sum(a1n.a) AS h FROM e JOIN a1n USING (s) GROUP BY p
+    ),
+    mh2 AS (SELECT max(h) AS m FROM h2),
+    h2n AS (SELECT p, h * 1000000 // m AS h FROM h2 CROSS JOIN mh2),
+    a2 AS (
+        SELECT s, sum(h2n.h) AS a FROM e JOIN h2n USING (p) GROUP BY s
+    ),
+    ma2 AS (SELECT max(a) AS m FROM a2),
+    a2n AS (SELECT s, a * 1000000 // m AS a FROM a2 CROSS JOIN ma2)
+    SELECT s AS supplier, a AS authority_int,
+           round(CAST(a AS DOUBLE) / 1000000.0, 9) AS authority
+    FROM a2n ORDER BY a DESC, s LIMIT 10
+    """,
+)
+def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities, two mutual-reinforcement
+    iterations over the part→supplier bipartite graph — the second
+    classic link-analysis algorithm beside q_pagerank, with the same
+    determinism treatment: scores live as 1e6 fixed-point BIGINTs,
+    each iteration is one join + integer sum + max-normalization
+    (``x·S div max`` — exact), so every score is hash-comparable.
+    Emits the top-10 authorities (suppliers most endorsed by strong
+    hub parts)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    S = 1_000_000
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct().localCheckpoint()
+
+    def norm(df, col):
+        m = df.agg(F.max(col).alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"{col} * {S} div m").alias(col),
+        )
+
+    h = norm(
+        e.groupBy("p").agg((F.count(F.lit(1)) * S).alias("h")), "h"
+    )
+    a = norm(e.join(h, "p").groupBy("s").agg(F.sum("h").alias("a")), "a")
+    h = norm(e.join(a, "s").groupBy("p").agg(F.sum("a").alias("h")), "h")
+    a = norm(e.join(h, "p").groupBy("s").agg(F.sum("h").alias("a")), "a")
+    return (
+        a.orderBy(F.desc("a"), F.asc("s"))
+        .limit(10)
+        .select(
+            F.col("s").alias("supplier"),
+            F.col("a").alias("authority_int"),
+            F.round(F.col("a").cast("double") / S, 9).alias("authority"),
+        )
+    )
