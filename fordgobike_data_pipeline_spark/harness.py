@@ -118,9 +118,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_alloc_largest_remainder, q_er_eval, q_phrase_search,
     # q_keyset_pagination, q_join_cardinality_estimate,
     # q_seasonal_anomaly, q_pct_change_wow, q_dup_inflation,
-    # q_quality_agreement, q_corpus_report (= 49 total; r7's window
-    # takes 49 of these 50 — prioritize the 6 r5 deferrals and the
-    # heavier round-6 families first).
+    # q_quality_agreement, q_corpus_report, q_random_walks,
+    # q_tv_distance, q_rolling_dau, q_bellman_ford,
+    # q_naive_bayes_langid, q_next_event_eval, q_isotonic_trend,
+    # q_hits_authority, q_week_overlap (= 58 total; r7's 50-slot
+    # window drains most of it — prioritize the 6 r5 deferrals and
+    # the heavier round-6 families first, spill the rest to r8).
     "q_cohort_retention",
     "q_markov_transitions",
     "q_attribution",
