@@ -239,6 +239,7 @@ HEADLINE = [
     "q_isotonic_trend",
     "q_hits_authority",
     "q_week_overlap",
+    "q_tfidf_cosine_pairs",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -1078,3 +1078,127 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lang_purity"),
         )
     )
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\s+'),
+                      x -> x <> '')) AS t
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    nn AS (SELECT count(DISTINCT doc_id) AS N FROM tf),
+    w AS (
+        SELECT tf.doc_id, tf.t,
+               tf.tf * CAST(round(ln((N + 1.0) / (df + 1.0)) * 1000000)
+                            AS BIGINT) AS w,
+               df
+        FROM tf JOIN dfreq USING (t) CROSS JOIN nn
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    rare AS (SELECT doc_id, t FROM w CROSS JOIN nn WHERE df * 10 <= N),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM rare a JOIN rare b ON a.t = b.t AND a.doc_id < b.doc_id
+    ),
+    dots AS (
+        SELECT cand.da, cand.db, sum(wa.w * wb.w) AS dot
+        FROM cand
+        JOIN w wa ON wa.doc_id = cand.da
+        JOIN w wb ON wb.doc_id = cand.db AND wb.t = wa.t
+        GROUP BY cand.da, cand.db
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = da
+    JOIN norms nb ON nb.doc_id = db
+    ORDER BY round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) DESC, da, db
+    LIMIT 10
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity — the third similarity geometry
+    beside dense-vector ANN and set Jaccard: weights are
+    tf · round(ln((N+1)/(df+1))·1e6) BIGINTs, so dots and norm² are
+    EXACT integer sums (one sqrt + one division at render).
+    Candidates come from the RARE-token inverted index (df·10 ≤ N —
+    hot tokens generate no candidates, the same skew cap as the
+    shingle index); the full dot then runs over ALL shared tokens of
+    each candidate pair. The df cap is part of the query contract
+    (pairs sharing only ubiquitous tokens score near 0 anyway).
+    Top-10 by 6dp cosine with id tiebreaks."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nn = tf.agg(F.countDistinct("doc_id").alias("N"))
+    w = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("N") + 1.0) / (F.col("df") + 1.0)) * 1000000
+                ).cast("long")
+            ).alias("w"),
+            "df",
+            "N",
+        )
+    ).localCheckpoint()
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    rare = w.filter(F.col("df") * 10 <= F.col("N")).select("doc_id", "t")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("da"), F.col("t").alias("ta"), F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("db2"), F.col("t").alias("tb"), F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "da")
+        .join(wb, (F.col("db") == F.col("db2")) & (F.col("tb") == F.col("ta")))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return out.orderBy(
+        F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(10)
