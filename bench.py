@@ -203,6 +203,18 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q10",
+    "q_tpch_q1",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
     "q_mixture_temperature",
     "q_zipf_fit",
     "q_ttr_hapax",

@@ -121,8 +121,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_quality_agreement, q_corpus_report, q_random_walks,
     # q_tv_distance, q_rolling_dau, q_bellman_ford,
     # q_naive_bayes_langid, q_next_event_eval, q_isotonic_trend,
-    # q_hits_authority, q_week_overlap, q_tfidf_cosine_pairs (= 59
-    # total; r7's 50-slot
+    # q_hits_authority, q_week_overlap, q_tfidf_cosine_pairs, and the
+    # wave-13 TPC-H family q_tpch_q1, q_tpch_q4, q_tpch_q6, q_tpch_q7,
+    # q_tpch_q8, q_tpch_q13, q_tpch_q14, q_tpch_q15, q_tpch_q17,
+    # q_tpch_q18, q_tpch_q19, q_tpch_q22 (= 71 total; r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).
     "q_cohort_retention",
