@@ -252,6 +252,12 @@ HEADLINE = [
     "q_hits_authority",
     "q_week_overlap",
     "q_tfidf_cosine_pairs",
+    "q_tpch_q9",
+    "q_max_concurrency",
+    "q_kendall_tau",
+    "q_mutual_information",
+    "q_matryoshka_recall",
+    "q_stream_dedup",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -124,7 +124,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_hits_authority, q_week_overlap, q_tfidf_cosine_pairs, and the
     # wave-13 TPC-H family q_tpch_q1, q_tpch_q4, q_tpch_q6, q_tpch_q7,
     # q_tpch_q8, q_tpch_q13, q_tpch_q14, q_tpch_q15, q_tpch_q17,
-    # q_tpch_q18, q_tpch_q19, q_tpch_q22 (= 71 total; r7's 50-slot
+    # q_tpch_q18, q_tpch_q19, q_tpch_q22, and the wave-14 additions
+    # q_tpch_q9, q_max_concurrency, q_kendall_tau, q_mutual_information,
+    # q_matryoshka_recall, q_stream_dedup (= 77 total; r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).
     "q_cohort_retention",

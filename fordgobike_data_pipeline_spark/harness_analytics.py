@@ -1928,3 +1928,207 @@ def q_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 14: interval concurrency, rank correlation, mutual
+# information — capacity-planning and feature-relevance probes.
+# ---------------------------------------------------------------------------
+
+_SESSIONS_CTE = """
+    o AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+    )
+"""
+
+
+@query(
+    "q_max_concurrency",
+    f"""
+    WITH {_SESSIONS_CTE},
+    seg AS (
+        SELECT CAST(unnest(generate_series(CAST(session_start AS DATE),
+                                           CAST(session_end AS DATE),
+                                           INTERVAL 1 DAY)) AS DATE) AS day,
+               session_start, session_end
+        FROM sess
+    ),
+    clipped AS (
+        SELECT day,
+               greatest(session_start, CAST(day AS TIMESTAMP)) AS seg_start,
+               least(session_end,
+                     CAST(day AS TIMESTAMP) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND)
+                   AS seg_end
+        FROM seg
+    ),
+    points AS (
+        SELECT day, seg_start AS t, 1 AS delta FROM clipped
+        UNION ALL
+        SELECT day, seg_end AS t, -1 AS delta FROM clipped
+    ),
+    sweep AS (
+        SELECT day, sum(delta) OVER (
+                   PARTITION BY day ORDER BY t ASC, delta DESC) AS conc
+        FROM points
+    )
+    SELECT day, CAST(max(conc) AS INT) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_sessions
+    FROM sweep GROUP BY day
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (sweep-line over sessionized
+    intervals): gap-sessionize events, clip each session to the days
+    it spans, then run the +1/−1 running-sum sweep PER DAY — the
+    partitionBy(day) keeps the sweep parallel in the number of days
+    instead of one global totally-ordered window (the single-partition
+    trap). Tied boundary points are RANGE-frame peers, so the running
+    sum at a tie is order-insensitive; inclusive-end semantics count a
+    back-to-back end/start instant as 2."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from .operators import sessions as sess_ops
+
+    s = sess_ops.session_windows(ev, gap_seconds=1800).select(
+        "session_start", "session_end"
+    )
+    return sess_ops.concurrency_by_day(s)
+
+
+@query(
+    "q_kendall_tau",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sc
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.n - b.n) * (a.sc - b.sc) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.n - b.n) * (a.sc - b.sc) < 0 THEN 1 ELSE 0 END AS disc
+        FROM daily a JOIN daily b ON a.day < b.day
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS INT) AS n_days,
+           sum(conc) AS concordant,
+           sum(disc) AS discordant,
+           round(CAST(sum(conc) - sum(disc) AS DOUBLE) / count(*), 9) AS tau
+    FROM pairs
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-a) between two daily metrics —
+    event volume and total value — the robust monotone-association
+    probe that, unlike Pearson, never multiplies order-dependent
+    double sums: concordance is a SIGN of an exact-integer product
+    (counts × value cents), so every pair votes {−1,0,+1} exactly.
+    The O(days²) self-join is over the day-level AGGREGATE (30 rows
+    at sf0.01, broadcast), never over raw events — the pre-aggregate-
+    then-pair shape that survives any event-count scale-up; scaling
+    the day RANGE instead calls for the O(n log n) merge-sort
+    inversion count."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("n").alias("n_a"), F.col("sc").alias("sc_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("n").alias("n_b"), F.col("sc").alias("sc_b")
+    )
+    prod = (F.col("n_a") - F.col("n_b")) * (F.col("sc_a") - F.col("sc_b"))
+    pairs = a.join(F.broadcast(b), F.col("day_a") < F.col("day_b")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("int").alias("n_days"))
+    return (
+        pairs.agg(
+            F.sum("conc").alias("concordant"),
+            F.sum("disc").alias("discordant"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "concordant",
+            "discordant",
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.col("n_pairs"),
+                9,
+            ).alias("tau"),
+        )
+    )
+
+
+@query(
+    "q_mutual_information",
+    """
+    WITH cells AS (
+        SELECT event_type, CAST(floor(hour(ts) / 6.0) AS INT) AS hour_bucket,
+               count(*) AS c_xy
+        FROM events GROUP BY event_type, CAST(floor(hour(ts) / 6.0) AS INT)
+    ),
+    mx AS (SELECT event_type, sum(c_xy) AS c_x FROM cells GROUP BY event_type),
+    my AS (SELECT hour_bucket, sum(c_xy) AS c_y FROM cells GROUP BY hour_bucket),
+    n AS (SELECT sum(c_xy) AS n_tot FROM cells)
+    SELECT event_type, hour_bucket, c_xy,
+           round(CAST(n_tot * c_xy AS DOUBLE) / CAST(c_x * c_y AS DOUBLE), 6) AS lift,
+           round((CAST(c_xy AS DOUBLE) / n_tot)
+                 * ln(CAST(n_tot * c_xy AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)), 9)
+               AS mi_term
+    FROM cells JOIN mx USING (event_type) JOIN my USING (hour_bucket), n
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information cell table between a categorical feature
+    (event_type) and a derived one (6-hour time-of-day bucket) — the
+    feature-relevance screen that ranks candidate features before
+    training. Per-cell MI contribution (c/N)·ln(N·c/(c_x·c_y)) with
+    the ln() on an exact-integer rational (the q_psi_drift-proven
+    parity) — the total is Σ mi_term, left to the consumer so no
+    order-dependent double sum is ever hashed. Marginals come from
+    re-aggregating the cell table (25 rows), not rescanning events."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cells = ev.groupBy(
+        "event_type", F.floor(F.hour("ts") / 6.0).cast("int").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("c_xy"))
+    mx = cells.groupBy("event_type").agg(F.sum("c_xy").alias("c_x"))
+    my = cells.groupBy("hour_bucket").agg(F.sum("c_xy").alias("c_y"))
+    n = cells.agg(F.sum("c_xy").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hour_bucket")
+        .crossJoin(F.broadcast(n))
+    )
+    lift = (F.col("n_tot") * F.col("c_xy")).cast("double") / (
+        F.col("c_x") * F.col("c_y")
+    ).cast("double")
+    return j.select(
+        "event_type",
+        "hour_bucket",
+        "c_xy",
+        F.round(lift, 6).alias("lift"),
+        F.round((F.col("c_xy").cast("double") / F.col("n_tot")) * F.log(lift), 9).alias(
+            "mi_term"
+        ),
+    )

@@ -3316,3 +3316,99 @@ def q_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ce_quartile", "gopher_pass")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 14: matryoshka-truncation retrieval eval.
+# ---------------------------------------------------------------------------
+
+def _trunc_norm_cte(name: str, d: int) -> str:
+    """Normalized-over-first-d-dims CTE (the _NORM_CTE idiom sliced)."""
+    return f"""
+    {name} AS (
+        SELECT vec_id,
+               list_transform(embedding[1:{d}], x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding[1:{d}],
+                                                y -> y::DOUBLE * y::DOUBLE))))
+               AS nv
+        FROM embeddings
+    )"""
+
+
+def _trunc_topk_cte(src: str, name: str, d: int, k: int = 10) -> str:
+    dotp = f"list_sum(list_transform(range({d}), i -> q.nv[i+1] * c.nv[i+1]))"
+    return f"""
+    {name} AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({dotp}, 6) + 0.0 DESC, c.vec_id) AS rank
+            FROM (SELECT * FROM {src} WHERE vec_id < 5) q
+            JOIN {src} c ON c.vec_id != q.vec_id
+        ) WHERE rank <= {k}
+    )"""
+
+
+@query(
+    "q_matryoshka_recall",
+    f"""
+    WITH {_trunc_norm_cte('n64', 64)},
+    {_trunc_norm_cte('n16', 16)},
+    {_trunc_norm_cte('n32', 32)},
+    {_trunc_topk_cte('n64', 'top64', 64)},
+    {_trunc_topk_cte('n16', 'top16', 16)},
+    {_trunc_topk_cte('n32', 'top32', 32)}
+    SELECT f.query_id,
+           round(CAST(count(t16.cand_id) AS DOUBLE) / 10.0, 6) AS recall_16,
+           round(CAST(count(t32.cand_id) AS DOUBLE) / 10.0, 6) AS recall_32
+    FROM top64 f
+    LEFT JOIN top16 t16 ON f.query_id = t16.query_id AND f.cand_id = t16.cand_id
+    LEFT JOIN top32 t32 ON f.query_id = t32.query_id AND f.cand_id = t32.cand_id
+    GROUP BY f.query_id
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval: recall@10 of cosine top-k
+    computed on the first 16 and 32 embedding dims against the
+    full-64-dim ranking — the dimension-vs-quality curve that decides
+    how short a prefix an MRL-style index can serve. Each ranking is
+    one cosine_topk pass (corpus scanned once per dim, queries
+    broadcast, salted two-phase top-k); truncation is F.slice +
+    renormalize, pure codegen. Recall joins are on the tiny top-k
+    tables. At 100 TB the 16-dim pass reads 1/4 the vector bytes of
+    the full one — the point of the probe."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+    def topk_at(d: int) -> DataFrame:
+        src = (
+            emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+            if d < 64
+            else emb
+        )
+        return similarity.cosine_topk(
+            src, src.filter(F.col("vec_id") < 5), k=10
+        ).select("query_id", "cand_id")
+
+    full = topk_at(64)
+    t16 = topk_at(16).withColumnRenamed("cand_id", "c16")
+    t32 = topk_at(32).withColumnRenamed("cand_id", "c32")
+    return (
+        full.join(
+            t16,
+            (full.query_id == t16.query_id) & (full.cand_id == t16.c16),
+            "left",
+        )
+        .drop(t16.query_id)
+        .join(
+            t32,
+            (full.query_id == t32.query_id) & (full.cand_id == t32.c32),
+            "left",
+        )
+        .drop(t32.query_id)
+        .groupBy(full.query_id.alias("query_id"))
+        .agg(
+            F.round(F.count("c16").cast("double") / 10.0, 6).alias("recall_16"),
+            F.round(F.count("c32").cast("double") / 10.0, 6).alias("recall_32"),
+        )
+    )

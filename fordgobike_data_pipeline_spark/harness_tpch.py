@@ -827,3 +827,49 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("bal_cents").cast("double") / 100.0, 9).alias("totacctbal"),
     )
+
+
+@query(
+    "q_tpch_q9",
+    f"""
+    SELECT n_name AS nation,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+           round(CAST(sum({_REV_CENTS_SQL}) AS DOUBLE) / 10000.0, 9) AS sum_profit
+    FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no partsupp table, so
+    profit has no ps_supplycost·qty term — it degrades to discounted
+    revenue, keeping Q9's defining shape: a part-NAME substring filter
+    (un-pushable LIKE '%red%' evaluated on the 2000-row dimension,
+    broadcast-semi into lineitem), a five-table join, and a
+    nation × order-year rollup over every year in the data."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "orders"))
+    red = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    orders = t["orders"].select(
+        "o_orderkey", F.year(F.to_date("o_orderdate")).cast("int").alias("o_year")
+    )
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_suppkey", _rev_cents().alias("rc"))
+    return (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("rc").alias("rc"))
+        .select(
+            "nation",
+            "o_year",
+            F.round(F.col("rc").cast("double") / 10000.0, 9).alias("sum_profit"),
+        )
+    )

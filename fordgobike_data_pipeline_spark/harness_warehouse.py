@@ -910,3 +910,75 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return page.select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "q_stream_dedup",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup under a watermark, SQL-adjudicated (the
+    q_stream_mv discipline applied to streaming.deduped_stream): the
+    events table is written to a landing dir as two JSON waves — the
+    full table, then a re-delivery of every third event (the at-least-
+    once duplicate storm a file/queue source produces) — streamed back
+    with AvailableNow, deduped by event_id with a 1-hour watermark
+    bounding the state store, and the surviving rows aggregated. The
+    oracle aggregates the ORIGINAL table directly: a hash match proves
+    watermarked streaming dedup ≡ batch distinct, whether the
+    re-delivered wave lands in the same micro-batch (in-batch state
+    hit) or a later one (cross-batch state hit or late-drop beyond the
+    watermark — every path converges to the same rows)."""
+    import os
+    import tempfile
+
+    from .streaming import incremental
+    from pyspark.sql import types as T
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    ev.write.mode("overwrite").json(os.path.join(landing, "wave=0"))
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("overwrite").json(
+        os.path.join(landing, "wave=1")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.json")
+        .json(os.path.join(landing, "*"))
+    )
+    deduped = incremental.deduped_stream(stream, watermark="1 hour")
+    out_dir = os.path.join(root, "deduped")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )

@@ -66,3 +66,48 @@ def session_windows_native(
             "n_events",
         )
     )
+
+
+def concurrency_by_day(
+    sessions_df: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line (+1/−1 running
+    sum) over session intervals, the classic capacity-planning probe.
+
+    Scale shape: a global sweep would be one totally-ordered window
+    (single-partition bottleneck), so each session is first CLIPPED to
+    the days it spans (sequence + explode — sessions are minutes long,
+    so almost always one segment) and the sweep runs PER DAY
+    (partitionBy(day)) — embarrassingly parallel in the number of
+    days. Boundary points order by (t, delta DESC) so a session
+    starting the instant another ends counts both (inclusive-end
+    semantics); the default RANGE window frame makes tied points
+    peers, so the running sum at a tie is the whole tie-group total —
+    order-insensitive, hence deterministic.
+    """
+    seg = sessions_df.select(
+        F.explode(
+            F.sequence(F.to_date(start_col), F.to_date(end_col))
+        ).alias("day"),
+        F.greatest(F.col(start_col), F.to_timestamp(F.col("day"))).alias("seg_start"),
+        F.least(
+            F.col(end_col),
+            F.to_timestamp(F.date_add(F.col("day"), 1)) - F.expr("INTERVAL 1 MICROSECOND"),
+        ).alias("seg_end"),
+    )
+    points = seg.select(
+        "day", F.col("seg_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("day", F.col("seg_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("t").asc(), F.col("delta").desc())
+    running = points.withColumn("conc", F.sum("delta").over(w))
+    return (
+        running.groupBy("day")
+        .agg(
+            F.max("conc").cast("int").alias("max_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+        )
+    )

@@ -225,3 +225,43 @@ def test_gdpr_audit_single_scan_broadcast_mark(spark):
     events table is scanned once (one row-count-bearing scan node)."""
     plan = explain(spark, "q_gdpr_delete")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q19_single_join_or_residual(spark):
+    """Q19's OR-of-ANDs must ride ONE broadcast join as a residual —
+    not three separate lineitem scans unioned."""
+    plan = explain(spark, "q_tpch_q19")
+    import re
+
+    # formatted explain lists each scan twice (tree + numbered detail);
+    # count the detail headers: lineitem + part, once each
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "BroadcastHashJoin" in plan and "Union" not in plan
+
+
+def test_tpch_q17_semi_join_before_aggregate(spark):
+    """The per-part avg must aggregate only Brand#2 lineitems: the
+    brand semi-join happens BELOW the aggregate (no full-table
+    groupBy), and the 95-part dim broadcasts."""
+    plan = explain(spark, "q_tpch_q17")
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_no_join_partial_agg(spark):
+    """Q1 is one scan + partial/final aggregate: no join anywhere,
+    and the map-side HashAggregate pair must be present."""
+    plan = explain(spark, "q_tpch_q1")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_max_concurrency_sweep_is_day_partitioned(spark):
+    """The sweep-line window must partition by day — a global
+    totally-ordered window (single-partition trap) shows up as a Sort
+    with no partitioning expression before the Window node."""
+    plan = explain(spark, "q_max_concurrency")
+    import re
+
+    for m in re.finditer(r"partitionSpec=\[([^\]]*)\]", plan):
+        assert m.group(1).strip() != "", "window without PARTITION BY in sweep"
