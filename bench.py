@@ -258,6 +258,10 @@ HEADLINE = [
     "q_mutual_information",
     "q_matryoshka_recall",
     "q_stream_dedup",
+    "q_decision_stump",
+    "q_k_anonymity",
+    "q_kl_divergence",
+    "q_stream_stateful",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -126,7 +126,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_tpch_q8, q_tpch_q13, q_tpch_q14, q_tpch_q15, q_tpch_q17,
     # q_tpch_q18, q_tpch_q19, q_tpch_q22, and the wave-14 additions
     # q_tpch_q9, q_max_concurrency, q_kendall_tau, q_mutual_information,
-    # q_matryoshka_recall, q_stream_dedup (= 77 total; r7's 50-slot
+    # q_matryoshka_recall, q_stream_dedup, and the wave-15 additions
+    # q_decision_stump, q_k_anonymity, q_kl_divergence,
+    # q_stream_stateful (= 81 total; r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).
     "q_cohort_retention",

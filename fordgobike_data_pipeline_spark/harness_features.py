@@ -1047,3 +1047,92 @@ def q_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("iso_raw", F.max("mj").over(Window.orderBy("i")))
     )
     return iso.select("day", "y", F.round("iso_raw", 9).alias("iso"))
+
+
+@query(
+    "q_decision_stump",
+    """
+    WITH pts AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS x,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    cand AS (
+        SELECT x, count(*) AS n, sum(y) AS pos
+        FROM pts GROUP BY x
+    ),
+    pre AS (
+        SELECT x,
+               sum(n) OVER w AS n_l, sum(pos) OVER w AS pos_l
+        FROM cand
+        WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT count(*) AS n_tot, sum(y) AS pos_tot FROM pts),
+    scored AS (
+        SELECT x, n_l, n_tot - n_l AS n_r,
+               round((
+                   CAST(n_l * n_l - pos_l * pos_l
+                        - (n_l - pos_l) * (n_l - pos_l) AS DOUBLE) / n_l
+                 + CAST((n_tot - n_l) * (n_tot - n_l)
+                        - (pos_tot - pos_l) * (pos_tot - pos_l)
+                        - ((n_tot - n_l) - (pos_tot - pos_l))
+                          * ((n_tot - n_l) - (pos_tot - pos_l)) AS DOUBLE)
+                       / (n_tot - n_l)
+               ) / n_tot, 12) AS gini
+        FROM pre, tot
+        WHERE n_tot - n_l > 0
+    )
+    SELECT round(CAST(x AS DOUBLE) / 100.0, 2) AS threshold,
+           round(gini, 9) AS best_gini,
+           n_l AS n_left,
+           n_r AS n_right
+    FROM scored
+    ORDER BY gini, x LIMIT 1
+    """,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump (1-level tree) exact split search in-engine:
+    the best value-threshold separating purchase events, by weighted
+    Gini impurity — the axis-aligned split primitive under every
+    gradient-boosted tree. Candidate thresholds are the DISTINCT
+    value cents (bounded: ≤100·max_value candidates no matter how
+    many events), so the prefix-sum window runs over the small
+    aggregate, never the fact rows; impurity is a ratio of
+    exact-integer squares (n²−pos²−neg²) with the two divisions done
+    in the same order on both engines, argmin with an exact-integer
+    threshold tiebreak. Splits with an empty right side are excluded
+    (n_r > 0)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    pts = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cand = pts.groupBy("x").agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = cand.select(
+        "x", F.sum("n").over(w).alias("n_l"), F.sum("pos").over(w).alias("pos_l")
+    )
+    tot = pts.agg(F.count(F.lit(1)).alias("n_tot"), F.sum("y").alias("pos_tot"))
+    j = pre.crossJoin(F.broadcast(tot)).filter(F.col("n_tot") - F.col("n_l") > 0)
+    neg_l = F.col("n_l") - F.col("pos_l")
+    n_r = F.col("n_tot") - F.col("n_l")
+    pos_r = F.col("pos_tot") - F.col("pos_l")
+    neg_r = n_r - pos_r
+    gini = F.round(
+        (
+            (F.col("n_l") * F.col("n_l") - F.col("pos_l") * F.col("pos_l") - neg_l * neg_l).cast("double") / F.col("n_l")
+            + (n_r * n_r - pos_r * pos_r - neg_r * neg_r).cast("double") / n_r
+        )
+        / F.col("n_tot"),
+        12,
+    )
+    scored = j.select("x", "n_l", n_r.alias("n_r"), gini.alias("gini"))
+    best = scored.agg(F.min(F.struct("gini", "x", "n_l", "n_r")).alias("b"))
+    return best.select(
+        F.round(F.col("b.x").cast("double") / 100.0, 2).alias("threshold"),
+        F.round(F.col("b.gini"), 9).alias("best_gini"),
+        F.col("b.n_l").alias("n_left"),
+        F.col("b.n_r").alias("n_right"),
+    )

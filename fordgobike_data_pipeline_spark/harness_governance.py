@@ -499,3 +499,38 @@ def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("a").cast("double") / S, 9).alias("authority"),
         )
     )
+
+
+@query(
+    "q_k_anonymity",
+    """
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                          / 100000.0) AS INT) AS bal_band
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS group_size
+    FROM qi
+    GROUP BY c_nationkey, c_mktsegment, bal_band
+    HAVING count(*) < 5
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, $1000 balance band): every group small
+    enough to re-identify a member — the privacy screen a dataset
+    passes before release, and the input to generalization (widen
+    bands / suppress rows) when it fails. One groupBy over the QI
+    projection; the band is floor of an exact-cents double division
+    so the bucket edge is bit-identical on both engines."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    band = F.floor(
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("double") / 100000.0
+    ).cast("int")
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )

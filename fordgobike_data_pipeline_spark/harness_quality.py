@@ -433,3 +433,89 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("prod").cast("double") / F.sum("prod"), 9
         ).alias("top_key_share"),
     )
+
+
+@query(
+    "q_kl_divergence",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    cnt AS (
+        SELECT w,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+        FROM tok WHERE w != '' GROUP BY w
+    ),
+    tot AS (
+        SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM cnt
+    ),
+    terms AS (
+        SELECT
+            CAST(round((CAST(ca + 1 AS DOUBLE) / (na + v))
+                * ln(CAST((ca + 1) * (nb + v) AS DOUBLE)
+                     / CAST((cb + 1) * (na + v) AS DOUBLE)) * 1e12) AS BIGINT) AS t_ab,
+            CAST(round((CAST(cb + 1 AS DOUBLE) / (nb + v))
+                * ln(CAST((cb + 1) * (na + v) AS DOUBLE)
+                     / CAST((ca + 1) * (nb + v) AS DOUBLE)) * 1e12) AS BIGINT) AS t_ba
+        FROM cnt, tot
+    )
+    SELECT round(CAST(sum(t_ab) AS DOUBLE) / 1e12, 9) AS kl_ab,
+           round(CAST(sum(t_ba) AS DOUBLE) / 1e12, 9) AS kl_ba,
+           (SELECT CAST(v AS BIGINT) FROM tot) AS vocab
+    FROM terms
+    """,
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence between two sources' unigram LMs (add-one
+    smoothed over the union vocabulary, both directions) — the
+    distribution-shift probe for corpus mixing: how unlike is src1's
+    language when coded with src0's model. Every ln() argument is an
+    exact-integer rational, each term is QUANTIZED to a 1e-12 BIGINT
+    and the total is an exact integer sum — the order-dependent
+    double Σ p·ln(p/q) never exists (the pagerank fixed-point
+    discipline applied to information measures). One token explode,
+    one vocab-level aggregate; the 1-row totals broadcast."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    t_ab = F.round(
+        ((F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")))
+        * F.log(
+            ((F.col("ca") + 1) * (F.col("nb") + F.col("v"))).cast("double")
+            / ((F.col("cb") + 1) * (F.col("na") + F.col("v"))).cast("double")
+        )
+        * 1e12
+    ).cast("long")
+    t_ba = F.round(
+        ((F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")))
+        * F.log(
+            ((F.col("cb") + 1) * (F.col("na") + F.col("v"))).cast("double")
+            / ((F.col("ca") + 1) * (F.col("nb") + F.col("v"))).cast("double")
+        )
+        * 1e12
+    ).cast("long")
+    vocab = tot.select(F.col("v").cast("long").alias("vocab"))
+    return (
+        j.select(t_ab.alias("t_ab"), t_ba.alias("t_ba"))
+        .agg(
+            F.round(F.sum("t_ab").cast("double") / 1e12, 9).alias("kl_ab"),
+            F.round(F.sum("t_ba").cast("double") / 1e12, 9).alias("kl_ba"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )

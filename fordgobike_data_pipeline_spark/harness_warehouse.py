@@ -982,3 +982,82 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
         )
     )
+
+
+@query(
+    "q_stream_stateful",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator, SQL-adjudicated: per-user
+    running totals via applyInPandasWithState (Arrow-batched per-key
+    state surviving across micro-batches), fed three JSON waves split
+    by event_id so state MUST carry across batches. The state
+    accumulates exact integer cents (stateful_user_sums_exact) —
+    order-independent no matter how rows shuffle into batches. Update
+    mode emits a row per user per batch; the final state per user is
+    recovered as max(struct(n_events, sum_cents)) — counts only grow —
+    and hash-compared to the batch groupBy of the original table,
+    putting the applyInPandasWithState path under the same oracle gate
+    as q_stream_mv/q_stream_dedup."""
+    import os
+    import tempfile
+
+    from .streaming import incremental
+    from pyspark.sql import types as T
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_stateful_q_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for wv in (0, 1, 2):
+        ev.filter(F.col("event_id") % 3 == wv).write.mode("overwrite").json(
+            os.path.join(landing, f"wave={wv}")
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .json(os.path.join(landing, "*"))
+    )
+    out_dir = os.path.join(root, "totals")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        # update-mode emissions can't go to a file sink directly;
+        # foreachBatch appends each batch's updated rows
+        batch.write.mode("append").parquet(out_dir)
+
+    (
+        incremental.stateful_user_sums_exact(stream)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.read.parquet(out_dir)
+    final = emitted.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "sum_cents")).alias("s")
+    )
+    return final.select(
+        "user_id", F.col("s.n_events").alias("n_events"), F.col("s.sum_cents").alias("sum_cents")
+    )

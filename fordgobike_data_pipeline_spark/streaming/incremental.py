@@ -539,3 +539,33 @@ def _cdc_batch(
     publish_overwrite(
         state.filter(F.col(op_col) != delete_op).drop(op_col), snapshot_path
     )
+
+
+def stateful_user_sums_exact(events: DataFrame) -> DataFrame:
+    """stateful_user_totals with EXACT integer accumulation: the state
+    carries (count, value CENTS) as BIGINTs, so the running total is
+    order-independent across micro-batches, shuffle orders, and
+    restarts — the variant whose final state can be hash-compared to a
+    batch aggregation (doubles in state would drift with partition
+    order). Input needs a ``value_cents`` BIGINT column."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state):
+        (user_id,) = key
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            cents += int(pdf["value_cents"].sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [cnt], "sum_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_cents BIGINT",
+        stateStructType="cnt BIGINT, cents BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
