@@ -262,6 +262,10 @@ HEADLINE = [
     "q_k_anonymity",
     "q_kl_divergence",
     "q_stream_stateful",
+    "q_assortativity",
+    "q_modularity",
+    "q_backtest_snaive",
+    "q_xcorr_lags",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

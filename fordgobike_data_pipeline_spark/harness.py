@@ -128,7 +128,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_tpch_q9, q_max_concurrency, q_kendall_tau, q_mutual_information,
     # q_matryoshka_recall, q_stream_dedup, and the wave-15 additions
     # q_decision_stump, q_k_anonymity, q_kl_divergence,
-    # q_stream_stateful (= 81 total; r7's 50-slot
+    # q_stream_stateful, and the wave-16 additions q_assortativity,
+    # q_modularity, q_backtest_snaive, q_xcorr_lags (= 85 total; r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).
     "q_cohort_retention",

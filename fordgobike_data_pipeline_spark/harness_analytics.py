@@ -2132,3 +2132,130 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_term"
         ),
     )
+
+
+@query(
+    "q_backtest_snaive",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_eval_days,
+           round(CAST(sum(abs(a.n - b.n)) AS DOUBLE) / count(*), 9) AS mae,
+           round(CAST(sum(a.n - b.n) AS DOUBLE) / count(*), 9) AS bias
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.day = a.day - INTERVAL 7 DAY
+    GROUP BY a.event_type
+    """,
+)
+def q_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (ŷ_d = y_{d−7}) on daily event volumes — the baseline every
+    forecasting model must beat, evaluated in-engine. MAE and bias
+    are exact-integer sums of count differences divided once; the
+    join is the aggregate against its own 7-day shift (tiny, on
+    (type, day)), never the raw events."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("n_b"),
+    )
+    j = daily.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("day_b") == F.date_sub(F.col("day"), 7)),
+    )
+    diff = F.col("n") - F.col("n_b")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval_days"),
+        F.round(F.sum(F.abs(diff)).cast("double") / F.count(F.lit(1)), 9).alias("mae"),
+        F.round(F.sum(diff).cast("double") / F.count(F.lit(1)), 9).alias("bias"),
+    )
+
+
+@query(
+    "q_xcorr_lags",
+    """
+    WITH cx AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY CAST(ts AS DATE)
+    ),
+    cy AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    ),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    paired AS (
+        SELECT l.lag, cx.x, cy.y
+        FROM lags l
+        JOIN cx ON TRUE
+        JOIN cy ON cy.day = cx.day + CAST(l.lag AS INT) * INTERVAL 1 DAY
+    ),
+    s AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM paired GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n AS n_days,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0
+                  OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <= 0
+                THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9)
+           END AS r
+    FROM s
+    """,
+)
+def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase daily
+    series (lags −3…+3) — the lead/lag discovery probe (does click
+    volume predict purchases days ahead?). Pearson at each lag from
+    exact-BIGINT moments with the q_assortativity double-formula
+    discipline; the 7-row lag spine explodes against the day-level
+    aggregates only. Zero-variance lags surface as NULL rather than a
+    division blow-up."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cx = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    cy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day_y"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = ev.sparkSession.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    paired = (
+        cx.crossJoin(F.broadcast(lags))
+        .join(cy, F.col("day_y") == F.expr("date_add(day, lag)"))
+        .select("lag", "x", "y")
+    )
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    varx = nd * F.col("sxx") - sxd * F.col("sx")
+    vary = nd * F.col("syy") - syd * F.col("sy")
+    r = F.when(
+        (varx <= 0) | (vary <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round((nd * F.col("sxy") - sxd * F.col("sy")) / (F.sqrt(varx) * F.sqrt(vary)), 9)
+    )
+    return s.select("lag", F.col("n").alias("n_days"), r.alias("r"))

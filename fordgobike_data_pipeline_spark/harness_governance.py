@@ -534,3 +534,161 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < 5)
     )
+
+
+_COPURCHASE_BI_CTE = """
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+        SELECT DISTINCT x.p AS u, y.p AS v
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+    ),
+    bi AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY src)
+"""
+
+
+@query(
+    "q_assortativity",
+    f"""
+    WITH {_COPURCHASE_BI_CTE},
+    xy AS (
+        SELECT ds.d AS x, dd.d AS y
+        FROM bi JOIN deg ds ON ds.n = bi.src
+                JOIN deg dd ON dd.n = bi.dst
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM xy
+    )
+    SELECT m AS n_directed_edges,
+           round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9)
+               AS assortativity
+    FROM s
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Pearson
+    correlation of endpoint degrees over the directed edge list, the
+    standard do-hubs-link-to-hubs probe (negative = hub-and-spoke,
+    positive = core-periphery). Every moment (Σx, Σx², Σxy) is an
+    exact BIGINT accumulated over edges; the Pearson formula then
+    runs in double with the identical operation order on both
+    engines (products of exact ints are correctly rounded; sqrt is
+    IEEE-exact). Two broadcast-joinable aggregates (degree table),
+    one edge-list scan."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    y2 = op.select(F.col("o"), F.col("p").alias("q"))
+    e0 = op.join(y2, "o").filter(F.col("p") < F.col("q")).select("p", "q").distinct()
+    bi = e0.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
+        e0.select(F.col("q").alias("src"), F.col("p").alias("dst"))
+    )
+    deg = bi.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        bi.join(deg.select(F.col("n").alias("ns"), F.col("d").alias("x")), F.col("src") == F.col("ns"))
+        .join(deg.select(F.col("n").alias("nd"), F.col("d").alias("y")), F.col("dst") == F.col("nd"))
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(
+            (md * F.col("sxy") - sxd * F.col("sy"))
+            / (
+                F.sqrt(md * F.col("sxx") - sxd * F.col("sx"))
+                * F.sqrt(md * F.col("syy") - syd * F.col("sy"))
+            ),
+            9,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "q_modularity",
+    f"""
+    WITH {_COPURCHASE_BI_CTE},
+    lab AS (SELECT p_partkey, p_brand FROM part),
+    e AS (
+        SELECT ls.p_brand AS b_src, ld.p_brand AS b_dst
+        FROM bi JOIN lab ls ON ls.p_partkey = bi.src
+                JOIN lab ld ON ld.p_partkey = bi.dst
+    ),
+    m2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    per_c AS (
+        SELECT b_src AS community,
+               CAST(sum(CASE WHEN b_src = b_dst THEN 1 ELSE 0 END) AS BIGINT) AS e_in,
+               CAST(count(*) AS BIGINT) AS d_c
+        FROM e GROUP BY b_src
+    ),
+    terms AS (
+        SELECT CAST(round((CAST(e_in AS DOUBLE) / m
+                   - (CAST(d_c AS DOUBLE) / m) * (CAST(d_c AS DOUBLE) / m)) * 1e12)
+                 AS BIGINT) AS t
+        FROM per_c, m2
+    )
+    SELECT round(CAST(sum(t) AS DOUBLE) / 1e12, 9) AS modularity,
+           CAST((SELECT count(*) FROM per_c) AS INT) AS n_communities,
+           (SELECT m FROM m2) AS n_directed_edges
+    FROM terms
+    """,
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition on the co-purchase
+    graph — Q = Σ_c [e_c/2m − (d_c/2m)²], the did-my-communities-
+    capture-the-structure score for any clustering (here: does brand
+    predict co-purchase?). Per-community terms come from ONE pass
+    over the labeled directed edge list (brand labels broadcast);
+    each term is quantized to a 1e-12 BIGINT so Σ over communities
+    is exact — same discipline as q_kl_divergence."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    part = load_tables(spark, sf_dir, ("part",))["part"].select("p_partkey", "p_brand")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    y2 = op.select(F.col("o"), F.col("p").alias("q"))
+    e0 = op.join(y2, "o").filter(F.col("p") < F.col("q")).select("p", "q").distinct()
+    bi = e0.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
+        e0.select(F.col("q").alias("src"), F.col("p").alias("dst"))
+    )
+    lab_s = part.select(F.col("p_partkey").alias("ks"), F.col("p_brand").alias("b_src"))
+    lab_d = part.select(F.col("p_partkey").alias("kd"), F.col("p_brand").alias("b_dst"))
+    e = (
+        bi.join(F.broadcast(lab_s), F.col("src") == F.col("ks"))
+        .join(F.broadcast(lab_d), F.col("dst") == F.col("kd"))
+        .select("b_src", "b_dst")
+    )
+    m2 = e.agg(F.count(F.lit(1)).alias("m"))
+    per_c = e.groupBy(F.col("b_src").alias("community")).agg(
+        F.sum(F.when(F.col("b_src") == F.col("b_dst"), 1).otherwise(0)).alias("e_in"),
+        F.count(F.lit(1)).alias("d_c"),
+    )
+    md = F.col("m").cast("double")
+    term = F.round(
+        (F.col("e_in").cast("double") / md
+         - (F.col("d_c").cast("double") / md) * (F.col("d_c").cast("double") / md))
+        * 1e12
+    ).cast("long")
+    n_comm = per_c.agg(F.count(F.lit(1)).cast("int").alias("n_communities"))
+    return (
+        per_c.crossJoin(F.broadcast(m2))
+        .select(term.alias("t"), F.col("m"))
+        .agg(
+            F.round(F.sum("t").cast("double") / 1e12, 9).alias("modularity"),
+            F.max("m").alias("n_directed_edges"),
+        )
+        .crossJoin(F.broadcast(n_comm))
+        .select("modularity", "n_communities", "n_directed_edges")
+    )
