@@ -777,10 +777,10 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22",
     """
     WITH pool AS (
-      SELECT right(c_name, 2) AS cntrycode, c_custkey,
+      SELECT right(c_name, 1) AS cntrycode, c_custkey,
              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
       FROM customer
-      WHERE right(c_name, 2) IN ('01', '13', '25', '07', '19')
+      WHERE right(c_name, 1) IN ('1', '3', '5', '7', '9')
     ),
     pos AS (
       SELECT count(*) AS pos_cnt, sum(bal_cents) AS pos_sum
@@ -790,24 +790,32 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(bal_cents) AS DOUBLE) / 100.0, 9) AS totacctbal
     FROM pool, pos
     WHERE bal_cents * pos_cnt > pos_sum
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND CAST(o_orderdate AS DATE) >= DATE '2000-07-01'
+      )
     GROUP BY cntrycode
     """,
 )
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 (global sales opportunity), adapted: no c_phone
-    column, so the country code is the last two digits of c_name.
+    """TPC-H Q22 (global sales opportunity), adapted twice: no c_phone
+    column, so the country code is the last digit of c_name; and this
+    testdata has no order-less customers at all, so "never ordered"
+    becomes "dormant since 2000-07" (every customer has orders — the
+    verbatim anti-join would be structurally empty and prove nothing).
     Preserves all three Q22 mechanics: a scalar subquery (average
     positive balance — realized as an exact integer cross-multiply
     bal·cnt > Σbal so no float average exists), a NOT EXISTS
-    anti-join against orders, and the final small-domain rollup.
-    The 1-row scalar broadcasts; the anti-join is the only shuffle."""
+    anti-join against (recent) orders, and the final small-domain
+    rollup. The 1-row scalar broadcasts; the anti-join is the only
+    shuffle."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     pool = (
         t["customer"]
-        .filter(F.expr("right(c_name, 2)").isin("01", "13", "25", "07", "19"))
+        .filter(F.expr("right(c_name, 1)").isin("1", "3", "5", "7", "9"))
         .select(
-            F.expr("right(c_name, 2)").alias("cntrycode"),
+            F.expr("right(c_name, 1)").alias("cntrycode"),
             "c_custkey",
             F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
         )
@@ -818,10 +826,13 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = pool.crossJoin(F.broadcast(pos)).filter(
         F.col("bal_cents") * F.col("pos_cnt") > F.col("pos_sum")
     )
+    recent = (
+        t["orders"]
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-07-01").cast("date"))
+        .select("o_custkey")
+    )
     no_orders = rich.join(
-        t["orders"].select("o_custkey"),
-        F.col("c_custkey") == F.col("o_custkey"),
-        "left_anti",
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     )
     return no_orders.groupBy("cntrycode").agg(
         F.count(F.lit(1)).alias("numcust"),
