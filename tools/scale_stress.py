@@ -343,6 +343,73 @@ def main() -> None:
         similarity.nearest_centroid_eval(emb_lbl),
     )
 
+    # round-6 session-2 operators ------------------------------------
+    # TPC-H plan shapes on n-replicated lineitem: Q1 is the pure
+    # scan+partial-agg ceiling (6 groups regardless of n); Q18's
+    # HAVING-filtered per-order sums grow the shuffle n-fold but the
+    # qualifying set stays sparse.
+    li_full = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"), "l_orderkey", n
+    )
+    q1_agg = li_full.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    timed(spark, "tpch_q1_shape", q1_agg)
+    big = (
+        li_full.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    timed(spark, "tpch_q18_having", big)
+
+    # interval concurrency: the sweep partitions by DAY, so n-fold
+    # event replication grows each per-day partition n-fold while the
+    # partition COUNT stays at the day span — the documented pinch
+    # (partitions ∝ days); re-keying the sweep by (day, hour) is the
+    # scale lever when day-partitions outgrow executors.
+    from fordgobike_data_pipeline_spark.operators import sessions as sess_ops  # noqa: E402
+
+    sess = sess_ops.session_windows(
+        events.withColumn("value", F.lit(0.0)), gap_seconds=1800
+    ).select("session_start", "session_end")
+    timed(spark, "concurrency_by_day", sess_ops.concurrency_by_day(sess))
+
+    # graph-level metrics on the n-replicated co-purchase edges:
+    # disjoint copies scale |E| n-fold; both are one labeled-edge scan
+    # over exact-integer moments after the shared edge build.
+    bi = copurchase.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        copurchase.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = bi.groupBy(F.col("src").alias("nn")).agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        bi.join(deg.select(F.col("nn").alias("ns"), F.col("d").alias("x")), F.col("src") == F.col("ns"))
+        .join(deg.select(F.col("nn").alias("nd"), F.col("d").alias("y")), F.col("dst") == F.col("nd"))
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    timed(spark, "assortativity_moments", xy)
+
+    # decision stump: candidate thresholds are DISTINCT cents, bounded
+    # by the value domain — near-flat in n by construction.
+    evv = load_tables(spark, SF_DIR, ("events",))["events"].select("event_type", "value")
+    evv_n = evv
+    for _ in range(n - 1):
+        evv_n = evv_n.unionByName(evv)
+    cand = evv_n.groupBy(F.round(F.col("value") * 100).cast("long").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos"),
+    )
+    timed(spark, "stump_candidates", cand)
+
     spark.stop()  # flush the event log
     parse_event_log(evdir)
     skews = [r["worst_skew"] for r in RESULTS if r["worst_skew"] is not None]
