@@ -266,6 +266,12 @@ HEADLINE = [
     "q_modularity",
     "q_backtest_snaive",
     "q_xcorr_lags",
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -129,7 +129,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_matryoshka_recall, q_stream_dedup, and the wave-15 additions
     # q_decision_stump, q_k_anonymity, q_kl_divergence,
     # q_stream_stateful, and the wave-16 additions q_assortativity,
-    # q_modularity, q_backtest_snaive, q_xcorr_lags (= 85 total; r7's 50-slot
+    # q_modularity, q_backtest_snaive, q_xcorr_lags, and the wave-17
+    # TPC-H completions q_tpch_q2, q_tpch_q11, q_tpch_q12, q_tpch_q16,
+    # q_tpch_q20, q_tpch_q21 (= 91 total; r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).
     "q_cohort_retention",

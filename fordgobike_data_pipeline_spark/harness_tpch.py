@@ -884,3 +884,350 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rc").cast("double") / 10000.0, 9).alias("sum_profit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 17: the remaining six TPC-H queries (Q2, Q11, Q12, Q16,
+# Q20, Q21) — each needs a column the testdata lacks (partsupp,
+# l_shipmode, l_commitdate/receiptdate, p_container, s_comment), so the
+# supply relation derives from lineitem, "late" = shipped >60 days
+# after ordering, and the complaint list = at-risk account balances.
+# With these, the engine runs the COMPLETE 22-query TPC-H family.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q2",
+    """
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS cost_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, cost_cents
+        FROM part JOIN supply ON p_partkey = l_partkey
+                  JOIN eur ON l_suppkey = s_suppkey
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+    ),
+    mn AS (SELECT p_partkey AS mpk, min(cost_cents) AS mc FROM cand GROUP BY p_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM cand JOIN mn ON p_partkey = mpk AND cost_cents = mc
+    ORDER BY cost_cents DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp, so the
+    supply relation is the DISTINCT (part, supplier) pairs observed in
+    lineitem and supply cost is the supplier's account balance. Keeps
+    Q2's defining shape — a correlated MIN subquery per part over a
+    region-pruned supplier set — realized as a per-part min aggregate
+    joined back on (part, cost=min), ties kept like the original.
+    nation⋈region prune and broadcast into supplier; the top-100 is
+    an exact-integer-keyed TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    supply = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    eur_nat = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    eur = t["supplier"].join(
+        F.broadcast(eur_nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        "n_name",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cost_cents"),
+    )
+    parts = t["part"].filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    cand = (
+        supply.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mpk")).agg(F.min("cost_cents").alias("mc"))
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("mpk")) & (F.col("cost_cents") == F.col("mc")),
+        )
+        .orderBy(F.desc("cost_cents"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
+
+
+@query(
+    "q_tpch_q11",
+    f"""
+    WITH v AS (
+        SELECT l_partkey, sum({_REV_CENTS_SQL}) AS val
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    ),
+    t AS (SELECT sum(val) AS tv FROM v)
+    SELECT l_partkey, round(CAST(val AS DOUBLE) / 10000.0, 9) AS value
+    FROM v, t
+    WHERE val * 500 > tv
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: no
+    partsupp availqty·supplycost, so a part's "stock value" is its
+    revenue through NATION_3 suppliers. Keeps Q11's defining shape —
+    a grouped aggregate HAVING-filtered against a scalar-subquery
+    fraction of the global total — with the fraction as the exact
+    integer cross-multiply val·500 > Σval (no float threshold
+    exists). The 1-row total broadcasts back onto the per-part
+    aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    n3 = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = t["supplier"].join(
+        F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_cents()).alias("val"))
+    )
+    tv = v.agg(F.sum("val").alias("tv"))
+    return (
+        v.crossJoin(F.broadcast(tv))
+        .filter(F.col("val") * 500 > F.col("tv"))
+        .select(
+            "l_partkey", F.round(F.col("val").cast("double") / 10000.0, 9).alias("value")
+        )
+    )
+
+
+@query(
+    "q_tpch_q12",
+    """
+    SELECT l_returnflag AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: no
+    l_shipmode column, so lines class by l_returnflag, and "arrived
+    late" (commit < receipt) becomes shipped >60 days after ordering.
+    Keeps Q12's defining shape: a fact-fact join filtered by a
+    cross-table date predicate feeding a conditional two-way
+    priority count — the CASE pivot inside one aggregation, not two
+    scans."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority"
+    )
+    li = (
+        t["lineitem"]
+        .withColumn("l_shipdate", F.to_date("l_shipdate"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q16",
+    """
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM supply JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the supply
+    relation derives from lineitem and the complaint exclusion list
+    (s_comment LIKE '%Customer%Complaints%') becomes at-risk account
+    balances (< $2000). Keeps Q16's defining shape: a NOT IN
+    subquery (anti-join against the exclusion list, BEFORE the
+    aggregate so excluded suppliers never count), a negated brand
+    predicate and an IN-list size filter on the part dim, and a
+    COUNT(DISTINCT) per attribute combination."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    supply = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 2000).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        supply.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    f"""
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    ps AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+                         AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+                        THEN {_QTY_SQL} ELSE 0 END) AS q97,
+               sum({_QTY_SQL}) AS qt
+        FROM lineitem SEMI JOIN red ON l_partkey = p_partkey
+        GROUP BY l_partkey, l_suppkey
+    ),
+    hot AS (SELECT DISTINCT l_suppkey FROM ps WHERE 2 * q97 > qt)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  SEMI JOIN hot ON s_suppkey = l_suppkey
+    WHERE n_name = 'NATION_3'
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no partsupp
+    availqty, so the correlated "availqty > 0.5 × year's shipped
+    quantity" becomes "1997 shipped over half of all-time shipped"
+    per (red part, supplier) — the exact cross-multiply 2·q97 > qt.
+    Keeps Q20's defining shape: NESTED semi-join reduction (name-
+    filtered parts → correlated quantity threshold per part-supplier
+    → distinct suppliers → nation filter), every stage shrinking the
+    candidate set before the next."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    red = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    in97 = F.to_date("l_shipdate").between(
+        F.lit("1997-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+    )
+    ps = (
+        t["lineitem"]
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in97, _qty()).otherwise(F.lit(0))).alias("q97"),
+            F.sum(_qty()).alias("qt"),
+        )
+    )
+    hot = ps.filter(2 * F.col("q97") > F.col("qt")).select("l_suppkey").distinct()
+    n3 = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey", "n_name")
+    return (
+        t["supplier"]
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(hot), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    """
+    WITH l AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk, CAST(l_shipdate AS DATE) AS sd
+        FROM lineitem
+    ),
+    od AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    marked AS (
+        SELECT ok, sk, CASE WHEN sd > odate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+        FROM l JOIN od ON o_orderkey = ok
+    ),
+    per_order AS (
+        SELECT ok, count(DISTINCT sk) AS n_supp,
+               count(DISTINCT CASE WHEN late = 1 THEN sk END) AS n_late_supp
+        FROM marked GROUP BY ok
+    ),
+    waiting AS (
+        SELECT m.sk, count(*) AS numwait
+        FROM marked m JOIN per_order p ON m.ok = p.ok
+        WHERE m.late = 1 AND p.n_supp >= 2 AND p.n_late_supp = 1
+        GROUP BY m.sk
+    )
+    SELECT s_name, numwait
+    FROM waiting JOIN supplier ON sk = s_suppkey
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late"
+    is shipped >60 days after ordering (no commit/receipt dates).
+    Keeps Q21's defining shape — the double-correlated EXISTS/NOT
+    EXISTS ("another supplier on the order; no OTHER supplier was
+    late") — decorrelated into ONE per-order aggregate (distinct
+    suppliers, distinct late suppliers) joined back: n_supp ≥ 2 ∧
+    n_late_supp = 1 ⇔ the original pair of correlated subqueries,
+    with one shuffle instead of two self-joins. Top-20 by exact
+    integer numwait with a name tiebreak."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    l = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        F.to_date("l_shipdate").alias("sd"),
+    )
+    od = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("odate"))
+    )
+    marked = l.join(od, F.col("o_orderkey") == F.col("ok")).select(
+        "ok",
+        "sk",
+        F.when(F.col("sd") > F.date_add(F.col("odate"), 60), 1).otherwise(0).alias("late"),
+    )
+    per_order = marked.groupBy("ok").agg(
+        F.countDistinct("sk").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("sk"))).alias("n_late_supp"),
+    )
+    waiting = (
+        marked.filter(F.col("late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)).select("ok"),
+            "ok",
+            "left_semi",
+        )
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(
+            t["supplier"].select("s_suppkey", "s_name"), F.col("sk") == F.col("s_suppkey")
+        )
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+        .select("s_name", "numwait")
+    )
