@@ -131,7 +131,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_stream_stateful, and the wave-16 additions q_assortativity,
     # q_modularity, q_backtest_snaive, q_xcorr_lags, and the wave-17
     # TPC-H completions q_tpch_q2, q_tpch_q11, q_tpch_q12, q_tpch_q16,
-    # q_tpch_q20, q_tpch_q21 (= 91 total; r7's 50-slot
+    # q_tpch_q20, q_tpch_q21, and the wave-18 additions
+    # q_stream_session, q_stream_window, q_agg_breadth (= 94 total;
+    # r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).
     "q_cohort_retention",
@@ -1567,4 +1569,46 @@ def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "sum_value",
         )
+    )
+
+
+@query(
+    "q_agg_breadth",
+    """
+    WITH o AS (
+        SELECT o_orderpriority, o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           max_by(o_orderkey, pc * 10000000 + o_orderkey) AS biggest_order,
+           min_by(o_orderkey, pc * 10000000 + o_orderkey) AS cheapest_order,
+           count_if(pc > 5000000) AS n_big,
+           bool_and(o_orderstatus IN ('F', 'O', 'P')) AS all_status_known,
+           bool_or(o_orderstatus = 'F') AS any_fulfilled
+    FROM o GROUP BY o_orderpriority
+    """,
+)
+def q_agg_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth: max_by/min_by (argmax/argmin),
+    count_if, bool_and/bool_or — the modern aggregate surface beyond
+    SUM/COUNT, one shuffle. Determinism: max_by ties are broken by
+    folding the row id into the ordering key (price_cents·1e7 +
+    orderkey — exact BIGINT, unique per row; widen the multiplier with
+    the key domain at larger scale), so the argmax is a total order,
+    never engine-arbitrary."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    key = F.col("pc") * 10000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+        F.count_if(F.col("pc") > 5000000).alias("n_big"),
+        F.bool_and(F.col("o_orderstatus").isin("F", "O", "P")).alias("all_status_known"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_fulfilled"),
     )

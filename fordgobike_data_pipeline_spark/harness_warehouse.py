@@ -1061,3 +1061,181 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", F.col("s.n_events").alias("n_events"), F.col("s.sum_cents").alias("sum_cents")
     )
+
+
+@query(
+    "q_stream_session",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING native session windows, SQL-adjudicated: events
+    stream in as per-wave JSON files, F.session_window(ts, 30 min)
+    aggregates under a 1-hour watermark in APPEND mode (sessions emit
+    only when the watermark passes their close — the production path,
+    with state eviction). Append mode leaves the newest sessions open
+    forever on bounded input, so the landing gets a FLUSH SENTINEL —
+    one dummy event 10 hours past the data's horizon — which advances
+    the global watermark past every real session's close; the final
+    no-data micro-batch then emits them all and only the sentinel's
+    own session stays in state. The oracle is the batch gap-formulation
+    with NATIVE semantics (a gap of exactly 30:00 starts a NEW session
+    — `>=`, unlike q_sessionize's `>` — and end = last event + gap).
+    Hash parity proves watermark + merge-on-arrival streaming sessions
+    ≡ batch sessionization."""
+    import os
+    import tempfile
+
+    from .operators import sessions as sess_ops
+    from pyspark.sql import types as T
+
+    # ts ships as epoch MICROS (long): Spark's JSON timestamp format
+    # truncates to milliseconds, which would shift session bounds
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    horizon_us = ev.agg(F.max("ts_us").alias("m")).collect()[0].m
+    root = tempfile.mkdtemp(prefix="stream_session_q_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for wv in (0, 1):
+        ev.filter(F.col("event_id") % 2 == wv).write.mode("overwrite").json(
+            os.path.join(landing, f"wave={wv}")
+        )
+    flush = spark.createDataFrame(
+        [(-1, -1, horizon_us + 10 * 3600 * 1_000_000)],
+        "event_id long, user_id long, ts_us long",
+    )
+    flush.write.mode("overwrite").json(os.path.join(landing, "wave=z_flush"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(os.path.join(landing, "*"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    sessions = sess_ops.session_windows_native(
+        stream.withWatermark("ts", "1 hour"), gap="30 minutes"
+    )
+    out_dir = os.path.join(root, "sessions")
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
+    "q_stream_window",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+           count(*) AS cnt,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY bucket_start
+    """,
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tumbling-window aggregation, SQL-adjudicated: 1-hour
+    event-time windows under a 1-hour watermark in APPEND mode (the
+    production shape: windows emit exactly once, state evicts as the
+    watermark passes). Same flush-sentinel protocol as
+    q_stream_session — one dummy event 10 hours past the horizon
+    closes every real window; timestamps ship as epoch micros around
+    JSON's millisecond truncation; value totals are exact integer
+    cents. The oracle is the batch time_bucket aggregation — hash
+    parity proves exactly-once window emission ≡ batch bucketing."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    horizon_us = ev.agg(F.max("ts_us").alias("m")).collect()[0].m
+    root = tempfile.mkdtemp(prefix="stream_window_q_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for wv in (0, 1):
+        ev.filter(F.col("event_id") % 2 == wv).write.mode("overwrite").json(
+            os.path.join(landing, f"wave={wv}")
+        )
+    flush = spark.createDataFrame(
+        [(-1, horizon_us + 10 * 3600 * 1_000_000, 0)],
+        "event_id long, ts_us long, value_cents long",
+    )
+    flush.write.mode("overwrite").json(os.path.join(landing, "wave=z_flush"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(os.path.join(landing, "*"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        # the sentinel flows THROUGH the watermark (filtering it here
+        # would leave the last real windows unflushed); its own window
+        # never closes, so it never reaches the append sink
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "cnt", "sum_cents")
+    )
+    out_dir = os.path.join(root, "windows")
+    (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir).select("bucket_start", "cnt", "sum_cents")
