@@ -132,7 +132,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_modularity, q_backtest_snaive, q_xcorr_lags, and the wave-17
     # TPC-H completions q_tpch_q2, q_tpch_q11, q_tpch_q12, q_tpch_q16,
     # q_tpch_q20, q_tpch_q21, and the wave-18 additions
-    # q_stream_session, q_stream_window, q_agg_breadth (= 94 total;
+    # q_stream_session, q_stream_window, q_agg_breadth, and the
+    # wave-19 additions q_bootstrap_ci, q_try_funcs (= 96 total;
     # r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).
@@ -1611,4 +1612,38 @@ def q_agg_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("pc") > 5000000).alias("n_big"),
         F.bool_and(F.col("o_orderstatus").isin("F", "O", "P")).alias("all_status_known"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_fulfilled"),
+    )
+
+
+@query(
+    "q_try_funcs",
+    """
+    SELECT c_custkey,
+           TRY_CAST(right(c_name, 3) AS INT) AS name_suffix_num,
+           TRY_CAST(c_mktsegment AS INT) AS segment_as_num,
+           round(CASE WHEN c_custkey % 7 = 0 THEN NULL
+                      ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+                           / CAST(c_custkey % 7 AS DOUBLE) END, 6) AS safe_ratio,
+           string_split(c_name, '#')[3] AS missing_part
+    FROM customer
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety function breadth — the error-absorbing variants a
+    pipeline uses so one malformed row can't fail a 100 TB job:
+    try_cast on digits (parses) and on a non-numeric string (NULL,
+    not an exception), try_divide with a zero divisor (NULL), and
+    try_element_at past the end of an array (NULL). The oracle mirrors
+    each as DuckDB's TRY_CAST / CASE-guarded division / out-of-range
+    list index."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return cust.select(
+        "c_custkey",
+        F.expr("try_cast(right(c_name, 3) AS INT)").alias("name_suffix_num"),
+        F.expr("try_cast(c_mktsegment AS INT)").alias("segment_as_num"),
+        F.round(
+            F.try_divide(cents, (F.col("c_custkey") % 7).cast("double")), 6
+        ).alias("safe_ratio"),
+        F.try_element_at(F.split(F.col("c_name"), "#"), F.lit(3)).alias("missing_part"),
     )

@@ -2259,3 +2259,112 @@ def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((nd * F.col("sxy") - sxd * F.col("sy")) / (F.sqrt(varx) * F.sqrt(vary)), 9)
     )
     return s.select("lag", F.col("n").alias("n_days"), r.alias("r"))
+
+
+_BOOT_H_SQL = (
+    "md5(CAST(event_id AS VARCHAR) || ':' || CAST(k AS VARCHAR))"
+)
+
+
+@query(
+    "q_bootstrap_ci",
+    f"""
+    WITH pts AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    hashes AS (
+        SELECT event_id, x, k, {_BOOT_H_SQL} AS h
+        FROM pts, (SELECT unnest(generate_series(0, 24)) AS k)
+    ),
+    draws AS (
+        SELECT x, k * 4 + j AS b,
+               CAST(CAST(from_hex('00' || substr(h, 1 + 6 * j, 6)) AS BIT) AS BIGINT) AS u
+        FROM hashes, (SELECT unnest(generate_series(0, 3)) AS j)
+    ),
+    w AS (
+        SELECT b, x,
+               CASE WHEN u < 6171993 THEN 0
+                    WHEN u < 12343986 THEN 1
+                    WHEN u < 15429982 THEN 2
+                    WHEN u < 16458648 THEN 3
+                    ELSE 4 END AS wt
+        FROM draws
+    ),
+    means AS (
+        SELECT b, round(CAST(sum(wt * x) AS DOUBLE) / sum(wt) / 100.0, 9) AS mean_b
+        FROM w GROUP BY b HAVING sum(wt) > 0
+    ),
+    ranked AS (
+        SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn,
+               count(*) OVER () AS nb
+        FROM means
+    )
+    SELECT max(nb) AS n_resamples,
+           max(CASE WHEN rn = 3 THEN mean_b END) AS ci_lo,
+           max(CASE WHEN rn = 50 THEN mean_b END) AS ci_median,
+           max(CASE WHEN rn = 98 THEN mean_b END) AS ci_hi
+    FROM ranked
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value, fully
+    in-engine and fully DETERMINISTIC: resample weights are Poisson(1)
+    approximated by inverse-CDF cutoffs on md5-derived uniforms keyed
+    on (event_id, resample) — both engines draw the SAME 100 resamples,
+    bootstrap as pseudorandomness, not sampling. Hash cost is amortized
+    4×: one md5 per (row, k) yields FOUR independent 24-bit uniforms
+    (6 hex digits each), so 25 hashes serve 100 resamples. Each
+    resample mean is exact-integer cents / exact weight sum (one
+    division); CI bounds are POSITIONAL order statistics over the 100
+    means (rank 3 / 50 / 98), never an interpolated percentile. Scale
+    shape: rows × 25 flatMap into one map-side-combinable aggregate
+    per resample — no per-resample scan, no driver loop; the result is
+    bounded at 100 rows whatever the table size."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    pts = ev.select("event_id", F.round(F.col("value") * 100).cast("long").alias("x"))
+    hashes = pts.crossJoin(
+        F.broadcast(ev.sparkSession.range(0, 25).select(F.col("id").alias("k")))
+    ).select(
+        "x",
+        "k",
+        F.md5(
+            F.concat_ws(":", F.col("event_id").cast("string"), F.col("k").cast("string"))
+        ).alias("h"),
+    )
+    draws = hashes.crossJoin(
+        F.broadcast(ev.sparkSession.range(0, 4).select(F.col("id").alias("j")))
+    ).select(
+        "x",
+        (F.col("k") * 4 + F.col("j")).alias("b"),
+        F.conv(F.expr("substr(h, 1 + 6 * j, 6)"), 16, 10)
+        .cast("long")
+        .alias("u"),
+    )
+    wt = (
+        F.when(F.col("u") < 6171993, 0)
+        .when(F.col("u") < 12343986, 1)
+        .when(F.col("u") < 15429982, 2)
+        .when(F.col("u") < 16458648, 3)
+        .otherwise(4)
+    )
+    means = (
+        draws.select("b", "x", wt.alias("wt"))
+        .groupBy("b")
+        .agg(F.sum(F.col("wt") * F.col("x")).alias("sw"), F.sum("wt").alias("w"))
+        .filter(F.col("w") > 0)
+        .select("b", F.round(F.col("sw").cast("double") / F.col("w") / 100.0, 9).alias("mean_b"))
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "mean_b",
+        F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    return ranked.agg(
+        F.max("nb").alias("n_resamples"),
+        F.max(F.when(F.col("rn") == 3, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 50, F.col("mean_b"))).alias("ci_median"),
+        F.max(F.when(F.col("rn") == 98, F.col("mean_b"))).alias("ci_hi"),
+    )
