@@ -61,7 +61,11 @@ def main() -> None:
         rows = qs[name](spark, sf_dir).collect()
         dt = time.perf_counter() - t0
         total += dt
-        print(f"  {name:<11} {title:<22} {dt:>6.2f}s  {describe(rows)}")
+        try:
+            desc = describe(rows) if rows else "0 rows"
+        except (TypeError, IndexError):  # NULL aggregates on foreign corpora
+            desc = f"{len(rows)} rows"
+        print(f"  {name:<11} {title:<22} {dt:>6.2f}s  {desc}")
     print(f"\n{len(QUERIES)} queries in {total:.1f}s")
     spark.stop()
 

@@ -583,12 +583,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact). Two broadcast-joinable aggregates (degree table),
     one edge-list scan."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    y2 = op.select(F.col("o"), F.col("p").alias("q"))
-    e0 = op.join(y2, "o").filter(F.col("p") < F.col("q")).select("p", "q").distinct()
-    bi = e0.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
-        e0.select(F.col("q").alias("src"), F.col("p").alias("dst"))
-    )
+    bi = graph.copurchase_bidirected(li)
     deg = bi.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
     xy = (
         bi.join(deg.select(F.col("n").alias("ns"), F.col("d").alias("x")), F.col("src") == F.col("ns"))
@@ -657,12 +652,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact — same discipline as q_kl_divergence."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     part = load_tables(spark, sf_dir, ("part",))["part"].select("p_partkey", "p_brand")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    y2 = op.select(F.col("o"), F.col("p").alias("q"))
-    e0 = op.join(y2, "o").filter(F.col("p") < F.col("q")).select("p", "q").distinct()
-    bi = e0.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
-        e0.select(F.col("q").alias("src"), F.col("p").alias("dst"))
-    )
+    bi = graph.copurchase_bidirected(li)
     lab_s = part.select(F.col("p_partkey").alias("ks"), F.col("p_brand").alias("b_src"))
     lab_d = part.select(F.col("p_partkey").alias("kd"), F.col("p_brand").alias("b_dst"))
     e = (

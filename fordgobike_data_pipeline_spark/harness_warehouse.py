@@ -959,9 +959,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
+    # one file per micro-batch so the re-delivery wave arrives in a
+    # LATER batch than the original — exercising the cross-batch
+    # dedup-state (or late-drop) path, not just in-batch dedup
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.json")
+        .option("maxFilesPerTrigger", "1")
         .json(os.path.join(landing, "*"))
     )
     deduped = incremental.deduped_stream(stream, watermark="1 hour")
@@ -1033,9 +1037,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value_cents", T.LongType()),
         ]
     )
+    # one file per micro-batch: the waves MUST land in separate
+    # batches so the state.exists restore path actually runs — with a
+    # higher limit all three waves collapse into batch 0 and
+    # cross-batch state carry-over goes unexercised
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", "1")
         .json(os.path.join(landing, "*"))
     )
     out_dir = os.path.join(root, "totals")

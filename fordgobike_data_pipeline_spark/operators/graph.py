@@ -362,3 +362,20 @@ def kcore_peel(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def copurchase_bidirected(lineitem: DataFrame) -> DataFrame:
+    """Bidirected co-purchase edge list (src, dst): parts linked when
+    they share an order, each undirected edge emitted in both
+    directions — the DataFrame twin of the harness's
+    _COPURCHASE_BI_CTE (keep the two in sync; the SQL is the oracle).
+    Shared by the graph-metric queries (assortativity, modularity) so
+    the edge definition lives in exactly one place per engine."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    y2 = op.select(F.col("o"), F.col("p").alias("q"))
+    e0 = op.join(y2, "o").filter(F.col("p") < F.col("q")).select("p", "q").distinct()
+    return e0.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
+        e0.select(F.col("q").alias("src"), F.col("p").alias("dst"))
+    )

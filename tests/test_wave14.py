@@ -77,8 +77,6 @@ def test_stream_dedup_matches_batch_distinct(spark):
         r.event_type: r.n_events
         for r in harness.all_queries()["q_stream_dedup"](spark, SF_SMOKE).collect()
     }
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from fordgobike_data_pipeline_spark.io import load_tables
 
     ev = load_tables(spark, SF_SMOKE, ("events",))["events"]

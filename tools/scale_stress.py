@@ -400,10 +400,13 @@ def main() -> None:
 
     # decision stump: candidate thresholds are DISTINCT cents, bounded
     # by the value domain — near-flat in n by construction.
-    evv = load_tables(spark, SF_DIR, ("events",))["events"].select("event_type", "value")
-    evv_n = evv
-    for _ in range(n - 1):
-        evv_n = evv_n.unionByName(evv)
+    evv_n = replicate(
+        load_tables(spark, SF_DIR, ("events",))["events"].select(
+            "event_id", "event_type", "value"
+        ),
+        "event_id",
+        n,
+    )
     cand = evv_n.groupBy(F.round(F.col("value") * 100).cast("long").alias("x")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos"),
