@@ -2265,6 +2265,54 @@ _BOOT_H_SQL = (
     "md5(CAST(event_id AS VARCHAR) || ':' || CAST(k AS VARCHAR))"
 )
 
+_BOOT_W_SQL = """
+        CASE WHEN u{j} < 6171993 THEN 0
+             WHEN u{j} < 12343986 THEN 1
+             WHEN u{j} < 15429982 THEN 2
+             WHEN u{j} < 16458648 THEN 3
+             ELSE 4 END"""
+
+_BOOT_U_SQL = (
+    "CAST(CAST(from_hex('00' || substr(h, {off}, 6)) AS BIT) AS BIGINT) AS u{j}"
+)
+
+
+def _boot_partials_sql() -> str:
+    us = ",\n               ".join(
+        _BOOT_U_SQL.format(off=1 + 6 * j, j=j) for j in range(4)
+    )
+    aggs = ",\n               ".join(
+        f"sum(({_BOOT_W_SQL.format(j=j)}) * x) AS sw{j},"
+        f" sum({_BOOT_W_SQL.format(j=j)}) AS w{j}"
+        for j in range(4)
+    )
+    return f"""
+    hashes AS (
+        SELECT event_id, x, k, {_BOOT_H_SQL} AS h
+        FROM pts, (SELECT unnest(generate_series(0, 24)) AS k)
+    ),
+    draws AS (
+        SELECT x, k,
+               {us}
+        FROM hashes
+    ),
+    partials AS (
+        SELECT k,
+               {aggs}
+        FROM draws GROUP BY k
+    ),
+    means AS (
+        SELECT k * 4 + j AS b,
+               round(CAST(sw AS DOUBLE) / w / 100.0, 9) AS mean_b
+        FROM (
+            SELECT k, 0 AS j, sw0 AS sw, w0 AS w FROM partials
+            UNION ALL SELECT k, 1, sw1, w1 FROM partials
+            UNION ALL SELECT k, 2, sw2, w2 FROM partials
+            UNION ALL SELECT k, 3, sw3, w3 FROM partials
+        )
+        WHERE w > 0
+    )"""
+
 
 @query(
     "q_bootstrap_ci",
@@ -2273,28 +2321,7 @@ _BOOT_H_SQL = (
         SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x
         FROM events
     ),
-    hashes AS (
-        SELECT event_id, x, k, {_BOOT_H_SQL} AS h
-        FROM pts, (SELECT unnest(generate_series(0, 24)) AS k)
-    ),
-    draws AS (
-        SELECT x, k * 4 + j AS b,
-               CAST(CAST(from_hex('00' || substr(h, 1 + 6 * j, 6)) AS BIT) AS BIGINT) AS u
-        FROM hashes, (SELECT unnest(generate_series(0, 3)) AS j)
-    ),
-    w AS (
-        SELECT b, x,
-               CASE WHEN u < 6171993 THEN 0
-                    WHEN u < 12343986 THEN 1
-                    WHEN u < 15429982 THEN 2
-                    WHEN u < 16458648 THEN 3
-                    ELSE 4 END AS wt
-        FROM draws
-    ),
-    means AS (
-        SELECT b, round(CAST(sum(wt * x) AS DOUBLE) / sum(wt) / 100.0, 9) AS mean_b
-        FROM w GROUP BY b HAVING sum(wt) > 0
-    ),
+    {_boot_partials_sql()},
     ranked AS (
         SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn,
                count(*) OVER () AS nb
@@ -2312,15 +2339,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-engine and fully DETERMINISTIC: resample weights are Poisson(1)
     approximated by inverse-CDF cutoffs on md5-derived uniforms keyed
     on (event_id, resample) — both engines draw the SAME 100 resamples,
-    bootstrap as pseudorandomness, not sampling. Hash cost is amortized
-    4×: one md5 per (row, k) yields FOUR independent 24-bit uniforms
-    (6 hex digits each), so 25 hashes serve 100 resamples. Each
-    resample mean is exact-integer cents / exact weight sum (one
-    division); CI bounds are POSITIONAL order statistics over the 100
-    means (rank 3 / 50 / 98), never an interpolated percentile. Scale
-    shape: rows × 25 flatMap into one map-side-combinable aggregate
-    per resample — no per-resample scan, no driver loop; the result is
-    bounded at 100 rows whatever the table size."""
+    bootstrap as pseudorandomness, not sampling. Cost shape: one md5
+    per (row, k) yields FOUR independent 24-bit uniforms, and the four
+    resamples aggregate as four CONDITIONAL-SUM COLUMNS in one pass —
+    the grid materializes rows × 25, never rows × 100; the tiny 25-row
+    partial table unpivots to the 100 resample means afterwards. Each
+    mean is exact-integer cents / exact weight sum (one division); CI
+    bounds are POSITIONAL order statistics over the 100 means (rank
+    3 / 50 / 98), never an interpolated percentile. No per-resample
+    scan, no driver loop; the result is bounded at 100 rows whatever
+    the table size."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     pts = ev.select("event_id", F.round(F.col("value") * 100).cast("long").alias("x"))
     hashes = pts.crossJoin(
@@ -2332,28 +2360,33 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", F.col("event_id").cast("string"), F.col("k").cast("string"))
         ).alias("h"),
     )
-    draws = hashes.crossJoin(
-        F.broadcast(ev.sparkSession.range(0, 4).select(F.col("id").alias("j")))
-    ).select(
-        "x",
-        (F.col("k") * 4 + F.col("j")).alias("b"),
-        F.conv(F.expr("substr(h, 1 + 6 * j, 6)"), 16, 10)
-        .cast("long")
-        .alias("u"),
-    )
-    wt = (
-        F.when(F.col("u") < 6171993, 0)
-        .when(F.col("u") < 12343986, 1)
-        .when(F.col("u") < 15429982, 2)
-        .when(F.col("u") < 16458648, 3)
-        .otherwise(4)
-    )
+
+    def wt(j: int):
+        u = F.conv(F.substring(F.col("h"), 1 + 6 * j, 6), 16, 10).cast("long")
+        return (
+            F.when(u < 6171993, 0)
+            .when(u < 12343986, 1)
+            .when(u < 15429982, 2)
+            .when(u < 16458648, 3)
+            .otherwise(4)
+        )
+
+    aggs = []
+    for j in range(4):
+        w = wt(j)
+        aggs.append(F.sum(w * F.col("x")).alias(f"sw{j}"))
+        aggs.append(F.sum(w).alias(f"w{j}"))
+    partials = hashes.groupBy("k").agg(*aggs)
+    stack_expr = "stack(4, " + ", ".join(
+        f"{j}, sw{j}, w{j}" for j in range(4)
+    ) + ") AS (j, sw, w)"
     means = (
-        draws.select("b", "x", wt.alias("wt"))
-        .groupBy("b")
-        .agg(F.sum(F.col("wt") * F.col("x")).alias("sw"), F.sum("wt").alias("w"))
+        partials.select("k", F.expr(stack_expr))
         .filter(F.col("w") > 0)
-        .select("b", F.round(F.col("sw").cast("double") / F.col("w") / 100.0, 9).alias("mean_b"))
+        .select(
+            (F.col("k") * 4 + F.col("j")).alias("b"),
+            F.round(F.col("sw").cast("double") / F.col("w") / 100.0, 9).alias("mean_b"),
+        )
     )
     from pyspark.sql import Window
 
