@@ -277,6 +277,7 @@ HEADLINE = [
     "q_agg_breadth",
     "q_bootstrap_ci",
     "q_try_funcs",
+    "q_phash_dedup",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

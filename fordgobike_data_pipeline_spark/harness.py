@@ -133,7 +133,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H completions q_tpch_q2, q_tpch_q11, q_tpch_q12, q_tpch_q16,
     # q_tpch_q20, q_tpch_q21, and the wave-18 additions
     # q_stream_session, q_stream_window, q_agg_breadth, and the
-    # wave-19 additions q_bootstrap_ci, q_try_funcs (= 96 total;
+    # wave-19 additions q_bootstrap_ci, q_try_funcs, and wave-20's
+    # q_phash_dedup (rows-only — Python DCT hash) (= 97 total;
     # r7's 50-slot
     # window drains most of it — prioritize the 6 r5 deferrals and
     # the heavier round-6 families first, spill the rest to r8).

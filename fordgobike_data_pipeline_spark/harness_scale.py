@@ -3412,3 +3412,29 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("c32").cast("double") / 10.0, 6).alias("recall_32"),
         )
     )
+
+
+@query("q_phash_dedup")  # Python DCT hash → rows-only
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs — dedup extended to
+    the media modality: Arrow-batched pHash (32×32 DCT → 64-bit
+    low-frequency signature; PIL when present, else the deterministic
+    stub) and then the SAME relational band-bucket join SimHash uses
+    for text (4×16-bit bands, pigeonhole candidates, exact popcount
+    verify — never a quadratic cross join). The corpus's planted
+    exact-duplicate documents surface at hamming 0; unit tests plant a
+    1-byte-perturbed payload and assert it lands within the threshold
+    while distinct payloads stay out. The testdata corpus has no
+    byte-exact duplicate documents, so the query simulates a RE-CRAWL:
+    every 20th doc re-ingests under an offset id — those planted
+    cross-copy duplicates MUST surface at hamming 0 (the all-pairs
+    answer would be vacuously empty otherwise, proving nothing)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    recrawl = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    media = multimodal.repartition_for_media(
+        multimodal.attach_binary(docs.unionByName(recrawl))
+    )
+    hashes = multimodal.phash_images(media)
+    return multimodal.phash_near_pairs(hashes, max_hamming=6)

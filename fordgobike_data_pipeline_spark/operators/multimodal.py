@@ -275,3 +275,129 @@ def sample_frames(
         F.col("pos").cast("int").alias("frame_idx"),
         (F.col("idx") * every_n_bytes).cast("long").alias("byte_offset"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
+    """Perceptual hash (pHash) per image: decode → 32×32 grayscale →
+    2D DCT-II → top-left 8×8 low-frequency block (DC dropped) →
+    median-threshold → 64-bit hash. Near-duplicate images differ in a
+    few bits; re-encoded/resized copies usually hash within hamming
+    ≤ 6 — the image twin of SimHash for text.
+
+    Decode follows the module contract: PIL when present, else the
+    deterministic fake (payload bytes tiled into the pixel grid,
+    ``decoder='stub'``) so hashing, banding and the join shape are
+    testable without media libs. DCT is a numpy matmul (no scipy),
+    Arrow-batched in mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    n = grid
+    # DCT-II basis matrix, orthonormal
+    k = np.arange(n)
+    dct_m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct_m[0, :] = np.sqrt(1.0 / n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            decoder = "pil"
+        except ImportError:
+            decoder = "stub"
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                if decoder == "pil":
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data)).convert("L").resize((n, n))
+                    px = np.asarray(img, dtype=np.float64)
+                else:
+                    # deterministic fake mimicking decode + downscale:
+                    # AVERAGE-POOL the payload into the grid (≥4 bytes
+                    # per cell), so a one-byte change perturbs one cell
+                    # fractionally — the robustness real pHash gets
+                    # from resize smoothing
+                    buf = np.frombuffer(data, dtype=np.uint8)
+                    if buf.size == 0:
+                        buf = np.zeros(1, dtype=np.uint8)
+                    cells = n * n
+                    reps = int(np.ceil(4 * cells / buf.size))
+                    pooled = np.tile(buf, max(reps, 1)).astype(np.float64)
+                    per = pooled.size // cells
+                    px = pooled[: per * cells].reshape(cells, per).mean(axis=1).reshape(n, n)
+                freq = dct_m @ px @ dct_m.T
+                block = freq[:8, :8].flatten()[1:]  # drop DC
+                med = float(np.median(block))
+                bits = 0
+                for i, v in enumerate(block):
+                    if v > med:
+                        bits |= 1 << i
+                # 63 content bits; store as signed 64-bit
+                rows.append([int(mid), int(np.int64(bits)), decoder])
+            yield pd.DataFrame(rows, columns=["media_id", "phash", "decoder"])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs from pHashes WITHOUT the quadratic
+    cross join: the 64-bit hash splits into four 16-bit bands; by
+    pigeonhole any pair within hamming ≤ 6 agrees exactly on at least
+    one band (6 flipped bits can dirty at most 3 of 4 bands... at most
+    6 < 4·2, so ≥1 band is clean for hamming ≤ 7), so candidates are
+    the band-equality buckets, then one exact popcount verify.
+    Identical relational shape to dedup.simhash_pairs — dedup's
+    band-join machinery applied to the image modality."""
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", F.col("b.band_idx"), F.col("b.band_val"))
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("h_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("h_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
