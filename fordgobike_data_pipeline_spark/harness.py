@@ -1585,7 +1585,7 @@ def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            max_by(o_orderkey, pc * 10000000 + o_orderkey) AS biggest_order,
            min_by(o_orderkey, pc * 10000000 + o_orderkey) AS cheapest_order,
-           count_if(pc > 5000000) AS n_big,
+           CAST(count_if(pc > 5000000) AS BIGINT) AS n_big,
            bool_and(o_orderstatus IN ('F', 'O', 'P')) AS all_status_known,
            bool_or(o_orderstatus = 'F') AS any_fulfilled
     FROM o GROUP BY o_orderpriority

@@ -601,7 +601,7 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ad GROUP BY grp
     )
     SELECT st.grp, st.n, st.median, st.mad,
-           sum(CAST(ad.adv > 3.0 * st.mad AS INT)) AS n_outliers
+           CAST(sum(CAST(ad.adv > 3.0 * st.mad AS INT)) AS BIGINT) AS n_outliers
     FROM ad JOIN st ON st.grp = ad.grp
     GROUP BY st.grp, st.n, st.median, st.mad
     """,
@@ -850,7 +850,7 @@ def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT nu, nc FROM arms WHERE arm = 0) a0,
              (SELECT nu, nc FROM arms WHERE arm = 1) a1
     )
-    SELECT n0, c0, n1, c1,
+    SELECT n0, CAST(c0 AS BIGINT) AS c0, n1, CAST(c1 AS BIGINT) AS c1,
            round(CAST(c0 AS DOUBLE) / n0, 6) + 0.0 AS p0,
            round(CAST(c1 AS DOUBLE) / n1, 6) + 0.0 AS p1,
            round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
@@ -1622,7 +1622,7 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS w
         FROM p CROSS JOIN mx
     )
-    SELECT a, b, count(*) AS n_cooccur, sum(w) AS score_int,
+    SELECT a, b, count(*) AS n_cooccur, CAST(sum(w) AS BIGINT) AS score_int,
            round(CAST(sum(w) AS DOUBLE) / 1048576.0, 9) AS decay_score
     FROM w GROUP BY a, b
     """,
@@ -1790,7 +1790,8 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cur, nxt FROM pairs CROSS JOIN cutoff WHERE nxt_day >= cut
     )
     SELECT test.cur, count(*) AS n_test,
-           sum(CASE WHEN model.pred = test.nxt THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN model.pred = test.nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
            round(CAST(sum(CASE WHEN model.pred = test.nxt THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 9) AS accuracy
     FROM test JOIN model ON model.cur = test.cur
@@ -2026,8 +2027,8 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily a JOIN daily b ON a.day < b.day
     )
     SELECT CAST((SELECT count(*) FROM daily) AS INT) AS n_days,
-           sum(conc) AS concordant,
-           sum(disc) AS discordant,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
            round(CAST(sum(conc) - sum(disc) AS DOUBLE) / count(*), 9) AS tau
     FROM pairs
     """,

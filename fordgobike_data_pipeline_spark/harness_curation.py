@@ -853,8 +853,9 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> x <> '')) AS BIGINT) AS nt
         FROM documents
     )
-    SELECT lang, count(*) AS n_docs, sum(nc) AS total_chars,
-           sum(nt) AS total_tokens,
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS total_chars,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
            round(CAST(sum(nc) AS DOUBLE) / sum(nt), 9) AS chars_per_token
     FROM t GROUP BY lang
     """,
@@ -980,7 +981,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_doc GROUP BY source
     )
     SELECT agg.source, n_docs,
-           infl.total_tokens,
+           CAST(infl.total_tokens AS BIGINT) AS total_tokens,
            round(CAST(infl.total_tokens AS DOUBLE) / infl.deduped_tokens, 9)
                AS dup_inflation,
            round(CAST(n_bad AS DOUBLE) / n_tok, 9) AS bad_token_frac,

@@ -77,7 +77,8 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE -1 END AS sign
         FROM u
     )
-    SELECT feature, bucket, count(*) AS n, sum(sign) AS signed_sum
+    SELECT feature, bucket, count(*) AS n,
+           CAST(sum(sign) AS BIGINT) AS signed_sum
     FROM h GROUP BY feature, bucket
     """,
 )
@@ -201,7 +202,8 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - row_number() OVER (ORDER BY day) * t_all AS ns
         FROM d CROSS JOIN t
     )
-    SELECT day AS changepoint_day, n_days, abs(ns) AS abs_ns,
+    SELECT day AS changepoint_day, n_days,
+           CAST(abs(ns) AS BIGINT) AS abs_ns,
            round(CAST(abs(ns) AS DOUBLE)
                  / CAST(n_days * abs(t_all) AS DOUBLE), 9) AS cusum_frac
     FROM c ORDER BY abs(ns) DESC, day ASC LIMIT 1
@@ -227,7 +229,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY dow
     ),
     t AS (SELECT sum(c) AS sum_all, count(*) AS days_all FROM d)
-    SELECT CAST(dow AS INT) AS dow, days_d, sum_d,
+    SELECT CAST(dow AS INT) AS dow, days_d,
+           CAST(sum_d AS BIGINT) AS sum_d,
            round(CAST(sum_d * days_all AS DOUBLE)
                  / CAST(days_d * sum_all AS DOUBLE), 9) AS seasonal_index
     FROM bd CROSS JOIN t
@@ -388,9 +391,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY source, t
     )
     SELECT source,
-           sum(c) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
-           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            round(CAST(count(*) AS DOUBLE) / sum(c), 9) AS ttr,
            round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 9) AS hapax_frac
@@ -434,7 +437,7 @@ def q_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_days,
-           sum(x) AS n_events,
+           CAST(sum(x) AS BIGINT) AS n_events,
            round(CAST(sum(x) AS DOUBLE) / count(*), 9) AS mean_daily,
            round(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
                  / CAST(count(*) * sum(x) AS DOUBLE), 9) AS fano
@@ -532,8 +535,9 @@ def q_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (ORDER BY rem DESC, source) AS rk
         FROM b
     )
-    SELECT source, n AS n_docs, base,
-           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    SELECT source, n AS n_docs, CAST(base AS BIGINT) AS base,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
     FROM r CROSS JOIN l
     """,
 )
@@ -691,10 +695,10 @@ def q_pct_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY source, md5(text)
     )
     SELECT source,
-           sum(n_copies) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
            count(*) AS n_distinct,
-           sum(n_copies * tok) AS total_tokens,
-           sum(tok) AS deduped_tokens,
+           CAST(sum(n_copies * tok) AS BIGINT) AS total_tokens,
+           CAST(sum(tok) AS BIGINT) AS deduped_tokens,
            round(CAST(sum(n_copies * tok) AS DOUBLE) / sum(tok), 9)
                AS inflation
     FROM t GROUP BY source
@@ -885,7 +889,8 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM doc_scores GROUP BY doc_id, true_lang
     )
     SELECT true_lang, count(*) AS n_docs,
-           sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
            round(CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 9) AS accuracy
     FROM pred GROUP BY true_lang
@@ -1084,8 +1089,8 @@ def q_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT round(CAST(x AS DOUBLE) / 100.0, 2) AS threshold,
            round(gini, 9) AS best_gini,
-           n_l AS n_left,
-           n_r AS n_right
+           CAST(n_l AS BIGINT) AS n_left,
+           CAST(n_r AS BIGINT) AS n_right
     FROM scored
     ORDER BY gini, x LIMIT 1
     """,

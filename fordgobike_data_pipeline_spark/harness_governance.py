@@ -58,8 +58,8 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type, count(*) AS rows_before,
-           sum(del) AS rows_deleted,
-           count(*) - sum(del) AS rows_after,
+           CAST(sum(del) AS BIGINT) AS rows_deleted,
+           CAST(count(*) - sum(del) AS BIGINT) AS rows_after,
            round(CAST(sum(del) AS DOUBLE) / count(*), 9) AS deleted_frac
     FROM m GROUP BY event_type
     """,
@@ -111,8 +111,10 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS hp
         FROM raw
     )
-    SELECT source, count(*) AS n_docs, sum(he) AS n_email, sum(hi) AS n_ip,
-           sum(hp) AS n_phone,
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(he) AS BIGINT) AS n_email,
+           CAST(sum(hi) AS BIGINT) AS n_ip,
+           CAST(sum(hp) AS BIGINT) AS n_phone,
            round(CAST(sum(CASE WHEN he + hi + hp > 0 THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 9) AS pii_frac
     FROM f GROUP BY source
@@ -383,7 +385,8 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM r2 JOIN und ON und.src = r2.node
         ) GROUP BY seed, node
     )
-    SELECT seed, count(*) AS n_reached, sum(dist) AS total_dist,
+    SELECT seed, count(*) AS n_reached,
+           CAST(sum(dist) AS BIGINT) AS total_dist,
            max(dist) AS max_dist
     FROM r3 GROUP BY seed
     """,
@@ -457,7 +460,7 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ma2 AS (SELECT max(a) AS m FROM a2),
     a2n AS (SELECT s, a * 1000000 // m AS a FROM a2 CROSS JOIN ma2)
-    SELECT s AS supplier, a AS authority_int,
+    SELECT s AS supplier, CAST(a AS BIGINT) AS authority_int,
            round(CAST(a AS DOUBLE) / 1000000.0, 9) AS authority
     FROM a2n ORDER BY a DESC, s LIMIT 10
     """,

@@ -246,7 +246,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(DISTINCT md5(text)) AS n_unique_texts
         FROM documents
     )
-    SELECT n_docs, n_sources, n_langs, total_chars,
+    SELECT n_docs, n_sources, n_langs,
+           CAST(total_chars AS BIGINT) AS total_chars,
            CAST((total_chars - (((total_chars % n_docs) + n_docs) % n_docs))
                 // n_docs AS BIGINT) AS mean_chars,
            n_unique_texts,
@@ -401,7 +402,7 @@ def q_rank_select_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY k),
     b AS (SELECT p_partkey AS k, count(*) AS cb FROM part GROUP BY k)
     SELECT count(*) AS n_common_keys,
-           sum(ca * cb) AS est_output_rows,
+           CAST(sum(ca * cb) AS BIGINT) AS est_output_rows,
            max(ca * cb) AS max_key_contribution,
            round(CAST(max(ca * cb) AS DOUBLE) / sum(ca * cb), 9)
                AS top_key_share

@@ -2500,7 +2500,8 @@ def q_knn_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.label AS true_label,
            count(*) AS n_nodes,
-           sum(CASE WHEN w.voted = t.label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN w.voted = t.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
            round(CAST(sum(CASE WHEN w.voted = t.label THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 6) AS acc
     FROM winner w JOIN embeddings t ON t.vec_id = w.src_id
@@ -2708,7 +2709,8 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tk.source, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
         FROM tk LEFT JOIN vocab v ON v.w = tk.w
     )
-    SELECT source, count(*) AS n_tokens, sum(oov) AS n_oov,
+    SELECT source, count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
            round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
     FROM f GROUP BY source
     """,
@@ -2741,7 +2743,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT grp, ns - s AS dur, vm * (ns - s) AS contrib
         FROM l WHERE ns IS NOT NULL AND ns - s > 0
     )
-    SELECT grp, sum(dur) AS total_secs,
+    SELECT grp, CAST(sum(dur) AS BIGINT) AS total_secs,
            CAST(sum(contrib) AS DOUBLE)
                / (CAST(1000 AS DOUBLE) * CAST(sum(dur) AS DOUBLE)) AS twa
     FROM c GROUP BY grp
@@ -2875,7 +2877,8 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY vid, true_label
     )
     SELECT true_label, count(*) AS n,
-           sum(CASE WHEN m.lbl = true_label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN m.lbl = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
            round(CAST(sum(CASE WHEN m.lbl = true_label THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 9) AS accuracy
     FROM a GROUP BY true_label
@@ -2990,7 +2993,8 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
     nm AS (SELECT clean_id AS id, name FROM clean)
     SELECT component, count(*) AS n_members,
-           sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS n_dirty,
+           CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dirty,
            min(nm.name) AS canonical_name
     FROM lab JOIN nm ON nm.id = lab.component
     GROUP BY component
@@ -3191,7 +3195,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p WHERE dirty_id - 1000000 = clean_id
     ),
     nd AS (SELECT count(*) AS n_dirty FROM dirty)
-    SELECT n_pairs, tp, n_dirty,
+    SELECT n_pairs, CAST(tp AS BIGINT) AS tp, n_dirty,
            round(CAST(tp AS DOUBLE) / n_pairs, 9) AS precision,
            round(CAST(recovered AS DOUBLE) / n_dirty, 9) AS recall
     FROM s CROSS JOIN rec CROSS JOIN nd

@@ -244,7 +244,7 @@ def _price_cents() -> F.Column:
     "q_tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           sum({_QTY_SQL}) AS sum_qty,
+           CAST(sum({_QTY_SQL}) AS BIGINT) AS sum_qty,
            round(CAST(sum({_PRICE_CENTS_SQL}) AS DOUBLE) / 100.0, 9) AS sum_base_price,
            round(CAST(sum({_REV_CENTS_SQL}) AS DOUBLE) / 10000.0, 9) AS sum_disc_price,
            round(CAST(sum({_CHARGE_SQL}) AS DOUBLE) / 1000000.0, 9) AS sum_charge,
@@ -691,7 +691,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT c_name, c_custkey, o_orderkey,
            CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
-           sum({_QTY_SQL}) AS sum_qty
+           CAST(sum({_QTY_SQL}) AS BIGINT) AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
@@ -1017,10 +1017,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q12",
     """
     SELECT l_returnflag AS ship_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
       AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'

@@ -589,7 +589,7 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_cdc",
     """
     WITH ch AS (
-        SELECT o_custkey AS cust_id, o_orderdate AS ts, o_orderkey AS tb,
+        SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS ts, o_orderkey AS tb,
                CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
                o_orderstatus AS status, o_totalprice AS total
         FROM orders
@@ -917,7 +917,7 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     GROUP BY event_type
     """,
@@ -993,7 +993,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     GROUP BY user_id
     """,
@@ -1173,7 +1173,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
            count(*) AS cnt,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     GROUP BY bucket_start
     """,
