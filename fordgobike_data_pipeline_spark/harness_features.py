@@ -36,10 +36,12 @@ from .operators import features, temporal
     ),
     a AS (SELECT sum(cents) AS total, count(*) AS n FROM t)
     SELECT t.o_orderkey, t.o_orderpriority,
-           round(CASE WHEN cnt_cat > 1
-                      THEN CAST(sum_cat - cents AS DOUBLE) / (cnt_cat - 1)
-                      ELSE CAST(total - cents AS DOUBLE) / (n - 1)
-                 END / 100.0, 9) AS te_loo
+           CAST(round(CASE WHEN cnt_cat > 1
+                      THEN CAST((sum_cat - cents) * 10000 AS DOUBLE)
+                           / CAST(cnt_cat - 1 AS DOUBLE)
+                      ELSE CAST((total - cents) * 10000 AS DOUBLE)
+                           / CAST(n - 1 AS DOUBLE)
+                 END) AS BIGINT) / 1000000.0 AS te_loo
     FROM t JOIN g USING (o_orderpriority) CROSS JOIN a
     """,
 )

@@ -2290,7 +2290,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     {_pr_iter_sql('r1', 'r2')},
     {_pr_iter_sql('r2', 'r3')}
     SELECT node, CAST(r AS BIGINT) AS rank_int,
-           round(CAST(r AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE), 9) AS rank
+           CAST(r AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE) AS rank
     FROM r3
     """,
 )

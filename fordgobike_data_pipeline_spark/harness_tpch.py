@@ -845,7 +845,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT n_name AS nation,
            CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
-           round(CAST(sum({_REV_CENTS_SQL}) AS DOUBLE) / 10000.0, 9) AS sum_profit
+           CAST(sum({_REV_CENTS_SQL}) AS DOUBLE) / 10000.0 AS sum_profit
     FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -881,7 +881,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             "o_year",
-            F.round(F.col("rc").cast("double") / 10000.0, 9).alias("sum_profit"),
+            # bare single division — a round(x, 9) here re-rounds a
+            # ~17-significant-digit double and Spark's BigDecimal
+            # HALF_UP vs DuckDB's ×1e9-rint disagree on boundary
+            # values; the raw correctly-rounded quotient of the exact
+            # integer cents sum is bit-identical on both engines
+            (F.col("rc").cast("double") / 10000.0).alias("sum_profit"),
         )
     )
 

@@ -56,14 +56,28 @@ def target_encode_loo(
         F.sum(target_cents_col).alias("_total"), F.count(F.lit(1)).alias("_n")
     )
     x = F.col(target_cents_col)
-    loo = F.when(
-        F.col("_cnt_cat") > 1,
-        (F.col("_sum_cat") - x).cast("double") / (F.col("_cnt_cat") - 1),
-    ).otherwise((F.col("_total") - x).cast("double") / (F.col("_n") - 1))
+    # Fixed-point determinism (see VERIFY playbook): the encoding is
+    # computed as exact integer MICRO-units — numerator cents × 1e4
+    # (cents → units is /100, micro-units is ×1e6) stays an exact
+    # BIGINT, ONE correctly-rounded int/int double division, then
+    # round-to-integer (rint needs no decimal scaling, so it cannot
+    # drift across engines the way round(x, 9) does at 1e5 magnitude
+    # — 15 significant digits exceeds what decimal-scaled rounding of
+    # a double reproduces bit-stably), and one exact /1e6 at render.
+    loo_micros = F.round(
+        F.when(
+            F.col("_cnt_cat") > 1,
+            ((F.col("_sum_cat") - x) * 10000).cast("double")
+            / (F.col("_cnt_cat") - 1).cast("double"),
+        ).otherwise(
+            ((F.col("_total") - x) * 10000).cast("double")
+            / (F.col("_n") - 1).cast("double")
+        )
+    ).cast("long")
     return (
         df.join(F.broadcast(stats), cat_col)
         .crossJoin(F.broadcast(glob))
-        .withColumn(out_col, F.round(loo / 100.0, 9))
+        .withColumn(out_col, loo_micros.cast("double") / F.lit(1000000.0))
         .drop("_sum_cat", "_cnt_cat", "_total", "_n")
     )
 

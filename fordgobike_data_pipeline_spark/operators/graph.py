@@ -89,7 +89,12 @@ def pagerank(
     return ranks.select(
         "node",
         F.col("r").alias("rank_int"),
-        F.round(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
+        # single int/int division, NO decimal re-round: a round(x, 9)
+        # here hits half-ties (r is a multiple of 100 → x·1e9 lands on
+        # .5) that Spark (BigDecimal HALF_UP) and DuckDB (x*1e9 rint)
+        # resolve differently; the bare correctly-rounded division is
+        # bit-identical on every engine
+        (F.col("r") / F.lit(float(SCALE))).alias("rank"),
     )
 
 
