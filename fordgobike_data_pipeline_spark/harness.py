@@ -90,104 +90,87 @@ def _ensure_extensions_loaded() -> None:
 # family head). Deferred to r6: the remaining r03-green entries and
 # everything certified in r04 (tail comment).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-6 rotation: 50 of the 56 oracle-backed queries that have
-    # NEVER appeared in an official CORRECTNESS_r{N}.json window (all
-    # were added after the r5 window was frozen; every one is green in
-    # the local mirror run this session). Deferred to r7 (each has an
-    # officially-green sibling exercising the same code path):
-    # q_zorder3 (sibling q_zorder, r5), q_orc_roundtrip
-    # (q_jsonl_roundtrip, r5 — same interchange harness),
-    # q_semi_additive (q_scd2_pit, r5 — same warehouse family),
-    # q_bucketed_join (q_salted_join, r4 — same join-lever family),
-    # q_provenance (q_file_stats IS in this window — same footer
-    # harvest core), q_stream_join (q_stream_mv/q_stream_cdc — same
-    # AvailableNow streaming harness, q_stream_cdc in this window).
+    # Round-7 rotation. Composition (VERDICT r6 "Next round" items 1/4/5):
+    #   [1-6]   the six r6 hash-FAILs — values were bit-identical, the
+    #           oracles' uncast integer sums came back as DuckDB HUGEINT
+    #           (Arrow decimal128) and the driver's dtype-sensitive hash
+    #           rejected them; every oracle is now CAST(... AS BIGINT)
+    #           (zero decimal columns repo-wide, pinned by
+    #           tests/test_oracle_dtypes.py).
+    #   [7-35]  the 29 never-checked queries the same schema sweep mined
+    #           (same fix applied).
+    #   [36-40] the five queries whose only official record was an r2
+    #           `err` / whose rows-only status was never certified —
+    #           land official rows-only green entries (q_ann_ivf's
+    #           oracle twin q_ann_ivf_seeded is official green r4).
+    #   [41-46] the six r5 deferrals.
+    #   [47-50] the oldest remaining round-6 additions (wave order).
     #
-    # ROUND-7 ROTATION QUEUE (never officially checked; all green in
-    # this round's vanilla-session verify): the 6 deferrals above plus
-    # the round-6 additions — q_target_encode_loo, q_feature_hash,
-    # q_onehot_topk, q_minmax_scale, q_acf, q_cusum_changepoint,
-    # q_seasonal_dow, q_gdpr_delete, q_pii_census, q_clustering_coeff,
-    # q_kcore, q_tpch_q3, q_tpch_q5, q_tpch_q10, q_mixture_temperature,
-    # q_zipf_fit, q_ttr_hapax, q_fano_burstiness,
-    # q_interarrival_quantiles, q_time_decay_cooccur, q_fusion_minmax,
-    # q_attribution_position, q_theil_sen, q_setsim_prefix,
-    # q_er_canonical, q_window_breadth, q_nearest_centroid,
-    # q_langid_confusion, q_badword_filter, q_url_blocklist,
-    # q_tokenizer_fertility, q_dedup_keep_best, q_rank_select_median,
-    # q_alloc_largest_remainder, q_er_eval, q_phrase_search,
-    # q_keyset_pagination, q_join_cardinality_estimate,
-    # q_seasonal_anomaly, q_pct_change_wow, q_dup_inflation,
-    # q_quality_agreement, q_corpus_report, q_random_walks,
-    # q_tv_distance, q_rolling_dau, q_bellman_ford,
-    # q_naive_bayes_langid, q_next_event_eval, q_isotonic_trend,
-    # q_hits_authority, q_week_overlap, q_tfidf_cosine_pairs, and the
-    # wave-13 TPC-H family q_tpch_q1, q_tpch_q4, q_tpch_q6, q_tpch_q7,
-    # q_tpch_q8, q_tpch_q13, q_tpch_q14, q_tpch_q15, q_tpch_q17,
-    # q_tpch_q18, q_tpch_q19, q_tpch_q22, and the wave-14 additions
-    # q_tpch_q9, q_max_concurrency, q_kendall_tau, q_mutual_information,
-    # q_matryoshka_recall, q_stream_dedup, and the wave-15 additions
-    # q_decision_stump, q_k_anonymity, q_kl_divergence,
-    # q_stream_stateful, and the wave-16 additions q_assortativity,
-    # q_modularity, q_backtest_snaive, q_xcorr_lags, and the wave-17
-    # TPC-H completions q_tpch_q2, q_tpch_q11, q_tpch_q12, q_tpch_q16,
-    # q_tpch_q20, q_tpch_q21, and the wave-18 additions
-    # q_stream_session, q_stream_window, q_agg_breadth, and the
-    # wave-19 additions q_bootstrap_ci, q_try_funcs, and wave-20's
-    # q_phash_dedup (rows-only — Python DCT hash) (= 97 total;
-    # r7's 50-slot
-    # window drains most of it — prioritize the 6 r5 deferrals and
-    # the heavier round-6 families first, spill the rest to r8).
-    "q_cohort_retention",
-    "q_markov_transitions",
-    "q_attribution",
-    "q_rolling_median",
-    "q_rfm",
-    "q_subquery_avg_filter",
-    "q_scalar_share",
-    "q_exists_returned",
-    "q_anti_scalar",
-    "q_count_min",
-    "q_table_diff",
-    "q_triangle_count",
-    "q_keyword_search",
+    # ROUND-8 ROTATION QUEUE (57 never-officially-checked remain):
+    # q_try_funcs, q_attribution_position, q_theil_sen, q_week_overlap,
+    # q_max_concurrency, q_mutual_information, q_backtest_snaive,
+    # q_xcorr_lags, q_bootstrap_ci, q_setsim_prefix, q_badword_filter,
+    # q_url_blocklist, q_phrase_search, q_tfidf_cosine_pairs,
+    # q_mixture_temperature, q_zipf_fit, q_interarrival_quantiles,
+    # q_seasonal_anomaly, q_pct_change_wow, q_tv_distance,
+    # q_rolling_dau, q_isotonic_trend, q_clustering_coeff, q_kcore,
+    # q_random_walks, q_k_anonymity, q_assortativity, q_modularity,
+    # q_rank_select_median, q_kl_divergence, q_langid_confusion,
+    # q_window_breadth, q_dedup_keep_best, q_quality_agreement,
+    # q_matryoshka_recall, q_fusion_minmax, q_keyset_pagination,
+    # q_stream_session, and the TPC-H residue q_tpch_q2 q3 q4 q5 q6 q7
+    # q8 q9 q10 q11 q13 q14 q15 q16 q17 q19 q20 q21 q22
+    # (r8's 50-slot window drains all but ~7; spill those to r9).
     "q_mad_outliers",
-    "q_chi_square",
-    "q_corr_matrix",
-    "q_ols_trend",
-    "q_skyline",
-    "q_id_gaps",
     "q_ab_test",
-    "q_ewma",
-    "q_anomaly_zscore",
-    "q_assoc_rules",
-    "q_item_sim",
-    "q_multi_exists",
-    "q_hierarchy_rollup",
-    "q_mmr_rerank",
-    "q_gini",
-    "q_freq_triples",
-    "q_funnel_latency",
-    "q_running_balance",
-    "q_bfs_hops",
-    "q_benford",
-    "q_weighted_median",
-    "q_survival",
     "q_dataset_stats",
-    "q_psi_drift",
-    "q_quantile_norm",
-    "q_ks_drift",
     "q_knn_label_vote",
-    "q_ann_multiprobe",
-    "q_capped_topk",
-    "q_weighted_sample",
-    "q_readability",
     "q_oov_rate",
     "q_time_weighted_avg",
-    "q_interleave_shards",
-    "q_pmi_collocations",
-    "q_stream_cdc",
-    "q_file_stats",
+    "q_agg_breadth",
+    "q_time_decay_cooccur",
+    "q_next_event_eval",
+    "q_kendall_tau",
+    "q_tokenizer_fertility",
+    "q_corpus_report",
+    "q_feature_hash",
+    "q_cusum_changepoint",
+    "q_seasonal_dow",
+    "q_ttr_hapax",
+    "q_fano_burstiness",
+    "q_alloc_largest_remainder",
+    "q_dup_inflation",
+    "q_naive_bayes_langid",
+    "q_decision_stump",
+    "q_gdpr_delete",
+    "q_pii_census",
+    "q_bellman_ford",
+    "q_hits_authority",
+    "q_join_cardinality_estimate",
+    "q_nearest_centroid",
+    "q_er_canonical",
+    "q_er_eval",
+    "q_tpch_q1",
+    "q_tpch_q18",
+    "q_tpch_q12",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    "q_stream_window",
+    "q_ann_ivf",
+    "q_image_features",
+    "q_resize_images",
+    "q_bpe_token_count",
+    "q_phash_dedup",
+    "q_zorder3",
+    "q_orc_roundtrip",
+    "q_semi_additive",
+    "q_bucketed_join",
+    "q_provenance",
+    "q_stream_join",
+    "q_target_encode_loo",
+    "q_onehot_topk",
+    "q_minmax_scale",
+    "q_acf",
 )
 
 

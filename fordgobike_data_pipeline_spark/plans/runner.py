@@ -337,3 +337,58 @@ def run_pipeline(
     mdf = spark.createDataFrame(metrics, "batch_id INT, stage STRING, wall_sec DOUBLE")
     append(mdf, wh.path("_state", "run_metrics"))
     return {"batch_id": batch_id, "stages": [m[1] for m in metrics]}
+
+
+def next_daily_fire_time(now_epoch: float) -> float:
+    """Epoch seconds of the next UTC midnight strictly after
+    ``now_epoch`` — the reference's ``schedule="@daily"`` cadence
+    (Bronze_dag.py:32): Airflow fires a daily DAG at 00:00 for the
+    data interval that just closed."""
+    day = 86400.0
+    return (now_epoch // day + 1) * day
+
+
+def run_on_schedule(
+    run_fn,
+    max_runs: int,
+    clock=None,
+    sleep_fn=None,
+    interval_sec: float | None = None,
+) -> list:
+    """Recurrence hook owning WHEN the pipeline runs — the stand-in
+    for the reference's scheduler layer (``@daily`` cron on the bronze
+    DAG, Bronze_dag.py:32, with silver/gold/report chained via
+    TriggerDagRunOperator rather than their own schedules,
+    Bronze_dag.py:48). Everything else in this module owns WHAT runs;
+    this loop owns the cadence:
+
+      * daily anchor by default (next UTC midnight, catchup=False —
+        a missed window is skipped, never backfilled, matching the
+        reference's ``catchup=False``), or a fixed ``interval_sec``;
+      * each firing calls ``run_fn(batch_id)`` — normally a closure
+        over :func:`run_pipeline`, which already retries per stage
+        and chains bronze → silver → gold → report in-driver;
+      * a failed firing is recorded and the loop keeps its cadence
+        (the reference alerts per-task and lets the next DagRun fire).
+
+    ``clock``/``sleep_fn`` are injectable (tests drive a fake clock;
+    production defaults to time.time/time.sleep). ``max_runs`` bounds
+    the loop — a long-running deployment passes a large count or
+    wraps this in its own supervisor; tests pass 2-3."""
+    clock = clock or time.time
+    sleep_fn = sleep_fn or time.sleep
+    outcomes = []
+    for batch_id in range(max_runs):
+        now = clock()
+        fire_at = (
+            now + interval_sec if interval_sec is not None
+            else next_daily_fire_time(now)
+        )
+        wait = fire_at - now
+        if wait > 0:
+            sleep_fn(wait)
+        try:
+            outcomes.append(("ok", batch_id, run_fn(batch_id)))
+        except Exception as exc:  # noqa: BLE001 — keep cadence, record failure
+            outcomes.append(("err", batch_id, str(exc)))
+    return outcomes

@@ -1,0 +1,259 @@
+"""SMTP delivery transport (SURVEY §2.1 S9 — the reference's real
+channel, nodemailer Gmail SMTP at index.js:59-90) and the recurrence
+hook (reference scheduler cadence, Bronze_dag.py:32 ``@daily`` +
+TriggerDagRunOperator chaining). The SMTP tests drive the PRODUCTION
+smtplib client against a minimal in-process SMTP server on a loopback
+socket (same pattern as tests/test_live_transports.py), plus a
+recorded-fake path for the failure semantics."""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+import pytest
+
+from fordgobike_data_pipeline_spark.plans import runner
+from fordgobike_data_pipeline_spark.sources import email_sink
+
+
+# ---------------------------------------------------------------------------
+# Minimal RFC-5321 server: enough verbs for one smtplib send_message.
+# ---------------------------------------------------------------------------
+
+
+class _SmtpState:
+    def __init__(self):
+        self.messages: list[dict] = []  # {"from":…, "to":[…], "data": bytes}
+        self.fail_rcpt: set[str] = set()  # receivers to 550
+
+
+def _serve_one(conn: socket.socket, state: _SmtpState) -> None:
+    f = conn.makefile("rb")
+
+    def send(line: str) -> None:
+        conn.sendall((line + "\r\n").encode())
+
+    send("220 loopback ESMTP test")
+    mail_from, rcpts, in_data, data = None, [], False, b""
+    while True:
+        raw = f.readline()
+        if not raw:
+            break
+        if in_data:
+            if raw.rstrip(b"\r\n") == b".":
+                state.messages.append(
+                    {"from": mail_from, "to": list(rcpts), "data": data}
+                )
+                mail_from, rcpts, in_data, data = None, [], False, b""
+                send("250 OK queued")
+            else:
+                data += raw
+            continue
+        line = raw.decode(errors="replace").strip()
+        verb = line.split(" ", 1)[0].upper()
+        if verb in ("EHLO", "HELO"):
+            send("250 loopback")
+        elif verb == "MAIL":
+            mail_from = line.split(":", 1)[1].strip()
+            send("250 OK")
+        elif verb == "RCPT":
+            addr = line.split(":", 1)[1].strip().strip("<>")
+            if addr in state.fail_rcpt:
+                send("550 no such user")
+            else:
+                rcpts.append(addr)
+                send("250 OK")
+        elif verb == "DATA":
+            in_data = True
+            send("354 go ahead")
+        elif verb == "QUIT":
+            send("221 bye")
+            break
+        else:
+            send("250 OK")
+    conn.close()
+
+
+@pytest.fixture()
+def smtp_server():
+    state = _SmtpState()
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    alive = True
+
+    def loop():
+        while alive:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=_serve_one, args=(conn, state), daemon=True
+            ).start()
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    try:
+        yield ("127.0.0.1", port, state)
+    finally:
+        alive = False
+        srv.close()
+
+
+def test_smtp_send_over_real_socket_delivers_mime_per_receiver(smtp_server):
+    host, port, state = smtp_server
+    results = email_sink.send_report_via_smtp(
+        "batch 7 ok\nbronze 1.2s",
+        ["a@example.com", "b@example.com"],
+        host=host,
+        port=port,
+        sender_email="pipeline@example.com",
+        sender_name="Air Flow User",
+        subject="run report",
+        reply_to="oncall@example.com",
+    )
+    assert results == [("a@example.com", True, "sent"), ("b@example.com", True, "sent")]
+    assert len(state.messages) == 2  # one message per receiver (index.js contract)
+    first = state.messages[0]
+    assert first["to"] == ["a@example.com"]
+    assert b"Subject: Airflow Contact: run report" in first["data"]
+    assert b"Reply-To: oncall@example.com" in first["data"]
+    assert b"batch 7 ok" in first["data"]
+    assert b"text/html" in first["data"]  # HTML alternative part present
+
+
+def test_smtp_dead_receiver_recorded_not_raised(smtp_server):
+    host, port, state = smtp_server
+    state.fail_rcpt.add("dead@example.com")
+    results = email_sink.send_report_via_smtp(
+        "report",
+        ["dead@example.com", "live@example.com"],
+        host=host,
+        port=port,
+        sender_email="p@example.com",
+    )
+    # print-and-continue: the 550 is recorded, the next send proceeds
+    assert [r[:2] for r in results] == [
+        ("dead@example.com", False),
+        ("live@example.com", True),
+    ]
+    assert [m["to"] for m in state.messages] == [["live@example.com"]]
+
+
+def test_smtp_env_contract_and_login(smtp_server, monkeypatch):
+    host, port, state = smtp_server
+
+    logins = []
+
+    class _Fake:
+        def __init__(self, *a):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def ehlo(self):
+            pass
+
+        def login(self, user, pw):
+            logins.append((user, pw))
+
+        def send_message(self, msg):
+            state.messages.append(
+                {"from": msg["From"], "to": [msg["To"]], "data": bytes(msg)}
+            )
+
+    monkeypatch.setenv("RECEIVER_EMAILS", "x@example.com, ,y@example.com")
+    monkeypatch.setenv("EMAIL_USER", "mailer@gmail.example")
+    monkeypatch.setenv("EMAIL_PASS", "app-password")
+    monkeypatch.setenv("EMAIL_NAME", "Reporter")
+    monkeypatch.setenv("EMAIL_SUBJ", "daily")
+    monkeypatch.delenv("SENDER_EMAIL", raising=False)
+    results = email_sink.send_report_via_smtp_from_env(
+        "hello", host=host, port=port, smtp_factory=lambda h, p, t: _Fake()
+    )
+    # blank entry dropped (sender.py:21-28); creds from EMAIL_USER/PASS
+    assert [r[0] for r in results] == ["x@example.com", "y@example.com"]
+    assert logins == [("mailer@gmail.example", "app-password")] * 2
+    assert "mailer@gmail.example" in state.messages[0]["from"]
+
+
+def test_smtp_input_validation_mirrors_reference_limits():
+    with pytest.raises(ValueError, match="max 2000"):
+        email_sink.send_report_via_smtp(
+            "x" * 2001, ["a@example.com"], host="unused"
+        )
+    with pytest.raises(ValueError):
+        email_sink.send_report_via_smtp(
+            "m", ["a@example.com"], host="unused", subject="s" * 201
+        )
+    with pytest.raises(ValueError):
+        email_sink.send_report_via_smtp(
+            "m", ["a@example.com"], host="unused", sender_name="n" * 101
+        )
+
+
+# ---------------------------------------------------------------------------
+# Recurrence hook
+# ---------------------------------------------------------------------------
+
+
+def test_next_daily_fire_time_is_next_utc_midnight():
+    assert runner.next_daily_fire_time(0.0) == 86400.0
+    assert runner.next_daily_fire_time(86399.0) == 86400.0
+    assert runner.next_daily_fire_time(86400.0) == 172800.0
+
+
+def test_run_on_schedule_daily_cadence_with_fake_clock():
+    now = {"t": 10_000.0}
+    sleeps = []
+
+    def clock():
+        return now["t"]
+
+    def sleep(sec):
+        sleeps.append(sec)
+        now["t"] += sec
+
+    ran = []
+
+    def run_fn(batch_id):
+        ran.append((batch_id, now["t"]))
+        now["t"] += 120.0  # the run itself takes 2 minutes
+        return batch_id
+
+    out = runner.run_on_schedule(run_fn, max_runs=3, clock=clock, sleep_fn=sleep)
+    assert [o[0] for o in out] == ["ok", "ok", "ok"]
+    # each firing lands exactly on a UTC midnight boundary
+    assert [t % 86400.0 for _, t in ran] == [0.0, 0.0, 0.0]
+    assert sleeps[0] == 86400.0 - 10_000.0
+    # subsequent waits account for the 2-minute run (catchup=False)
+    assert sleeps[1] == 86400.0 - 120.0
+
+
+def test_run_on_schedule_failure_keeps_cadence():
+    now = {"t": 0.0}
+
+    def clock():
+        return now["t"]
+
+    def sleep(sec):
+        now["t"] += sec
+
+    def run_fn(batch_id):
+        if batch_id == 0:
+            raise RuntimeError("bronze blew up")
+        return "fine"
+
+    out = runner.run_on_schedule(
+        run_fn, max_runs=2, clock=clock, sleep_fn=sleep, interval_sec=60.0
+    )
+    assert out[0][0] == "err" and "bronze blew up" in out[0][2]
+    assert out[1] == ("ok", 1, "fine")
