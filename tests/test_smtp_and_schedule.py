@@ -257,3 +257,76 @@ def test_run_on_schedule_failure_keeps_cadence():
     )
     assert out[0][0] == "err" and "bronze blew up" in out[0][2]
     assert out[1] == ("ok", 1, "fine")
+
+
+def test_run_on_schedule_drives_real_pipeline_and_report(spark, tmp_path):
+    """Integration: the recurrence hook fires run_pipeline twice (fake
+    clock, fixed interval), metrics accumulate one row per stage per
+    batch, and the formatted report flows through the SMTP sink via a
+    recorded fake — the full reference loop (cron -> DAG chain ->
+    email) in one driver program."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from tools.pipeline_bench import synth_geo, synth_trips
+
+    from fordgobike_data_pipeline_spark.plans.runner import (
+        Warehouse,
+        format_run_report,
+        run_pipeline,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    trips, geo = synth_trips(spark, 500), synth_geo(spark)
+
+    now = {"t": 0.0}
+
+    def clock():
+        return now["t"]
+
+    def sleep(sec):
+        now["t"] += sec
+
+    out = runner.run_on_schedule(
+        lambda b: run_pipeline(spark, wh, trips, geo, b),
+        max_runs=2,
+        clock=clock,
+        sleep_fn=sleep,
+        interval_sec=60.0,
+    )
+    assert [o[0] for o in out] == ["ok", "ok"]
+
+    metrics = wh.read(spark, "_state", "run_metrics")
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in metrics.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_batch == {0: 4, 1: 4}  # bronze/locations/silver/gold x 2 runs
+
+    sent = []
+
+    class _Fake:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def ehlo(self):
+            pass
+
+        def send_message(self, msg):
+            sent.append(msg)
+
+    report = format_run_report(spark, wh)
+    results = email_sink.send_report_via_smtp(
+        report[:2000],
+        ["ops@example.com"],
+        host="unused",
+        sender_email="pipeline@example.com",
+        smtp_factory=lambda h, p, t: _Fake(),
+    )
+    assert results == [("ops@example.com", True, "sent")]
+    assert "bronze" in sent[0].get_body(("plain",)).get_content()
