@@ -222,6 +222,8 @@ HEADLINE = [
     "q_interarrival_quantiles",
     "q_time_decay_cooccur",
     "q_fusion_minmax",
+    "q_mrr_at_k",
+    "q_ndcg_at_k",
     "q_attribution_position",
     "q_theil_sen",
     "q_nearest_centroid",

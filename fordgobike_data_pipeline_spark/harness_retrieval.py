@@ -90,3 +90,101 @@ def q_fusion_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_cos = similarity.cosine_topk(emb, queries, k=10)
     by_l2 = retrieval.l2_topk(emb, queries, k=10)
     return retrieval.minmax_fuse(by_cos, by_l2, w_sim=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: MRR@k / nDCG@k (labels as relevance)
+# ---------------------------------------------------------------------------
+
+_TOPK_LBL_CTES = f"""
+    q AS (SELECT vec_id, nv FROM n WHERE vec_id < 10),
+    topk AS (
+        SELECT query_id, cand_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_NDOT.format(a='q', b='c')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM q JOIN n c ON c.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    lbl AS (
+        SELECT t.query_id, t.rank, (cl.label = ql.label) AS rel
+        FROM topk t
+        JOIN embeddings cl ON cl.vec_id = t.cand_id
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+    )
+"""
+
+
+@query(
+    "q_mrr_at_k",
+    f"""
+    WITH {_NORM_CTE},
+    {_TOPK_LBL_CTES},
+    fr AS (
+        SELECT query_id, min(CASE WHEN rel THEN rank END) AS fr
+        FROM lbl GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(coalesce(fr, 0) AS INT) AS first_rel_rank,
+           CAST(CASE WHEN fr IS NOT NULL THEN 2520 // fr ELSE 0 END
+                AS BIGINT) AS rr_int,
+           CAST(CASE WHEN fr IS NOT NULL THEN 2520 // fr ELSE 0 END
+                AS DOUBLE) / 2520.0 AS rr
+    FROM fr
+    """,
+)
+def q_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the exact cosine retriever with labels-as-relevance
+    (retrieval.mrr_at_k): 1/rank of the first same-label hit per
+    query, 0 when the top-10 has none — the ranked-retrieval quality
+    gate (the set-overlap twin is q_ann_recall). Reciprocal ranks are
+    exact LCM(1..10)/rank BIGINTs, so query-set aggregations are
+    order-independent; one division renders the double."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return retrieval.mrr_at_k(emb, queries, k=10)
+
+
+@query(
+    "q_ndcg_at_k",
+    f"""
+    WITH {_NORM_CTE},
+    {_TOPK_LBL_CTES},
+    dcg AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN rel THEN [1000000000, 630929754, 500000000, 430676558, 386852807, 356207187, 333333333, 315464877, 301029996, 289064826][rank] ELSE 0 END)
+                    AS BIGINT) AS dcg_int
+        FROM lbl GROUP BY query_id
+    ),
+    freq AS (
+        SELECT ql.vec_id AS query_id, count(*) AS fn
+        FROM embeddings ql JOIN embeddings c ON c.label = ql.label
+        WHERE ql.vec_id < 10
+        GROUP BY ql.vec_id
+    )
+    SELECT d.query_id,
+           CAST(fn - 1 AS INT) AS n_rel_in_corpus,
+           d.dcg_int,
+           CAST(CASE WHEN fn > 1
+                     THEN [1000000000, 1630929754, 2130929754, 2561606312, 2948459119, 3304666306, 3637999639, 3953464516, 4254494512, 4543559338][CAST(least(fn - 1, 10) AS INT)]
+                     ELSE 0 END AS BIGINT) AS idcg_int,
+           CASE WHEN fn > 1
+                THEN CAST(d.dcg_int AS DOUBLE)
+                     / CAST([1000000000, 1630929754, 2130929754, 2561606312, 2948459119, 3304666306, 3637999639, 3953464516, 4254494512, 4543559338][CAST(least(fn - 1, 10) AS INT)] AS DOUBLE)
+                ELSE 0.0 END AS ndcg
+    FROM dcg d JOIN freq USING (query_id)
+    """,
+)
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-gain nDCG@10 with labels-as-relevance
+    (retrieval.ndcg_at_k): position-weighted ranking quality where MRR
+    only sees the first hit, normalized by the ideal ranking given the
+    corpus's same-label supply. The log2 discounts are a Python-
+    computed integer literal table shared verbatim with the oracle —
+    in-engine log2 is not correctly-rounded everywhere — so DCG/IDCG
+    are exact BIGINT sums and nDCG is one int/int division."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return retrieval.ndcg_at_k(emb, queries, k=10)

@@ -22,7 +22,14 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _hyperplanes, _topk_struct, dot, lsh_signature, unit_normalize
+from .similarity import (
+    _hyperplanes,
+    _topk_struct,
+    cosine_topk,
+    dot,
+    lsh_signature,
+    unit_normalize,
+)
 
 
 def l2_topk(
@@ -456,4 +463,141 @@ def minmax_fuse(
         "cand_id",
         "fused_score",
         "n_lists",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: MRR@k and nDCG@k
+# ---------------------------------------------------------------------------
+
+# LCM(1..10): every reciprocal rank 1/r (r <= 10) times this is an
+# exact integer, so reciprocal-rank sums are order-independent BIGINTs
+# and MRR needs exactly one division at render.
+_RR_LCM = 2520
+
+
+def _ndcg_discount_ints(k: int, scale: int = 10**9) -> list[int]:
+    """w_i = round(scale / log2(i+1)) for i=1..k, computed ONCE in
+    Python and embedded as literals on both engines — log2 is not
+    guaranteed correctly-rounded across engines, a literal table is."""
+    import math
+
+    return [round(scale / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def mrr_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Mean-reciprocal-rank labels-as-relevance evaluation of the
+    exact cosine retriever: a candidate is relevant iff it shares the
+    query's label, the metric is 1/rank of the FIRST relevant hit in
+    the top-k (0 if none). The retrieval-quality gate run before
+    trusting an embedding model for RAG or hard-negative mining — the
+    ranked twin of the set-overlap recall eval (``ann_recall_eval``).
+
+    Determinism: ranks come from :func:`similarity.cosine_topk`
+    (6dp-rounded cosine, cand-id tiebreak), and the reciprocal rank is
+    carried as the exact integer LCM(1..10)/rank (``rr_int``), so any
+    aggregation over queries is an order-independent BIGINT sum; the
+    double rendering divides once. Scale: one corpus scan (the top-k
+    is salted two-phase), label lookups are broadcast joins onto the
+    k·|queries|-row result.
+
+    Returns one row per query: (query_id, first_rel_rank — 0 when no
+    relevant doc in the top k — rr_int, rr)."""
+    topk = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    lab = corpus.select(F.col(id_col).alias("_cid"), F.col(label_col).alias("_clbl"))
+    qlab = queries.select(F.col(id_col).alias("_qid"), F.col(label_col).alias("_qlbl"))
+    rel = (
+        topk.join(F.broadcast(lab), F.col("cand_id") == F.col("_cid"))
+        .join(F.broadcast(qlab), F.col("query_id") == F.col("_qid"))
+        .select("query_id", "rank", (F.col("_clbl") == F.col("_qlbl")).alias("rel"))
+    )
+    fr = rel.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel"), F.col("rank"))).alias("_fr")
+    )
+    rr_int = F.when(
+        F.col("_fr").isNotNull(), (F.lit(_RR_LCM) / F.col("_fr")).cast("long")
+    ).otherwise(F.lit(0))
+    return fr.select(
+        "query_id",
+        F.coalesce(F.col("_fr"), F.lit(0)).cast("int").alias("first_rel_rank"),
+        rr_int.alias("rr_int"),
+        (rr_int.cast("double") / F.lit(float(_RR_LCM))).alias("rr"),
+    )
+
+
+def ndcg_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Binary-gain nDCG@k of the exact cosine retriever with
+    labels-as-relevance: DCG = Σ rel_i / log2(i+1) over the top-k,
+    normalized by the ideal DCG given how many relevant docs exist in
+    the corpus (min(R, k) front-loaded). Position-sensitive where MRR
+    only sees the first hit — the standard ranking-quality pair.
+
+    Determinism: the log2 discounts are NOT computed in-engine (log2
+    is not correctly-rounded everywhere); they are a Python-computed
+    integer literal table (round(1e9/log2(i+1))), so DCG and IDCG are
+    exact BIGINT sums and nDCG is ONE division of integers. R per
+    query is corpus label frequency minus the query itself (broadcast
+    of the |labels|-row frequency table).
+
+    Returns (query_id, n_rel_in_corpus, dcg_int, idcg_int, ndcg)."""
+    w = _ndcg_discount_ints(k)
+    prefix = [sum(w[: i + 1]) for i in range(k)]
+    topk = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    lab = corpus.select(F.col(id_col).alias("_cid"), F.col(label_col).alias("_clbl"))
+    qlab = queries.select(F.col(id_col).alias("_qid"), F.col(label_col).alias("_qlbl"))
+    lfreq = corpus.groupBy(F.col(label_col).alias("_flbl")).agg(
+        F.count(F.lit(1)).alias("_fn")
+    )
+    w_arr = F.array(*[F.lit(x) for x in w])
+    dcg = (
+        topk.join(F.broadcast(lab), F.col("cand_id") == F.col("_cid"))
+        .join(F.broadcast(qlab), F.col("query_id") == F.col("_qid"))
+        .groupBy("query_id", "_qlbl")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_clbl") == F.col("_qlbl"),
+                    F.element_at(w_arr, F.col("rank")),
+                ).otherwise(F.lit(0))
+            ).alias("dcg_int")
+        )
+    )
+    prefix_arr = F.array(*[F.lit(x) for x in prefix])
+    out = dcg.join(F.broadcast(lfreq), F.col("_qlbl") == F.col("_flbl")).select(
+        "query_id",
+        (F.col("_fn") - 1).cast("int").alias("n_rel_in_corpus"),
+        F.col("dcg_int").cast("long").alias("dcg_int"),
+        F.when(
+            F.col("_fn") > 1,
+            F.element_at(prefix_arr, F.least(F.col("_fn") - 1, F.lit(k)).cast("int")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("idcg_int"),
+    )
+    return out.select(
+        "query_id",
+        "n_rel_in_corpus",
+        "dcg_int",
+        "idcg_int",
+        F.when(
+            F.col("idcg_int") > 0,
+            F.col("dcg_int").cast("double") / F.col("idcg_int").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
     )

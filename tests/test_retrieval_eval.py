@@ -1,0 +1,88 @@
+"""Hand-computed checks for the MRR@k / nDCG@k retrieval evaluators.
+
+A planted 2-D corpus where cosine order is obvious by construction:
+vectors lie on the unit circle at increasing angles from the query, so
+ranks are exactly the angular order and first-relevant positions /
+DCG sums can be worked out on paper."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fordgobike_data_pipeline_spark.operators import retrieval
+
+
+def _vec(angle_deg: float) -> list[float]:
+    a = math.radians(angle_deg)
+    return [math.cos(a), math.sin(a)]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # query 0 at angle 0, label 7. Candidates at 10..60 degrees:
+    # rank order by cosine = angular order 1..6.
+    # labels: rank1=5, rank2=5, rank3=7 (first relevant), rank4=7,
+    #         rank5=5, rank6=5  -> first_rel_rank=3, R(corpus)=2
+    rows = [(0, _vec(0), 7)]
+    labels = [5, 5, 7, 7, 5, 5]
+    for i, lbl in enumerate(labels, start=1):
+        rows.append((i, _vec(10 * i), lbl))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_mrr_first_relevant_at_rank_3(planted):
+    out = retrieval.mrr_at_k(
+        planted, planted.filter("vec_id = 0"), k=6
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["first_rel_rank"] == 3
+    assert r["rr_int"] == 2520 // 3
+    assert r["rr"] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_mrr_zero_when_no_relevant_in_topk(planted):
+    # k=2: only the two label-5 candidates fit -> no relevant hit
+    r = retrieval.mrr_at_k(planted, planted.filter("vec_id = 0"), k=2).collect()[0]
+    assert r["first_rel_rank"] == 0 and r["rr_int"] == 0 and r["rr"] == 0.0
+
+
+def test_ndcg_matches_hand_computation(planted):
+    # relevant at ranks 3 and 4; R = 2 (two label-7 candidates), so
+    # DCG = w3 + w4 and IDCG = w1 + w2 with w_i = round(1e9/log2(i+1))
+    w = retrieval._ndcg_discount_ints(6)
+    r = retrieval.ndcg_at_k(planted, planted.filter("vec_id = 0"), k=6).collect()[0]
+    assert r["n_rel_in_corpus"] == 2
+    assert r["dcg_int"] == w[2] + w[3]
+    assert r["idcg_int"] == w[0] + w[1]
+    assert r["ndcg"] == pytest.approx((w[2] + w[3]) / (w[0] + w[1]), abs=1e-12)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    # all candidates share the query's label -> every hit relevant,
+    # DCG == IDCG regardless of order
+    rows = [(i, _vec(10 * i), 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    r = retrieval.ndcg_at_k(df, df.filter("vec_id = 0"), k=4).collect()[0]
+    assert r["dcg_int"] == r["idcg_int"] > 0
+    assert r["ndcg"] == 1.0
+
+
+def test_ndcg_zero_when_label_unique(spark):
+    # the query's label appears nowhere else -> IDCG 0, ndcg defined 0
+    rows = [(0, _vec(0), 99)] + [(i, _vec(10 * i), 1) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    r = retrieval.ndcg_at_k(df, df.filter("vec_id = 0"), k=3).collect()[0]
+    assert r["n_rel_in_corpus"] == 0
+    assert r["idcg_int"] == 0 and r["ndcg"] == 0.0
+
+
+def test_discount_table_is_monotone_exact():
+    w = retrieval._ndcg_discount_ints(10)
+    assert w[0] == 10**9  # 1/log2(2) == 1
+    assert all(a > b for a, b in zip(w, w[1:]))
+    assert w[2] == 5 * 10**8  # 1/log2(4) == 0.5 exactly
