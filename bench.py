@@ -224,6 +224,7 @@ HEADLINE = [
     "q_fusion_minmax",
     "q_mrr_at_k",
     "q_ndcg_at_k",
+    "q_hard_negatives",
     "q_attribution_position",
     "q_theil_sen",
     "q_nearest_centroid",

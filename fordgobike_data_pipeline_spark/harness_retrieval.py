@@ -188,3 +188,47 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     return retrieval.ndcg_at_k(emb, queries, k=10)
+
+
+@query(
+    "q_hard_negatives",
+    f"""
+    WITH {_NORM_CTE},
+    q AS (SELECT vec_id, nv FROM n WHERE vec_id < 10),
+    topk AS (
+        SELECT query_id, cand_id, sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round({_NDOT.format(a='q', b='c')}, 6) + 0.0 AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_NDOT.format(a='q', b='c')}, 6) DESC,
+                                c.vec_id) AS rank
+            FROM q JOIN n c ON c.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    negs AS (
+        SELECT t.query_id, t.cand_id, t.sim, cl.label AS neg_label,
+               row_number() OVER (
+                   PARTITION BY t.query_id
+                   ORDER BY t.sim DESC, t.cand_id) AS neg_rank
+        FROM topk t
+        JOIN embeddings cl ON cl.vec_id = t.cand_id
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        WHERE cl.label <> ql.label
+    )
+    SELECT query_id, CAST(neg_rank AS INT) AS neg_rank, cand_id, sim,
+           neg_label
+    FROM negs WHERE neg_rank <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (retrieval.hard_negatives):
+    per query, the 3 highest-cosine candidates with a DIFFERENT label
+    inside the top-10 scan window — the near-miss examples embedding
+    fine-tuning and reranker training need (random negatives are too
+    easy to teach anything). One corpus scan via the salted two-phase
+    top-k; the negative re-rank runs on the 10·|queries|-row survivor
+    set after broadcast label joins."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return retrieval.hard_negatives(emb, queries, k_scan=10, n_neg=3)

@@ -601,3 +601,52 @@ def ndcg_at_k(
         .otherwise(F.lit(0.0))
         .alias("ndcg"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_scan: int = 10,
+    n_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query, the ``n_neg``
+    highest-cosine candidates whose label DIFFERS — the "close but
+    wrong" examples that make embedding fine-tuning and reranker
+    training work (random negatives are too easy; the model only
+    learns from near-misses). The scan depth ``k_scan`` bounds how far
+    down the ranking we look, so a query whose entire neighborhood
+    shares its label yields fewer (possibly zero) negatives rather
+    than dredging easy ones.
+
+    Reuses the salted two-phase :func:`similarity.cosine_topk` (one
+    corpus scan, broadcast queries) and re-ranks the k_scan·|queries|
+    survivors after a broadcast label join — rank-stable: cosine
+    rounded 6dp with cand-id tiebreak, negative rank dense within the
+    filtered set.
+
+    Returns (query_id, neg_rank, cand_id, sim, neg_label)."""
+    topk = cosine_topk(corpus, queries, k=k_scan, id_col=id_col, vec_col=vec_col)
+    lab = corpus.select(F.col(id_col).alias("_cid"), F.col(label_col).alias("_clbl"))
+    qlab = queries.select(F.col(id_col).alias("_qid"), F.col(label_col).alias("_qlbl"))
+    negs = (
+        topk.join(F.broadcast(lab), F.col("cand_id") == F.col("_cid"))
+        .join(F.broadcast(qlab), F.col("query_id") == F.col("_qid"))
+        .filter(F.col("_clbl") != F.col("_qlbl"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(
+            "query_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "cand_id",
+            "sim",
+            F.col("_clbl").alias("neg_label"),
+        )
+    )

@@ -86,3 +86,29 @@ def test_discount_table_is_monotone_exact():
     assert w[0] == 10**9  # 1/log2(2) == 1
     assert all(a > b for a, b in zip(w, w[1:]))
     assert w[2] == 5 * 10**8  # 1/log2(4) == 0.5 exactly
+
+
+def test_hard_negatives_planted(planted):
+    # query 0 (label 7): ranks 1,2 are label-5 (negatives), 3,4 are
+    # label-7 (positives), 5,6 label-5. n_neg=3 within k_scan=6 ->
+    # negatives at original ranks 1,2,5 => cand_ids 1,2,5 in order.
+    from fordgobike_data_pipeline_spark.operators import retrieval
+
+    out = retrieval.hard_negatives(
+        planted, planted.filter("vec_id = 0"), k_scan=6, n_neg=3
+    ).collect()
+    assert [(r["neg_rank"], r["cand_id"], r["neg_label"]) for r in out] == [
+        (1, 1, 5),
+        (2, 2, 5),
+        (3, 5, 5),
+    ]
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_hard_negatives_empty_when_all_same_label(spark):
+    rows = [(i, _vec(10 * i), 1) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    from fordgobike_data_pipeline_spark.operators import retrieval
+
+    assert retrieval.hard_negatives(df, df.filter("vec_id = 0"), 3, 2).count() == 0
