@@ -225,6 +225,7 @@ HEADLINE = [
     "q_mrr_at_k",
     "q_ndcg_at_k",
     "q_hard_negatives",
+    "q_dup_weight",
     "q_attribution_position",
     "q_theil_sen",
     "q_nearest_centroid",

@@ -120,8 +120,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q_matryoshka_recall, q_fusion_minmax, q_keyset_pagination,
     # q_stream_session, the TPC-H residue q_tpch_q2 q3 q4 q5 q6 q7
     # q8 q9 q10 q11 q13 q14 q15 q16 q17 q19 q20 q21 q22, and the
-    # round-7 additions q_mrr_at_k, q_ndcg_at_k, q_hard_negatives
-    # (= 60 total; r8's 50-slot window drains all but ~10; spill to r9).
+    # round-7 additions q_mrr_at_k, q_ndcg_at_k, q_hard_negatives,
+    # q_dup_weight (= 61 total; r8's 50-slot window drains all but
+    # ~11; spill to r9).
     "q_mad_outliers",
     "q_ab_test",
     "q_dataset_stats",

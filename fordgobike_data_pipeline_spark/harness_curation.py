@@ -1203,3 +1203,39 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b")
     ).limit(10)
+
+
+@query(
+    "q_dup_weight",
+    """
+    WITH crawl AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    g AS (
+        SELECT md5(text) AS content_hash,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM crawl GROUP BY content_hash
+    )
+    SELECT c.doc_id, g.n_copies,
+           1.0 / CAST(g.n_copies AS DOUBLE) AS weight
+    FROM crawl c JOIN g ON g.content_hash = md5(c.text)
+    """,
+)
+def q_dup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights (dedup.dup_weight) over a
+    simulated re-crawl (every 20th doc fetched twice): each row kept
+    with weight 1/n_copies of its exact-content group, so duplicated
+    content contributes one doc's worth of loss gradient instead of
+    n — the soft third strategy beside dropping (q_dedup_exact) and
+    measuring (q_dup_inflation). One hash aggregation + one join;
+    the weight is a single exact int/int division."""
+    from .operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    recrawl = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    crawl = docs.unionByName(recrawl)
+    return dedup.dup_weight(crawl, ["text"])

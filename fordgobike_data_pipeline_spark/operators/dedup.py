@@ -915,3 +915,40 @@ def setsim_join_prefix(
         "uni",
         F.round(F.col("inter").cast("double") / F.col("uni"), 9).alias("jaccard"),
     )
+
+
+def dup_weight(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-aware training weight: every row KEPT, weighted
+    1/n_copies of its exact-content group — the third dedup strategy
+    next to dropping (:func:`exact_dedup`) and measuring
+    (`dup_inflation`). Down-weighting preserves the corpus's coverage
+    while removing the loss-gradient bias toward duplicated content
+    (a doc crawled 40 times contributes one doc's worth of gradient,
+    not forty) — the standard soft alternative when duplicates carry
+    signal (popularity, canonical-ness) you don't want to erase.
+
+    Same md5 content key as :func:`exact_dedup` (control-character
+    separator for multi-column content), so the three strategies
+    agree on what "a duplicate" is. One hash-partitioned aggregation
+    (|distinct contents| rows) joined back on the hash — at 100 TB
+    the group table is the same size exact dedup already builds, and
+    the weight is one exact int/int division per row (n_copies is a
+    small integer, the quotient is correctly rounded — bit-stable on
+    any engine, no decimal re-round)."""
+    key = F.md5(F.concat_ws("\x1f", *content_cols)).alias("content_hash")
+    groups = df.select(key, F.col(id_col)).groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return (
+        df.select(F.col(id_col), key)
+        .join(groups, "content_hash")
+        .select(
+            id_col,
+            "n_copies",
+            (F.lit(1.0) / F.col("n_copies").cast("double")).alias("weight"),
+        )
+    )

@@ -4,6 +4,7 @@ repartitioning, packing contiguity, redaction on crafted PII)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fordgobike_data_pipeline_spark.operators import curation
@@ -483,3 +484,33 @@ def test_flatten_conversations_ordering(spark):
     assert got[1].n_turns == 3
     assert got[1].transcript == "system: setup\nuser: question\nassistant: reply"
     assert got[2].transcript == "user: solo"
+
+
+def test_dup_weight_downweights_exact_groups(spark):
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha beta"),
+        (3, "alpha beta"),
+        (4, "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup.dup_weight(df, ["text"]).collect()}
+    assert len(out) == 4  # every row KEPT (weights, not drops)
+    for i in (1, 2, 3):
+        assert out[i]["n_copies"] == 3 and out[i]["weight"] == pytest.approx(1 / 3)
+    assert out[4]["n_copies"] == 1 and out[4]["weight"] == 1.0
+    # group weights sum to one doc's worth of gradient
+    assert sum(out[i]["weight"] for i in (1, 2, 3)) == pytest.approx(1.0)
+
+
+def test_dup_weight_multicolumn_separator(spark):
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    # ("ab","c") must not collide with ("a","bc")
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc")], "doc_id bigint, a string, b string"
+    )
+    out = dedup.dup_weight(df, ["a", "b"]).collect()
+    assert all(r["n_copies"] == 1 for r in out)
