@@ -28,12 +28,6 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(
-    0,
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
-    ),
-)
 
 from fordgobike_data_pipeline_spark.plans import runner as runner_mod  # noqa: E402
 from fordgobike_data_pipeline_spark.plans.runner import (  # noqa: E402
@@ -68,31 +62,22 @@ def main() -> None:
     report = format_run_report(spark, wh)
     print(report)
 
-    # Loopback SMTP so the demo is self-contained: reuse the test
-    # server; swap host/port for a real relay in production.
-    from test_smtp_and_schedule import _SmtpState, _serve_one  # noqa: E402
-    import socket
-    import threading
+    # Loopback SMTP so the demo is self-contained (packaged helper);
+    # swap host/port for a real relay in production.
+    from fordgobike_data_pipeline_spark.testing import loopback_smtp_server
 
-    state = _SmtpState()
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.bind(("127.0.0.1", 0))
-    srv.listen(1)
-    threading.Thread(
-        target=lambda: _serve_one(srv.accept()[0], state), daemon=True
-    ).start()
-
-    results = email_sink.send_report_via_smtp(
-        report[:2000],
-        ["ops@example.com"],
-        host="127.0.0.1",
-        port=srv.getsockname()[1],
-        sender_email="pipeline@example.com",
-        subject="scheduled run report",
-    )
-    print("smtp delivery:", results)
-    assert results[0][1], results
-    print("report delivered over SMTP:", len(state.messages), "message(s)")
+    with loopback_smtp_server() as (host, port, state):
+        results = email_sink.send_report_via_smtp(
+            report[:2000],
+            ["ops@example.com"],
+            host=host,
+            port=port,
+            sender_email="pipeline@example.com",
+            subject="scheduled run report",
+        )
+        print("smtp delivery:", results)
+        assert results[0][1], results
+        print("report delivered over SMTP:", len(state.messages), "message(s)")
 
 
 if __name__ == "__main__":

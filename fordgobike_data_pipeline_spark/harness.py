@@ -77,102 +77,75 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-5 priority: never-driver-checked queries first, then the
-# stalest official rows. The window (first 50) = the 14 queries NEW
-# this round (seeded BPE oracle twin, near-dup decontamination, the
-# six warehouse/ANN-composition entries, the JSONL roundtrip, the
-# three analytics-window entries, the fuzzy entity-resolution join,
-# and the SCD2 point-in-time consumer), the 2 whose only green row is
-# r01, all 31 whose latest official row is r02 (the round-4 deferred
-# list — every one green at its last driver check and locally
-# mirror-green since, including the 4 rows-only media/BPE probes),
-# and the 3 stalest r03-green entries (the §2.6 scalar-function
-# family head). Deferred to r6: the remaining r03-green entries and
-# everything certified in r04 (tail comment).
+# Round-8 priority: drain the never-officially-checked backlog
+# (VERDICT r7 "Next round" item 1 — 61 queries had no official
+# CORRECTNESS row through r7; every one is hardened-mirror-green and
+# 12 were independently judge-verified). The window (first 50) =
+#   [1-38]  the wave-16–21 analytics / graph / retrieval / streaming
+#           entries never adjudicated (includes q_matryoshka_recall
+#           and q_week_overlap, whose perf fixes land this round —
+#           keep them hash-green),
+#   [39-46] TPC-H q2–q9 (q9's render-rounding fix from r7 gets its
+#           first official row alongside any r8 perf work),
+#   [47-50] the four round-7 additions (q_mrr_at_k, q_ndcg_at_k,
+#           q_hard_negatives, q_dup_weight), all judge-verified ✓.
+#
+# ROUND-9 ROTATION QUEUE (the 11 never-officially-checked that spill):
+# q_tpch_q10, q_tpch_q11, q_tpch_q13, q_tpch_q14, q_tpch_q15,
+# q_tpch_q16, q_tpch_q17, q_tpch_q19, q_tpch_q20, q_tpch_q21,
+# q_tpch_q22 — plus any query added in r8 (seeded media twins etc.),
+# then resume staleness rotation (oldest official rows are r3).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation. Composition (VERDICT r6 "Next round" items 1/4/5):
-    #   [1-6]   the six r6 hash-FAILs — values were bit-identical, the
-    #           oracles' uncast integer sums came back as DuckDB HUGEINT
-    #           (Arrow decimal128) and the driver's dtype-sensitive hash
-    #           rejected them; every oracle is now CAST(... AS BIGINT)
-    #           (zero decimal columns repo-wide, pinned by
-    #           tests/test_oracle_dtypes.py).
-    #   [7-35]  the 29 never-checked queries the same schema sweep mined
-    #           (same fix applied).
-    #   [36-40] the five queries whose only official record was an r2
-    #           `err` / whose rows-only status was never certified —
-    #           land official rows-only green entries (q_ann_ivf's
-    #           oracle twin q_ann_ivf_seeded is official green r4).
-    #   [41-46] the six r5 deferrals.
-    #   [47-50] the oldest remaining round-6 additions (wave order).
-    #
-    # ROUND-8 ROTATION QUEUE (57 never-officially-checked remain):
-    # q_try_funcs, q_attribution_position, q_theil_sen, q_week_overlap,
-    # q_max_concurrency, q_mutual_information, q_backtest_snaive,
-    # q_xcorr_lags, q_bootstrap_ci, q_setsim_prefix, q_badword_filter,
-    # q_url_blocklist, q_phrase_search, q_tfidf_cosine_pairs,
-    # q_mixture_temperature, q_zipf_fit, q_interarrival_quantiles,
-    # q_seasonal_anomaly, q_pct_change_wow, q_tv_distance,
-    # q_rolling_dau, q_isotonic_trend, q_clustering_coeff, q_kcore,
-    # q_random_walks, q_k_anonymity, q_assortativity, q_modularity,
-    # q_rank_select_median, q_kl_divergence, q_langid_confusion,
-    # q_window_breadth, q_dedup_keep_best, q_quality_agreement,
-    # q_matryoshka_recall, q_fusion_minmax, q_keyset_pagination,
-    # q_stream_session, the TPC-H residue q_tpch_q2 q3 q4 q5 q6 q7
-    # q8 q9 q10 q11 q13 q14 q15 q16 q17 q19 q20 q21 q22, and the
-    # round-7 additions q_mrr_at_k, q_ndcg_at_k, q_hard_negatives,
-    # q_dup_weight (= 61 total; r8's 50-slot window drains all but
-    # ~11; spill to r9).
-    "q_mad_outliers",
-    "q_ab_test",
-    "q_dataset_stats",
-    "q_knn_label_vote",
-    "q_oov_rate",
-    "q_time_weighted_avg",
-    "q_agg_breadth",
-    "q_time_decay_cooccur",
-    "q_next_event_eval",
-    "q_kendall_tau",
-    "q_tokenizer_fertility",
-    "q_corpus_report",
-    "q_feature_hash",
-    "q_cusum_changepoint",
-    "q_seasonal_dow",
-    "q_ttr_hapax",
-    "q_fano_burstiness",
-    "q_alloc_largest_remainder",
-    "q_dup_inflation",
-    "q_naive_bayes_langid",
-    "q_decision_stump",
-    "q_gdpr_delete",
-    "q_pii_census",
-    "q_bellman_ford",
-    "q_hits_authority",
-    "q_join_cardinality_estimate",
-    "q_nearest_centroid",
-    "q_er_canonical",
-    "q_er_eval",
-    "q_tpch_q1",
-    "q_tpch_q18",
-    "q_tpch_q12",
-    "q_stream_dedup",
-    "q_stream_stateful",
-    "q_stream_window",
-    "q_ann_ivf",
-    "q_image_features",
-    "q_resize_images",
-    "q_bpe_token_count",
-    "q_phash_dedup",
-    "q_zorder3",
-    "q_orc_roundtrip",
-    "q_semi_additive",
-    "q_bucketed_join",
-    "q_provenance",
-    "q_stream_join",
-    "q_target_encode_loo",
-    "q_onehot_topk",
-    "q_minmax_scale",
-    "q_acf",
+    "q_try_funcs",
+    "q_attribution_position",
+    "q_theil_sen",
+    "q_week_overlap",
+    "q_max_concurrency",
+    "q_mutual_information",
+    "q_backtest_snaive",
+    "q_xcorr_lags",
+    "q_bootstrap_ci",
+    "q_setsim_prefix",
+    "q_badword_filter",
+    "q_url_blocklist",
+    "q_phrase_search",
+    "q_tfidf_cosine_pairs",
+    "q_mixture_temperature",
+    "q_zipf_fit",
+    "q_interarrival_quantiles",
+    "q_seasonal_anomaly",
+    "q_pct_change_wow",
+    "q_tv_distance",
+    "q_rolling_dau",
+    "q_isotonic_trend",
+    "q_clustering_coeff",
+    "q_kcore",
+    "q_random_walks",
+    "q_k_anonymity",
+    "q_assortativity",
+    "q_modularity",
+    "q_rank_select_median",
+    "q_kl_divergence",
+    "q_langid_confusion",
+    "q_window_breadth",
+    "q_dedup_keep_best",
+    "q_quality_agreement",
+    "q_matryoshka_recall",
+    "q_fusion_minmax",
+    "q_keyset_pagination",
+    "q_stream_session",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_mrr_at_k",
+    "q_ndcg_at_k",
+    "q_hard_negatives",
+    "q_dup_weight",
 )
 
 

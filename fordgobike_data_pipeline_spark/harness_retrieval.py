@@ -126,13 +126,13 @@ _TOPK_LBL_CTES = f"""
         SELECT query_id, min(CASE WHEN rel THEN rank END) AS fr
         FROM lbl GROUP BY query_id
     )
-    SELECT query_id,
+    SELECT q.vec_id AS query_id,
            CAST(coalesce(fr, 0) AS INT) AS first_rel_rank,
            CAST(CASE WHEN fr IS NOT NULL THEN 2520 // fr ELSE 0 END
                 AS BIGINT) AS rr_int,
            CAST(CASE WHEN fr IS NOT NULL THEN 2520 // fr ELSE 0 END
                 AS DOUBLE) / 2520.0 AS rr
-    FROM fr
+    FROM q LEFT JOIN fr ON fr.query_id = q.vec_id
     """,
 )
 def q_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,17 +164,19 @@ def q_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ql.vec_id < 10
         GROUP BY ql.vec_id
     )
-    SELECT d.query_id,
-           CAST(fn - 1 AS INT) AS n_rel_in_corpus,
-           d.dcg_int,
-           CAST(CASE WHEN fn > 1
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(fn, 1) - 1 AS INT) AS n_rel_in_corpus,
+           CAST(coalesce(d.dcg_int, 0) AS BIGINT) AS dcg_int,
+           CAST(CASE WHEN coalesce(fn, 1) > 1
                      THEN [1000000000, 1630929754, 2130929754, 2561606312, 2948459119, 3304666306, 3637999639, 3953464516, 4254494512, 4543559338][CAST(least(fn - 1, 10) AS INT)]
                      ELSE 0 END AS BIGINT) AS idcg_int,
-           CASE WHEN fn > 1
-                THEN CAST(d.dcg_int AS DOUBLE)
+           CASE WHEN coalesce(fn, 1) > 1
+                THEN CAST(coalesce(d.dcg_int, 0) AS DOUBLE)
                      / CAST([1000000000, 1630929754, 2130929754, 2561606312, 2948459119, 3304666306, 3637999639, 3953464516, 4254494512, 4543559338][CAST(least(fn - 1, 10) AS INT)] AS DOUBLE)
                 ELSE 0.0 END AS ndcg
-    FROM dcg d JOIN freq USING (query_id)
+    FROM q
+    LEFT JOIN dcg d ON d.query_id = q.vec_id
+    LEFT JOIN freq ON freq.query_id = q.vec_id
     """,
 )
 def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:

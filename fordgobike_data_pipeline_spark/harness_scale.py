@@ -3376,45 +3376,29 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation retrieval eval: recall@10 of cosine top-k
     computed on the first 16 and 32 embedding dims against the
     full-64-dim ranking — the dimension-vs-quality curve that decides
-    how short a prefix an MRL-style index can serve. Each ranking is
-    one cosine_topk pass (corpus scanned once per dim, queries
-    broadcast, salted two-phase top-k); truncation is F.slice +
-    renormalize, pure codegen. Recall joins are on the tiny top-k
-    tables. At 100 TB the 16-dim pass reads 1/4 the vector bytes of
-    the full one — the point of the probe."""
+    how short a prefix an MRL-style index can serve. All three rankings
+    come from ONE corpus scan (similarity.cosine_topk_multidim: each
+    side sliced+renormalized per width inside a single projection, one
+    pair enumeration, one salted two-phase top-k pipeline carrying a
+    per-width array — the r7 3-scans-for-3-widths plan cut to 1).
+    Recall is array_intersect on the per-query top-k arrays, no joins.
+    At 100 TB the vector bytes are read once for all widths — the
+    point of the probe."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-
-    def topk_at(d: int) -> DataFrame:
-        src = (
-            emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-            if d < 64
-            else emb
-        )
-        return similarity.cosine_topk(
-            src, src.filter(F.col("vec_id") < 5), k=10
-        ).select("query_id", "cand_id")
-
-    full = topk_at(64)
-    t16 = topk_at(16).withColumnRenamed("cand_id", "c16")
-    t32 = topk_at(32).withColumnRenamed("cand_id", "c32")
-    return (
-        full.join(
-            t16,
-            (full.query_id == t16.query_id) & (full.cand_id == t16.c16),
-            "left",
-        )
-        .drop(t16.query_id)
-        .join(
-            t32,
-            (full.query_id == t32.query_id) & (full.cand_id == t32.c32),
-            "left",
-        )
-        .drop(t32.query_id)
-        .groupBy(full.query_id.alias("query_id"))
-        .agg(
-            F.round(F.count("c16").cast("double") / 10.0, 6).alias("recall_16"),
-            F.round(F.count("c32").cast("double") / 10.0, 6).alias("recall_32"),
-        )
+    tops = similarity.cosine_topk_multidim(
+        emb, emb.filter(F.col("vec_id") < 5), dims=(16, 32, 64), k=10
+    )
+    cand = lambda d: F.transform(f"top{d}", lambda e: e.cand_id)  # noqa: E731
+    return tops.select(
+        "query_id",
+        F.round(
+            F.size(F.array_intersect(cand(64), cand(16))).cast("double") / 10.0,
+            6,
+        ).alias("recall_16"),
+        F.round(
+            F.size(F.array_intersect(cand(64), cand(32))).cast("double") / 10.0,
+            6,
+        ).alias("recall_32"),
     )
 
 

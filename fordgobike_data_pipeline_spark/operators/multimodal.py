@@ -355,13 +355,18 @@ def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
 
 def phash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate image pairs from pHashes WITHOUT the quadratic
-    cross join: the 64-bit hash splits into four 16-bit bands; by
-    pigeonhole any pair within hamming ≤ 6 agrees exactly on at least
-    one band (6 flipped bits can dirty at most 3 of 4 bands... at most
-    6 < 4·2, so ≥1 band is clean for hamming ≤ 7), so candidates are
-    the band-equality buckets, then one exact popcount verify.
-    Identical relational shape to dedup.simhash_pairs — dedup's
-    band-join machinery applied to the image modality."""
+    cross join: the 64-bit hash splits into four 16-bit bands,
+    candidates are the band-equality buckets, then one exact popcount
+    verify. Pigeonhole GUARANTEES a shared band only for hamming ≤ 3
+    (each flipped bit dirties at most one band; 4+ flips can spread
+    across all 4 bands); pairs at hamming 4–6 are found with high
+    probability because perceptual-hash differences cluster in the
+    low-frequency bit positions rather than spreading uniformly — the
+    standard LSH-band recall trade (guaranteed-≤3 would need 7 bands
+    of 9 bits, whose 512-value band space collapses into hot buckets
+    at corpus scale). Precision is exact: every emitted pair passed
+    the popcount. Identical relational shape to dedup.simhash_pairs —
+    dedup's band-join machinery applied to the image modality."""
     bands = hashes.select(
         "media_id",
         "phash",

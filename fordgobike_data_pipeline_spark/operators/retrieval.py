@@ -472,8 +472,19 @@ def minmax_fuse(
 
 # LCM(1..10): every reciprocal rank 1/r (r <= 10) times this is an
 # exact integer, so reciprocal-rank sums are order-independent BIGINTs
-# and MRR needs exactly one division at render.
+# and MRR needs exactly one division at render. For k > 10 the scale
+# is computed as LCM(1..k) so the exact-integer invariant holds at any
+# depth (a fixed 2520 would silently truncate 2520//11).
 _RR_LCM = 2520
+
+
+def _rr_lcm(k: int) -> int:
+    """2520 (the documented LCM(1..10) scale) for any k <= 10, the
+    true LCM(1..k) beyond — 2520 divides every 1..10 reciprocal so the
+    published rr_int values for small k stay stable."""
+    import math
+
+    return _RR_LCM if k <= 10 else math.lcm(*range(1, k + 1))
 
 
 def _ndcg_discount_ints(k: int, scale: int = 10**9) -> list[int]:
@@ -508,8 +519,13 @@ def mrr_at_k(
     is salted two-phase), label lookups are broadcast joins onto the
     k·|queries|-row result.
 
+    Every input query appears in the output: a query with zero top-k
+    candidates (corpus holds only the query itself) is joined back and
+    scored rr=0 rather than silently dropped.
+
     Returns one row per query: (query_id, first_rel_rank — 0 when no
     relevant doc in the top k — rr_int, rr)."""
+    lcm = _rr_lcm(k)
     topk = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     lab = corpus.select(F.col(id_col).alias("_cid"), F.col(label_col).alias("_clbl"))
     qlab = queries.select(F.col(id_col).alias("_qid"), F.col(label_col).alias("_qlbl"))
@@ -521,14 +537,16 @@ def mrr_at_k(
     fr = rel.groupBy("query_id").agg(
         F.min(F.when(F.col("rel"), F.col("rank"))).alias("_fr")
     )
+    base = queries.select(F.col(id_col).alias("query_id"))
+    fr = base.join(fr, "query_id", "left")
     rr_int = F.when(
-        F.col("_fr").isNotNull(), (F.lit(_RR_LCM) / F.col("_fr")).cast("long")
+        F.col("_fr").isNotNull(), (F.lit(lcm) / F.col("_fr")).cast("long")
     ).otherwise(F.lit(0))
     return fr.select(
         "query_id",
         F.coalesce(F.col("_fr"), F.lit(0)).cast("int").alias("first_rel_rank"),
         rr_int.alias("rr_int"),
-        (rr_int.cast("double") / F.lit(float(_RR_LCM))).alias("rr"),
+        (rr_int.cast("double") / F.lit(float(lcm))).alias("rr"),
     )
 
 
@@ -553,6 +571,10 @@ def ndcg_at_k(
     query is corpus label frequency minus the query itself (broadcast
     of the |labels|-row frequency table).
 
+    Every input query appears in the output: a query with zero top-k
+    candidates is joined back with dcg=0, and a query whose label is
+    absent from the corpus gets n_rel=0/ndcg=0 rather than dropping.
+
     Returns (query_id, n_rel_in_corpus, dcg_int, idcg_int, ndcg)."""
     w = _ndcg_discount_ints(k)
     prefix = [sum(w[: i + 1]) for i in range(k)]
@@ -566,7 +588,7 @@ def ndcg_at_k(
     dcg = (
         topk.join(F.broadcast(lab), F.col("cand_id") == F.col("_cid"))
         .join(F.broadcast(qlab), F.col("query_id") == F.col("_qid"))
-        .groupBy("query_id", "_qlbl")
+        .groupBy("query_id")
         .agg(
             F.sum(
                 F.when(
@@ -576,18 +598,29 @@ def ndcg_at_k(
             ).alias("dcg_int")
         )
     )
+    base = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("_qlbl")
+    )
     prefix_arr = F.array(*[F.lit(x) for x in prefix])
-    out = dcg.join(F.broadcast(lfreq), F.col("_qlbl") == F.col("_flbl")).select(
-        "query_id",
-        (F.col("_fn") - 1).cast("int").alias("n_rel_in_corpus"),
-        F.col("dcg_int").cast("long").alias("dcg_int"),
-        F.when(
-            F.col("_fn") > 1,
-            F.element_at(prefix_arr, F.least(F.col("_fn") - 1, F.lit(k)).cast("int")),
+    out = (
+        base.join(dcg, "query_id", "left")
+        .join(F.broadcast(lfreq), F.col("_qlbl") == F.col("_flbl"), "left")
+        .withColumn("_fn", F.coalesce(F.col("_fn"), F.lit(1)))
+        .withColumn("dcg_int", F.coalesce(F.col("dcg_int"), F.lit(0)))
+        .select(
+            "query_id",
+            (F.col("_fn") - 1).cast("int").alias("n_rel_in_corpus"),
+            F.col("dcg_int").cast("long").alias("dcg_int"),
+            F.when(
+                F.col("_fn") > 1,
+                F.element_at(
+                    prefix_arr, F.least(F.col("_fn") - 1, F.lit(k)).cast("int")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("idcg_int"),
         )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("idcg_int"),
     )
     return out.select(
         "query_id",

@@ -133,6 +133,87 @@ def cosine_topk(
     )
 
 
+def cosine_topk_multidim(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exact cosine top-k at several prefix-truncation widths in ONE
+    corpus scan — the Matryoshka (MRL) dimension-vs-quality probe.
+
+    Running :func:`cosine_topk` once per width re-reads and re-pairs
+    the corpus per width (the r7 bench regression: 3 scans for
+    dims 16/32/64). Here each side is sliced+normalized once per width
+    inside a single projection, ONE pair enumeration computes every
+    per-width sim, and a single two-phase salted aggregation carries
+    one top-k array per width — scans 3→1, crossJoins 3→1, shuffle
+    pipelines 3→1. Per-width semantics are identical to
+    ``cosine_topk(slice(vec, 1, d), …)``: 6dp-rounded cosine of the
+    renormalized prefix, cand-id tiebreak.
+
+    Returns one row per query: (query_id, top{d} array<struct(neg_sim,
+    cand_id)> for each d in dims), each array sorted best-first and
+    ≤ k long. Explode a width's array with posexplode for ranked rows.
+    """
+    def with_slices(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            *[
+                unit_normalize(F.slice(F.col(vec_col), 1, d)).alias(
+                    f"{prefix}_v{d}"
+                )
+                for d in dims
+            ],
+        )
+
+    q = with_slices(queries, "q")
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    c = with_slices(corpus.repartition(n_part), "c")
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("cand_id"),
+            *[
+                (
+                    F.round(dot(F.col(f"q_v{d}"), F.col(f"c_v{d}")), 6)
+                    + F.lit(0.0)
+                ).alias(f"sim{d}")
+                for d in dims
+            ],
+        )
+    )
+    entries = {
+        d: _topk_struct(F.col(f"sim{d}"), F.col("cand_id").alias("cand_id"))
+        for d in dims
+    }
+    partial = (
+        pairs.withColumn("salt", F.pmod(F.xxhash64("cand_id"), F.lit(n_salt)))
+        .groupBy("query_id", "salt")
+        .agg(
+            *[
+                F.slice(F.array_sort(F.collect_list(entries[d])), 1, k).alias(
+                    f"top{d}"
+                )
+                for d in dims
+            ]
+        )
+    )
+    return partial.groupBy("query_id").agg(
+        *[
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list(f"top{d}"))), 1, k
+            ).alias(f"top{d}")
+            for d in dims
+        ]
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy needed at plan
     build: splitmix-style integer hashing → uniform in [-1, 1])."""

@@ -119,7 +119,11 @@ def _build_mime_message(
     """One MIME message per receiver, shaped like the reference's
     sendMail call (index.js:70-90): From = display-name + configured
     account, optional Reply-To, subject prefixed "Airflow Contact: ",
-    plain-text body with an HTML alternative."""
+    plain-text body with an HTML alternative. Interpolated fields are
+    html.escape()d — machine-generated report text can contain <, >, &
+    (the reference's index.js interpolates raw; that is its flaw, not a
+    contract worth preserving)."""
+    import html as _html
     from email.message import EmailMessage
 
     msg = EmailMessage()
@@ -131,9 +135,9 @@ def _build_mime_message(
     msg.set_content(message)
     msg.add_alternative(
         "<div><h2>reciver from airflow</h2>"
-        f"<p><strong>Name:</strong> {sender_name}</p>"
-        f"<p><strong>Subject:</strong> {subject}</p>"
-        f"<pre>{message}</pre></div>",
+        f"<p><strong>Name:</strong> {_html.escape(sender_name)}</p>"
+        f"<p><strong>Subject:</strong> {_html.escape(subject)}</p>"
+        f"<pre>{_html.escape(message)}</pre></div>",
         subtype="html",
     )
     return msg

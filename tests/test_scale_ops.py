@@ -1175,3 +1175,31 @@ def test_pmi_collocations_finds_planted_phrase(spark):
     # 'common filler' co-occurs every time but both words are globally
     # frequent — PMI must rank it below the exclusive pair
     assert by_pair[("alpha", "beta")] > by_pair.get(("common", "filler"), -99)
+
+
+def test_multidim_topk_matches_per_dim_cosine_topk(spark):
+    """The single-scan multi-width top-k must equal running cosine_topk
+    once per truncation width (the r7 q_matryoshka_recall plan)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    tops = {
+        r["query_id"]: r
+        for r in similarity.cosine_topk_multidim(
+            emb, queries, dims=(8, 16, 32), k=5
+        ).collect()
+    }
+    for d in (8, 16, 32):
+        src = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        want = {}
+        for r in similarity.cosine_topk(
+            src, src.filter(F.col("vec_id") < 3), k=5
+        ).collect():
+            want.setdefault(r.query_id, []).append((r.rank, r.cand_id, r.sim))
+        for qid, rows in want.items():
+            got = [
+                (i + 1, e.cand_id, -e.neg_sim)
+                for i, e in enumerate(tops[qid][f"top{d}"])
+            ]
+            assert got == sorted(rows), (d, qid)

@@ -8,100 +8,26 @@ recorded-fake path for the failure semantics."""
 
 from __future__ import annotations
 
-import socket
-import threading
-
 import pytest
 
 from fordgobike_data_pipeline_spark.plans import runner
 from fordgobike_data_pipeline_spark.sources import email_sink
+from fordgobike_data_pipeline_spark.testing import (
+    SmtpState,
+    loopback_smtp_server,
+    serve_one,
+)
 
-
-# ---------------------------------------------------------------------------
-# Minimal RFC-5321 server: enough verbs for one smtplib send_message.
-# ---------------------------------------------------------------------------
-
-
-class _SmtpState:
-    def __init__(self):
-        self.messages: list[dict] = []  # {"from":…, "to":[…], "data": bytes}
-        self.fail_rcpt: set[str] = set()  # receivers to 550
-
-
-def _serve_one(conn: socket.socket, state: _SmtpState) -> None:
-    f = conn.makefile("rb")
-
-    def send(line: str) -> None:
-        conn.sendall((line + "\r\n").encode())
-
-    send("220 loopback ESMTP test")
-    mail_from, rcpts, in_data, data = None, [], False, b""
-    while True:
-        raw = f.readline()
-        if not raw:
-            break
-        if in_data:
-            if raw.rstrip(b"\r\n") == b".":
-                state.messages.append(
-                    {"from": mail_from, "to": list(rcpts), "data": data}
-                )
-                mail_from, rcpts, in_data, data = None, [], False, b""
-                send("250 OK queued")
-            else:
-                data += raw
-            continue
-        line = raw.decode(errors="replace").strip()
-        verb = line.split(" ", 1)[0].upper()
-        if verb in ("EHLO", "HELO"):
-            send("250 loopback")
-        elif verb == "MAIL":
-            mail_from = line.split(":", 1)[1].strip()
-            send("250 OK")
-        elif verb == "RCPT":
-            addr = line.split(":", 1)[1].strip().strip("<>")
-            if addr in state.fail_rcpt:
-                send("550 no such user")
-            else:
-                rcpts.append(addr)
-                send("250 OK")
-        elif verb == "DATA":
-            in_data = True
-            send("354 go ahead")
-        elif verb == "QUIT":
-            send("221 bye")
-            break
-        else:
-            send("250 OK")
-    conn.close()
+# Back-compat aliases (the loopback server now lives in the package so
+# shipped examples can import it without reaching into the test tree).
+_SmtpState = SmtpState
+_serve_one = serve_one
 
 
 @pytest.fixture()
 def smtp_server():
-    state = _SmtpState()
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("127.0.0.1", 0))
-    srv.listen(8)
-    port = srv.getsockname()[1]
-    alive = True
-
-    def loop():
-        while alive:
-            try:
-                conn, _ = srv.accept()
-            except OSError:
-                return
-            threading.Thread(
-                target=_serve_one, args=(conn, state), daemon=True
-            ).start()
-
-    t = threading.Thread(target=loop, daemon=True)
-    t.start()
-    try:
-        yield ("127.0.0.1", port, state)
-    finally:
-        alive = False
-        srv.close()
+    with loopback_smtp_server() as (host, port, state):
+        yield (host, port, state)
 
 
 def test_smtp_send_over_real_socket_delivers_mime_per_receiver(smtp_server):

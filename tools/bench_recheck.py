@@ -62,16 +62,20 @@ def main() -> int:
 
     cleared = [n for n, r in result.items() if r["ratio"] and r["ratio"] <= 1.5]
     persistent = [n for n, r in result.items() if r["ratio"] and r["ratio"] > 1.5]
+    no_anchor = [n for n, r in result.items() if r["ratio"] is None]
     payload = {
         "sf_dir": sf_dir,
         "runs_per_query": runs,
         "queries": result,
         "cleared": cleared,
         "persistent": persistent,
+        "no_anchor": no_anchor,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"\ncleared {len(cleared)}/{len(result)}; persistent: {persistent}")
+    if no_anchor:
+        print(f"NO ANCHOR (typo or never anchored — not in any bucket): {no_anchor}")
     return 0
 
 
