@@ -282,6 +282,10 @@ HEADLINE = [
     "q_bootstrap_ci",
     "q_try_funcs",
     "q_phash_dedup",
+    # round-8 additions
+    "q_image_features_seeded",
+    "q_resize_images_seeded",
+    "q_phash_dedup_seeded",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -90,11 +90,12 @@ def _ensure_extensions_loaded() -> None:
 #   [47-50] the four round-7 additions (q_mrr_at_k, q_ndcg_at_k,
 #           q_hard_negatives, q_dup_weight), all judge-verified ✓.
 #
-# ROUND-9 ROTATION QUEUE (the 11 never-officially-checked that spill):
+# ROUND-9 ROTATION QUEUE (the never-officially-checked that spill):
 # q_tpch_q10, q_tpch_q11, q_tpch_q13, q_tpch_q14, q_tpch_q15,
 # q_tpch_q16, q_tpch_q17, q_tpch_q19, q_tpch_q20, q_tpch_q21,
-# q_tpch_q22 — plus any query added in r8 (seeded media twins etc.),
-# then resume staleness rotation (oldest official rows are r3).
+# q_tpch_q22, plus the r8 additions q_image_features_seeded,
+# q_resize_images_seeded, q_phash_dedup_seeded (media stub-arithmetic
+# twins), then resume staleness rotation (oldest official rows are r3).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_try_funcs",
     "q_attribution_position",

@@ -1570,6 +1570,150 @@ def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Seeded oracle twins for the media family (q_bpe_seeded /
+# q_ann_ivf_seeded pattern): decoder='stub' pins the deterministic
+# fake, whose integer byte arithmetic DuckDB reproduces exactly over
+# the same utf-8 payloads (the testdata corpus is all-ASCII, asserted
+# below by octet_length = length in the oracle's own terms). The
+# 'auto' originals stay rows-only — they certify plumbing under
+# whatever decoder the environment has; these certify the arithmetic.
+
+
+@query(
+    "q_image_features_seeded",
+    """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               length(text) AS n,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, least(length(text), 256) + 1),
+                   i -> ascii(substring(text, CAST(i AS INT), 1)))), 0)
+                   AS BIGINT) AS s
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(16 + n % 64 AS INT) AS width,
+           CAST(16 + (n // 64) % 64 AS INT) AS height,
+           CAST(s AS DOUBLE) / CAST(greatest(least(n, 256), 1) AS DOUBLE)
+               AS mean_luma,
+           'stub' AS decoder
+    FROM b
+    """,
+)
+def q_image_features_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of q_image_features with the stub decoder pinned:
+    width/height from payload length, mean_luma = one exact int/int
+    division over the first 256 payload bytes — byte arithmetic DuckDB
+    replays via ascii() on the all-ASCII corpus. Certifies the
+    mapInPandas plumbing (schema, Arrow batching, byte-sized
+    partitioning) end-to-end with a hash-adjudicated answer."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.repartition_for_media(multimodal.attach_binary(docs))
+    return multimodal.extract_image_features(media, decoder="stub")
+
+
+@query(
+    "q_resize_images_seeded",
+    """
+    WITH p AS (
+        SELECT doc_id AS media_id,
+               length(text) AS n,
+               greatest(length(text) // 4096, 1) AS step
+        FROM documents
+    ),
+    o AS (
+        SELECT media_id,
+               CASE WHEN n = 0 THEN ''
+                    ELSE array_to_string(list_transform(
+                        range(0, least((n - 1) // step + 1, 4096)),
+                        j -> substring(text, CAST(j * step + 1 AS INT), 1)), '')
+               END AS out_text
+        FROM p JOIN documents ON doc_id = media_id
+    )
+    SELECT media_id,
+           CAST(64 AS INT) AS width,
+           CAST(64 AS INT) AS height,
+           CAST(length(out_text) AS BIGINT) AS n_bytes,
+           sha256(out_text) AS payload_sha,
+           'stub' AS decoder
+    FROM o
+    """,
+)
+def q_resize_images_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of q_resize_images with the stub decoder pinned:
+    the strided byte resample data[::step][:64*64] is re-derived in SQL
+    as the same strided character slice (all-ASCII corpus: 1 char =
+    1 byte) and the payload is adjudicated by its sha256 — bit-exact
+    certification of the resample output, not just its length."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.repartition_for_media(multimodal.attach_binary(docs))
+    resized = multimodal.resize_images(media, width=64, height=64, decoder="stub")
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.lower(F.sha2("content", 256)).alias("payload_sha"),
+        "decoder",
+    )
+
+
+@query(
+    "q_phash_dedup_seeded",
+    f"""
+    WITH h0 AS (
+        SELECT doc_id AS media_id,
+               {_MD5_H64.format(x='text', start=1)} & 9223372036854775807
+                   AS phash
+        FROM documents
+    ),
+    h AS (
+        SELECT media_id, phash FROM h0
+        UNION ALL
+        SELECT media_id + 1000000000, xor(phash, 1099513724936)
+        FROM h0 WHERE media_id % 20 = 0
+    ),
+    bands AS (
+        SELECT media_id, phash, band_idx,
+               (phash >> CAST(16 * band_idx AS INT)) & 65535 AS band_val
+        FROM h, (SELECT unnest(range(4)) AS band_idx) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               a.phash AS h_a, b.phash AS h_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= 6
+    """,
+)
+def q_phash_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of q_phash_dedup: the numpy DCT stays rows-only (a
+    float matmul is not SQL-replayable bit-exactly), but everything
+    downstream of the hash — 4×16-bit banding, pigeonhole candidate
+    join, exact popcount verify — is certified here over SEEDED
+    63-bit hashes (md5 half, sign bit masked so unsigned shifts agree
+    across engines). Every 20th doc re-ingests under an offset id
+    with bits 3/21/40 flipped (hamming 3, three dirty bands, band 3
+    clean) — planted near-dups that MUST surface; random md5 band
+    collisions exercise the hamming>6 rejection path."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    md5_64 = F.conv(F.substring(F.md5(F.col("text")), 1, 16), 16, -10).cast("long")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        md5_64.bitwiseAND(F.lit(9223372036854775807)).alias("phash"),
+    )
+    planted = base.filter(F.col("media_id") % 20 == 0).select(
+        (F.col("media_id") + F.lit(1_000_000_000)).alias("media_id"),
+        F.col("phash").bitwiseXOR(F.lit(1099513724936)).alias("phash"),
+    )
+    return multimodal.phash_near_pairs(
+        base.unionByName(planted), max_hamming=6
+    )
+
+
 @query(
     "q_dedup_incr_near",
     f"""

@@ -77,23 +77,33 @@ def repartition_for_media(df: DataFrame, target_bytes_per_partition: int = 128 <
     return df.repartition(n)
 
 
-def extract_image_features(media: DataFrame) -> DataFrame:
+def extract_image_features(media: DataFrame, decoder: str = "auto") -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
-    Tries PIL; without it, a deterministic fake derives pseudo-features
-    from the payload bytes (marked ``decoder='stub'``) so schema,
-    batching and determinism are testable. Swap in the real decoder by
-    installing PIL — no plan change.
+    ``decoder='auto'`` tries PIL; without it, a deterministic fake
+    derives pseudo-features from the payload bytes (marked
+    ``decoder='stub'``) so schema, batching and determinism are
+    testable. ``decoder='stub'`` pins the fake regardless of
+    environment — the seeded-oracle-twin mode, where the stub's
+    integer byte arithmetic is reproduced in SQL. Swap in the real
+    decoder by installing PIL — no plan change.
     """
     import pandas as pd
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
+    if decoder not in ("auto", "stub"):
+        raise ValueError(f"decoder must be 'auto' or 'stub', got {decoder!r}")
+    forced = decoder
 
-            decoder = "pil"
-        except ImportError:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if forced == "stub":
             decoder = "stub"
+        else:
+            try:
+                from PIL import Image  # noqa: F401
+
+                decoder = "pil"
+            except ImportError:
+                decoder = "stub"
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -133,30 +143,39 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, decoder: str = "auto"
+) -> DataFrame:
     """Batch image resize via Arrow-batched mapInPandas — the standard
     normalization step before vision-model featurization.
 
-    Tries PIL; without it a deterministic fake emits a payload whose
-    bytes are a strided resample of the input (marked
-    ``decoder='stub'``), so output schema, batch shape and payload
-    determinism are all testable. Output rows carry the requested
-    (width, height) and the re-encoded payload; partition sizing is the
-    caller's job via ``repartition_for_media`` (resized output is
-    usually smaller, never larger, than the input batch)."""
+    ``decoder='auto'`` tries PIL; without it a deterministic fake
+    emits a payload whose bytes are a strided resample of the input
+    (marked ``decoder='stub'``), so output schema, batch shape and
+    payload determinism are all testable; ``decoder='stub'`` pins the
+    fake (the seeded-oracle-twin mode). Output rows carry the
+    requested (width, height) and the re-encoded payload; partition
+    sizing is the caller's job via ``repartition_for_media`` (resized
+    output is usually smaller, never larger, than the input batch)."""
     import pandas as pd
 
     if width <= 0 or height <= 0:
         raise ValueError(f"target size must be positive, got {width}x{height}")
+    if decoder not in ("auto", "stub"):
+        raise ValueError(f"decoder must be 'auto' or 'stub', got {decoder!r}")
     n_out = width * height
+    forced = decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-
-            decoder = "pil"
-        except ImportError:
+        if forced == "stub":
             decoder = "stub"
+        else:
+            try:
+                from PIL import Image  # noqa: F401
+
+                decoder = "pil"
+            except ImportError:
+                decoder = "stub"
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -286,7 +305,7 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
-def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
+def phash_images(media: DataFrame, grid: int = 32, decoder: str = "auto") -> DataFrame:
     """Perceptual hash (pHash) per image: decode → 32×32 grayscale →
     2D DCT-II → top-left 8×8 low-frequency block (DC dropped) →
     median-threshold → 64-bit hash. Near-duplicate images differ in a
@@ -301,6 +320,9 @@ def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    if decoder not in ("auto", "stub"):
+        raise ValueError(f"decoder must be 'auto' or 'stub', got {decoder!r}")
+    forced = decoder
     n = grid
     # DCT-II basis matrix, orthonormal
     k = np.arange(n)
@@ -308,12 +330,15 @@ def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
     dct_m[0, :] = np.sqrt(1.0 / n)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-
-            decoder = "pil"
-        except ImportError:
+        if forced == "stub":
             decoder = "stub"
+        else:
+            try:
+                from PIL import Image  # noqa: F401
+
+                decoder = "pil"
+            except ImportError:
+                decoder = "stub"
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
