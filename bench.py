@@ -286,6 +286,10 @@ HEADLINE = [
     "q_image_features_seeded",
     "q_resize_images_seeded",
     "q_phash_dedup_seeded",
+    "q_ece_calibration",
+    "q_span_corruption",
+    "q_perplexity_buckets",
+    "q_lsh_scurve",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
@@ -398,6 +402,23 @@ def main() -> None:
                 f"({r['ratio']}x)",
                 file=sys.stderr,
             )
+        # unambiguous gate record: how many queries the gate scanned,
+        # which single-pass times tripped it, and what the retime said
+        # about each — so "queries[q] is 3x its anchor" can always be
+        # resolved against "and the isolated retime cleared/kept it"
+        # without cross-referencing fields.
+        gate = {
+            "scanned_vs_anchor": len([n for n in timings if anchor.get(n)]),
+            "single_pass_over_1.5x": {
+                n: round(timings[n] / anchor[n], 2)
+                for n in sorted(retimed)
+                if anchor.get(n)
+            },
+            "cleared_by_retime": sorted(set(retimed) - set(regressions)),
+            "persistent": sorted(regressions),
+        }
+    else:
+        gate = {"scanned_vs_anchor": 0}
 
     total = round(sum(timings.values()), 3)
 
@@ -414,6 +435,7 @@ def main() -> None:
         "pipeline_e2e": {"n_trips": n_trips, "sec": pipeline_sec},
         "regressions_vs_anchor": regressions,
         "retimed": retimed,
+        "gate": gate,
     }
     with open(os.path.join(_REPO_ROOT, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)

@@ -95,7 +95,9 @@ def _ensure_extensions_loaded() -> None:
 # q_tpch_q16, q_tpch_q17, q_tpch_q19, q_tpch_q20, q_tpch_q21,
 # q_tpch_q22, plus the r8 additions q_image_features_seeded,
 # q_resize_images_seeded, q_phash_dedup_seeded (media stub-arithmetic
-# twins), then resume staleness rotation (oldest official rows are r3).
+# twins), q_ece_calibration, q_span_corruption, q_perplexity_buckets,
+# q_lsh_scurve (wave 22), then resume staleness rotation (oldest
+# official rows are r3).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_try_funcs",
     "q_attribution_position",

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .harness import query
 from .io import load_tables
-from .operators import bpe, curation
+from .operators import bpe, curation, dedup
 
 # The md5 hash-bucket in DuckDB terms (same construction as
 # q_deterministic_sample / q_hash_key — bit-exact vs Spark's
@@ -1239,3 +1239,129 @@ def q_dup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     crawl = docs.unionByName(recrawl)
     return dedup.dup_weight(crawl, ["text"])
+
+
+@query(
+    "q_span_corruption",
+    """
+    WITH tok AS (
+        SELECT doc_id, CAST(unnest(range(len(string_split(text, ' '))))
+                   AS BIGINT) AS pos
+        FROM documents
+    ),
+    masked AS (
+        SELECT doc_id, pos FROM tok
+        WHERE ((CAST(CAST(from_hex(substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                ), 1, 16)) AS BIT) AS BIGINT) % 100) + 100) % 100 < 15
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM masked
+    ),
+    sp AS (
+        SELECT doc_id, island,
+               min(pos) AS start_pos, max(pos) AS end_pos,
+               count(*) AS span_len
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY start_pos) AS INT) AS sentinel_id,
+           CAST(start_pos AS INT) AS start_pos,
+           CAST(end_pos AS INT) AS end_pos,
+           CAST(span_len AS INT) AS span_len
+    FROM sp
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask generation
+    (curation.span_corruption_spans): every token masked by a
+    deterministic md5(doc_id:pos) mod 100 < 15 draw, adjacent masked
+    tokens merged gaps-and-islands into sentinel spans — the
+    reproducible-noise property a pretraining pipeline needs so any
+    re-run (or the loss-masking twin in the trainer) corrupts
+    identically. Integer-only end to end; windows partition per
+    document."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.span_corruption_spans(docs, mask_pct=15)
+
+
+@query(
+    "q_perplexity_buckets",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, t[i+1] AS w1
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+              FROM w WHERE len(t) >= 2)
+    ),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    s AS (
+        SELECT doc_id, log2(c2 / c1) AS lp
+        FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
+    ),
+    ce AS (
+        SELECT doc_id, round(-avg(lp), 6) AS cross_entropy
+        FROM s GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT cross_entropy AS v,
+               row_number() OVER (ORDER BY cross_entropy, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM ce
+    ),
+    cut AS (
+        SELECT max(CASE WHEN rn = (n + 2) // 3 THEN v END) AS c1v,
+               max(CASE WHEN rn = (2 * n + 2) // 3 THEN v END) AS c2v
+        FROM ranked
+    )
+    SELECT CASE WHEN cross_entropy <= c1v THEN 'head'
+                WHEN cross_entropy <= c2v THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(cross_entropy) AS ce_lo,
+           max(cross_entropy) AS ce_hi
+    FROM ce, cut
+    GROUP BY 1
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (curation.perplexity_buckets):
+    head/middle/tail thirds of the corpus by self-fit bigram
+    cross-entropy — keep the head, sample the middle, audit the tail.
+    The tercile cutoffs are exact order statistics found by
+    quality.rank_select_kth's histogram-probe (no global sort); the
+    oracle uses the independent global-sort row_number formulation,
+    certifying the rank-selection machinery end-to-end on doubles."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.perplexity_buckets(docs)
+
+
+# the two product trees, generated ONCE and shared verbatim by the
+# Spark plan (dedup._pow_chain_col builds the same shape)
+_SR4 = dedup._pow_chain_sql("s", 4)
+_SCURVE_P = "1.0 - " + dedup._pow_chain_sql(f"(1.0 - {_SR4})", 16)
+
+
+@query(
+    "q_lsh_scurve",
+    f"""
+    WITH g AS (SELECT CAST(unnest(range(1, 20)) AS BIGINT) AS i),
+    b AS (SELECT CAST(i AS DOUBLE) / CAST(20 AS DOUBLE) AS s FROM g)
+    SELECT s, {_SCURVE_P} AS p_candidate
+    FROM b
+    """,
+)
+def q_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-MinHash S-curve P(candidate | Jaccard=s) for the
+    repo's 16x4 banding (dedup.lsh_scurve) — the design audit that
+    justifies the (bands, rows) choice: crossover at s~=0.50, >0.99
+    recall at the 0.8 dedup threshold. Both powers are fixed
+    square-and-multiply product trees shared verbatim with the oracle
+    (pow() is not correctly rounded everywhere; a pinned product tree
+    of IEEE multiplications is bit-stable on any engine)."""
+    return dedup.lsh_scurve(spark, rows_per_band=4, n_bands=16, grid=20)

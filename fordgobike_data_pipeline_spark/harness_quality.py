@@ -520,3 +520,59 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(vocab))
     )
+
+
+@query(
+    "q_ece_calibration",
+    """
+    WITH s AS (
+        SELECT ((CAST(round(value * 100) AS BIGINT) % 101 + 101) % 101)
+                   AS k,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    r AS (
+        SELECT CAST(least((k * 10) // 100, 9) AS INT) AS bin,
+               k * 10000 AS m, y
+        FROM s
+    ),
+    pb AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(m) AS BIGINT) AS sm
+        FROM r GROUP BY bin
+    ),
+    t AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS n,
+               CAST(sum(abs(n_pos * 1000000 - sm)) AS BIGINT) AS gap
+        FROM pb
+    )
+    SELECT bin, n_rows, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS acc,
+           CAST(sm AS DOUBLE) / CAST(n_rows * 1000000 AS DOUBLE) AS conf,
+           CAST(gap AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS ece
+    FROM pb, t
+    """,
+)
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability audit of a [0,1] score against a binary outcome
+    (quality.ece_calibration): per-bin accuracy vs confidence plus the
+    expected calibration error — the check a learned quality/toxicity
+    filter must pass before its scores gate a corpus. The synthetic
+    score is a hash-like projection of the value cents into [0,1]
+    (pmod 101 / 100), the outcome is event_type='purchase'. Exact by
+    construction: scores snap to 1e-6 integer units per row, the bin
+    weight cancels the gap denominator, and ECE is ONE division of
+    two BIGINTs — no double summation anywhere."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    scored = ev.select(
+        (
+            F.pmod(F.rint(F.col("value") * 100).cast("long"), F.lit(101)).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return quality.ece_calibration(scored, "score", "label", n_bins=10)

@@ -752,3 +752,111 @@ def flatten_conversations(
             F.transform(F.array_sort(F.collect_list(entry)), lambda s: s["line"]),
         ).alias("transcript"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    LM cross-entropy (here the self-fit bigram model — swap in any
+    scorer) and split the corpus into head / middle / tail thirds.
+    The standard curation move when hard-filtering on LM score throws
+    away too much: keep the head outright, sample the middle, audit
+    the tail — so the report carries each bucket's mass and score
+    range.
+
+    Scale shape: the two tercile cutoffs are exact order statistics
+    found with :func:`..quality.rank_select_kth` (histogram probe +
+    one-bucket rank — no global sort); bucketing is then a per-row
+    comparison against two broadcast scalars. Ties at a cutoff value
+    bucket DOWNWARD on value comparison — deterministic on both
+    engines because the per-doc score is the repo-standard 6dp-rounded
+    mean (text.bigram_cross_entropy's oracle-green contract).
+
+    Returns one row per non-empty bucket: (bucket, n_docs, ce_lo,
+    ce_hi)."""
+    from . import quality as quality_ops
+    from . import text as text_ops
+
+    ce = text_ops.bigram_cross_entropy(docs, text_col, id_col)
+    c1 = quality_ops.rank_select_kth(
+        ce, "cross_entropy", id_col, k_expr="(n + 2) div 3"
+    ).select(F.col("kth_value").alias("_c1"))
+    c2 = quality_ops.rank_select_kth(
+        ce, "cross_entropy", id_col, k_expr="(2*n + 2) div 3"
+    ).select(F.col("kth_value").alias("_c2"))
+    bucket = (
+        F.when(F.col("cross_entropy") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("cross_entropy") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ce.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("cross_entropy").alias("ce_lo"),
+            F.max("cross_entropy").alias("ce_hi"),
+        )
+    )
+
+
+def span_corruption_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_pct: int = 15,
+) -> DataFrame:
+    """T5-style span-corruption mask generation: each whitespace token
+    is masked with probability ``mask_pct``% by a DETERMINISTIC hash
+    of (doc_id, position) — reproducible noise, the property a
+    pretraining pipeline needs so a re-run (or the loss-masking twin
+    on another system) corrupts identically — and adjacent masked
+    tokens merge into sentinel spans (gaps-and-islands), matching how
+    T5 replaces each contiguous masked run with ONE sentinel token.
+
+    The mask hash is the md5 64-bit half (the repo's cross-engine
+    surrogate-key construction) mod 100 — integer-only, so every span
+    boundary is exact on any engine. Windows partition by document
+    (per-doc work, embarrassingly parallel at corpus scale).
+
+    Returns one row per span: (doc_id, sentinel_id — 1-based per doc —
+    start_pos, end_pos, span_len), positions 0-based token indices."""
+    from pyspark.sql import Window
+
+    if not 0 < mask_pct < 100:
+        raise ValueError(f"mask_pct must be in (0, 100), got {mask_pct}")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_tok"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.col("pos").cast("string"))),
+            1,
+            16,
+        ),
+        16,
+        -10,
+    ).cast("long")
+    masked = toks.filter(F.pmod(h, F.lit(100)) < mask_pct).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = masked.withColumn(
+        "_island", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("start_pos"),
+        F.max("pos").alias("end_pos"),
+        F.count(F.lit(1)).alias("span_len"),
+    )
+    ws = Window.partitionBy(id_col).orderBy("start_pos")
+    return spans.select(
+        id_col,
+        F.row_number().over(ws).cast("int").alias("sentinel_id"),
+        F.col("start_pos").cast("int").alias("start_pos"),
+        F.col("end_pos").cast("int").alias("end_pos"),
+        F.col("span_len").cast("int").alias("span_len"),
+    )

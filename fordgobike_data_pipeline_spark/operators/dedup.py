@@ -22,7 +22,7 @@ keep degenerate buckets bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -952,3 +952,55 @@ def dup_weight(
             (F.lit(1.0) / F.col("n_copies").cast("double")).alias("weight"),
         )
     )
+
+
+def _pow_chain_sql(base: str, e: int) -> str:
+    """x**e as an explicit square-and-multiply product over a SQL
+    expression string — the SAME multiplication tree lsh_scurve builds
+    with Columns, so both engines execute an identical sequence of
+    correctly-rounded IEEE multiplications (pow() is NOT guaranteed
+    correctly rounded everywhere; a fixed product tree is)."""
+    if e == 1:
+        return base
+    half = _pow_chain_sql(base, e // 2)
+    sq = f"({half} * {half})"
+    return f"({sq} * {base})" if e % 2 else sq
+
+
+def _pow_chain_col(base: Column, e: int) -> Column:
+    if e == 1:
+        return base
+    half = _pow_chain_col(base, e // 2)
+    sq = half * half
+    return sq * base if e % 2 else sq
+
+
+def lsh_scurve(
+    spark,
+    rows_per_band: int = 4,
+    n_bands: int = 16,
+    grid: int = 20,
+) -> DataFrame:
+    """The banded-MinHash detection S-curve — P(candidate | Jaccard=s)
+    = 1 − (1 − s^r)^b over an s grid — the DESIGN TOOL for choosing
+    (r, b): the curve's threshold is where banding recall crosses ~50%
+    ((1/b)^(1/r)); this repo's 16×4 default puts it at s≈0.50 with
+    >0.99 recall at the s=0.8 dedup threshold. Computing it in-engine
+    (rather than a notebook) keeps the parameter audit adjacent to the
+    pair tables it predicts, joinable against measured recall
+    (q_dedup_agreement) to validate the banding model against data.
+
+    Determinism: s = i/grid is one correctly-rounded division; both
+    powers are fixed square-and-multiply product trees (shared
+    verbatim with the oracle via _pow_chain_sql) — every step is an
+    exactly-rounded IEEE op on identical inputs, so the doubles are
+    bit-identical across engines with NO rounding anywhere.
+
+    Returns one row per grid point: (s, p_candidate)."""
+    if rows_per_band < 1 or n_bands < 1:
+        raise ValueError("rows_per_band and n_bands must be >= 1")
+    s = (F.col("id").cast("double") / F.lit(float(grid))).alias("s")
+    base = spark.range(1, grid).select(s)
+    sr = _pow_chain_col(F.col("s"), rows_per_band)
+    p = F.lit(1.0) - _pow_chain_col(F.lit(1.0) - sr, n_bands)
+    return base.select("s", p.alias("p_candidate"))

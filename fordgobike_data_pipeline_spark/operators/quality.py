@@ -551,3 +551,67 @@ def rank_select_kth(
             F.col("_id").alias("kth_id"),
         )
     )
+
+
+def ece_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected-calibration-error report for a [0,1] score against a
+    binary outcome — the reliability audit run on any learned quality/
+    toxicity/language classifier before its scores gate a corpus (a
+    filter whose 0.9 means 60% is silently biased sampling).
+
+    Per equal-width bin: count, positives, accuracy (= empirical
+    positive rate) and confidence (= mean score); ECE is the
+    count-weighted mean |acc − conf|. Determinism playbook: scores are
+    snapped per-row to exact 1e-6 units (rint — engine-stable), so
+    per-bin confidence numerators are order-independent BIGINT sums,
+    and because the bin weight n_b/N cancels against the gap's 1/n_b,
+    ECE reduces to  Σ_b |sum_label_b·1e6 − sum_micro_b| / (N·1e6) —
+    exact integers divided ONCE at render. One hash-partitioned
+    aggregation; the n_bins-row result broadcasts back for the scalar.
+
+    Returns one row per non-empty bin: (bin, n_rows, n_pos, acc,
+    conf, ece) with the corpus-level ece repeated per row."""
+    micro = F.rint(F.col(score_col).cast("double") * F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    lab = F.col(label_col).cast("long")
+    bin_ = F.least(
+        F.floor(F.col(score_col).cast("double") * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    per_bin = (
+        df.select(bin_.alias("bin"), micro.alias("_m"), lab.alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum("_m").cast("long").alias("_sm"),
+        )
+    )
+    totals = per_bin.agg(
+        F.sum("n_rows").cast("long").alias("_n"),
+        F.sum(
+            F.abs(F.col("n_pos") * F.lit(1_000_000) - F.col("_sm"))
+        ).cast("long").alias("_gap"),
+    )
+    return per_bin.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_rows",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n_rows").cast("double")).alias(
+            "acc"
+        ),
+        (
+            F.col("_sm").cast("double")
+            / (F.col("n_rows") * F.lit(1_000_000)).cast("double")
+        ).alias("conf"),
+        (
+            F.col("_gap").cast("double")
+            / (F.col("_n") * F.lit(1_000_000)).cast("double")
+        ).alias("ece"),
+    )

@@ -1,0 +1,134 @@
+"""Scaling exponents for the COMPOSED pipelines (VERDICT r7 item 7).
+
+`scale_stress.py` measures individual operators under replication;
+this tool measures the three worst ABSOLUTE composed queries —
+q_clean_corpus, q_triangle_count, q_stream_session — end-to-end at
+1× and N× (default 10× = sf1-equivalent) by materializing replicated
+copies of the sf0.1 tables into temp sf-dirs and calling the exact
+harness entry points on them. Replication offsets every id space per
+copy (documents get cross-copy exact/near duplicates — the dedup
+worst case; lineitem orders form disjoint co-purchase subgraphs;
+events keep their time span with n-fold per-user density).
+
+Reports wall times and the scaling exponent
+    e = log(T_N / T_1) / log(N)
+(e = 1 is perfectly linear; the SCALE.md acceptance bar is ≤ ~1.2).
+
+    SCALE_STRESS_JSON=/tmp/composed.json python tools/composed_stress.py 10
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fordgobike_data_pipeline_spark.io import load_tables  # noqa: E402
+from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_sf(spark, n: int, root: str) -> str:
+    """Materialize an n-replicated copy of the tables the three
+    composed queries read (documents, lineitem, events)."""
+    out = os.path.join(root, f"x{n}")
+    os.makedirs(out, exist_ok=True)
+
+    def rep(df, offsets: dict[str, int]):
+        copies = []
+        for i in range(n):
+            c = df
+            for col, step in offsets.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            copies.append(c)
+        u = copies[0]
+        for c in copies[1:]:
+            u = u.unionByName(c)
+        return u
+
+    # documents: mutate the text per copy (append a copy-marker token)
+    # so exact dedup does NOT collapse the replicas — every copy
+    # survives to near-dedup as a cross-copy NEAR-duplicate (k-shingle
+    # Jaccard stays >= threshold), which is the honest worst case: the
+    # near-dup pair graph grows with n, not just the scan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dcopies = []
+    for i in range(n):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            c = c.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" rev{i} rev{i} rev{i}"))
+            )
+        dcopies.append(c)
+    du = dcopies[0]
+    for c in dcopies[1:]:
+        du = du.unionByName(c)
+    du.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rep(li, {"l_orderkey": 10_000_000, "l_partkey": 10_000_000}).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "lineitem.parquet"))
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    rep(ev, {"event_id": 100_000_000, "user_id": 10_000_000}).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name=f"composed-stress-{n}x")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fordgobike_data_pipeline_spark import harness
+
+    queries = harness.all_queries()
+    targets = ["q_clean_corpus", "q_triangle_count", "q_stream_session"]
+
+    root = tempfile.mkdtemp(prefix="composed_stress_")
+    results: dict[str, dict] = {name: {} for name in targets}
+    try:
+        warm = build_sf(spark, 1, os.path.join(root, "warm"))
+        for name in targets:  # absorb JVM/codegen startup before timing
+            queries[name](spark, warm).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        for scale in (1, n):
+            sf_dir = build_sf(spark, scale, root)
+            for name in targets:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                wall = round(time.perf_counter() - t0, 3)
+                results[name][f"x{scale}"] = wall
+                print(f"  {name:<20} x{scale:<3} {wall:>8.2f}s", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    payload = {"sf_dir": SF_DIR, "replication": n, "queries": {}}
+    for name, r in results.items():
+        t1, tn = r.get("x1"), r.get(f"x{n}")
+        exp = round(math.log(tn / t1) / math.log(n), 3) if t1 and tn else None
+        payload["queries"][name] = {**r, "exponent": exp}
+        print(f"{name}: x1={t1}s x{n}={tn}s exponent={exp}")
+    out_path = os.environ.get("SCALE_STRESS_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
