@@ -290,6 +290,10 @@ HEADLINE = [
     "q_span_corruption",
     "q_perplexity_buckets",
     "q_lsh_scurve",
+    "q_ngram_novelty",
+    "q_vocab_coverage",
+    "q_ngram_loopiness",
+    "q_inbatch_collision",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -234,3 +234,40 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     return retrieval.hard_negatives(emb, queries, k_scan=10, n_neg=3)
+
+
+@query(
+    "q_inbatch_collision",
+    """
+    WITH cell AS (
+        SELECT CAST(((CAST(CAST(from_hex(substr(md5(CAST(vec_id AS VARCHAR)),
+                         1, 16)) AS BIT) AS BIGINT) % 16) + 16) % 16 AS INT)
+                   AS batch,
+               label, count(*) AS c
+        FROM embeddings GROUP BY 1, 2
+    ),
+    pb AS (
+        SELECT batch,
+               CAST(sum(c) AS BIGINT) AS n_items,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_collisions
+        FROM cell GROUP BY batch
+    )
+    SELECT batch, n_items,
+           CAST(n_items * (n_items - 1) // 2 AS BIGINT) AS n_pairs,
+           n_collisions,
+           CASE WHEN n_items > 1
+                THEN CAST(n_collisions AS DOUBLE)
+                     / CAST(n_items * (n_items - 1) // 2 AS DOUBLE)
+                ELSE 0.0 END AS collision_rate
+    FROM pb
+    """,
+)
+def q_inbatch_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch-negative collision audit (retrieval.inbatch_collision):
+    items batched by a deterministic md5 hash of their id; within a
+    batch every same-label pair is a FALSE NEGATIVE for contrastive
+    training. Per-batch pair mass and collision counts — the check
+    that sizes batches / fixes label-blind batching before a training
+    run, exact integers with one division at render."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return retrieval.inbatch_collision(emb, label_col="label", n_batches=16)

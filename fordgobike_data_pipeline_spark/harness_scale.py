@@ -3570,3 +3570,110 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = multimodal.phash_images(media)
     return multimodal.phash_near_pairs(hashes, max_hamming=6)
+
+
+@query(
+    "q_ngram_novelty",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS t
+               FROM documents),
+    dg AS (
+        SELECT DISTINCT doc_id,
+               t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+              FROM w WHERE source <> 'src0' AND len(t) >= 3)
+    ),
+    rg AS (
+        SELECT DISTINCT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+        FROM (SELECT t, unnest(range(len(t) - 2)) AS i
+              FROM w WHERE source = 'src0' AND len(t) >= 3)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN rg.gram IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN rg.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+    FROM dg LEFT JOIN rg ON dg.gram = rg.gram
+    GROUP BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty vs a reference corpus (text.ngram_novelty)
+    — the memorization/contamination dial read the other way from
+    decontamination: novelty 0 means the doc is stitched entirely from
+    reference n-grams (the audit run on synthetic / model-generated
+    data before it joins a training mix). Reference = the 'src0'
+    slice; distinct-gram tables on both sides, one hash join on the
+    gram key, exact integer counts, one division."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.ngram_novelty(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tokn FROM documents
+    ),
+    ty AS (SELECT tokn, count(*) AS c FROM tok WHERE tokn <> ''
+           GROUP BY tokn),
+    r AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, tokn ASC) AS rank,
+               sum(c) OVER (ORDER BY c DESC, tokn ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ty
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM ty),
+    g AS (SELECT unnest([100, 500, 1000, 2000, 5000]) AS vocab_size)
+    SELECT CAST(vocab_size AS INT) AS vocab_size,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(max(cum) AS BIGINT) AS covered_tokens,
+           total AS total_tokens,
+           CAST(max(cum) AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+    FROM r, g, tot
+    WHERE r.rank <= g.vocab_size
+    GROUP BY vocab_size, total
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-V vocabulary over a grid
+    of vocab sizes (text.vocab_coverage_curve) — the curve that sizes
+    a tokenizer vocab against a corpus. Ranking runs over the TYPE
+    table (Zipf-small); counts and cumulative sums are exact BIGINTs,
+    coverage is one division at render."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.vocab_coverage_curve(docs, sizes=(100, 500, 1000, 2000, 5000))
+
+
+@query(
+    "q_ngram_loopiness",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pg AS (
+        SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram,
+               count(*) AS c
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+              FROM w WHERE len(t) >= 3)
+        GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           CAST(max(c) AS BIGINT) AS max_repeat,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS loop_score
+    FROM pg GROUP BY doc_id
+    """,
+)
+def q_ngram_loopiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition score (text.ngram_loopiness): the share
+    of a doc's 3-gram occurrences claimed by its single most repeated
+    3-gram — the cheap filter for looping model-generated text that
+    length/punctuation heuristics miss. Integers end to end, one
+    division at render."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.ngram_loopiness(docs, n=3)

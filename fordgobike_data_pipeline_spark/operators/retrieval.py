@@ -683,3 +683,59 @@ def hard_negatives(
             F.col("_clbl").alias("neg_label"),
         )
     )
+
+
+def inbatch_collision(
+    df: DataFrame,
+    label_col: str = "label",
+    n_batches: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """In-batch-negative collision audit for contrastive training:
+    items are assigned to training batches by a deterministic hash of
+    their id (the shuffle a dataloader would apply), and within each
+    batch every same-label pair is a FALSE NEGATIVE — the collision
+    that quietly caps contrastive-loss quality when batches are built
+    label-blind. The audit reports per-batch pair mass and collision
+    counts so the batch size / grouping strategy can be fixed before
+    training, not after.
+
+    collisions = Σ_label C(c,2) per batch — one (batch, label)
+    aggregate then a batch re-aggregate, exact integers throughout,
+    the rate is ONE division. The batch hash is the md5 64-bit half
+    (cross-engine surrogate-key construction) mod n_batches.
+
+    Returns one row per batch: (batch, n_items, n_pairs,
+    n_collisions, collision_rate)."""
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 16), 16, -10
+    ).cast("long")
+    per_cell = (
+        df.select(
+            F.pmod(h, F.lit(n_batches)).cast("int").alias("batch"),
+            F.col(label_col).alias("_lbl"),
+        )
+        .groupBy("batch", "_lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # C(c,2) via integer div — a /2 through double loses exactness past
+    # 2^53, which 1e9-item batches would hit
+    per_batch = per_cell.groupBy("batch").agg(
+        F.sum("c").cast("long").alias("n_items"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("n_collisions"),
+    )
+    n_pairs = F.expr("n_items * (n_items - 1) div 2").cast("long")
+    return per_batch.select(
+        "batch",
+        "n_items",
+        n_pairs.alias("n_pairs"),
+        "n_collisions",
+        F.when(
+            n_pairs > 0,
+            F.col("n_collisions").cast("double") / n_pairs.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("collision_rate"),
+    )

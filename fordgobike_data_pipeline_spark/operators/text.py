@@ -575,3 +575,169 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(k)
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of a doc's DISTINCT word n-grams that do NOT appear
+    anywhere in the reference — the memorization/contamination dial
+    read in the other direction from decontamination (novelty 0 = the
+    doc is stitched from reference n-grams; the audit run on synthetic
+    or model-generated data before it joins a training mix).
+
+    One distinct-gram table per side, one left-anti-joinable hash join
+    on the gram key, counts re-aggregated per doc — all exact
+    integers, the ratio is ONE int/int division. Scale: gram tables
+    are O(tokens); the join shuffles on the gram key with map-side
+    combine ahead of it (distinct before join).
+
+    Returns (doc_id, n_grams, n_novel, novelty) — docs shorter than
+    ``n`` tokens have no grams and drop out (mirrored by oracles)."""
+    t = F.split(F.col(text_col), " ")
+    size = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    doc_grams = (
+        docs.filter(size >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    rt = F.split(F.col(text_col), " ")
+    ref_grams = (
+        ref_docs.filter(F.size(rt) >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(rt) - n),
+                    lambda i: F.array_join(F.slice(rt, i + 1, n), " "),
+                )
+            ).alias("gram")
+        )
+        .distinct()
+        .withColumn("_in_ref", F.lit(1))
+    )
+    joined = doc_grams.join(ref_grams, "gram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("_in_ref").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    ).select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
+    )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    sizes: tuple[int, ...] = (100, 500, 1000, 2000, 5000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-occurrence coverage of the top-V vocabulary for a grid of
+    vocab sizes — the curve that sizes a tokenizer's vocab (or a
+    subword budget) against a corpus: coverage(V) = share of all
+    token occurrences whose type ranks in the V most frequent types
+    (count desc, token asc tiebreak — total order, engine-stable).
+
+    The ranking window runs over the TYPE table (|vocab| rows — Zipf:
+    orders of magnitude below the corpus; for 10M+ vocabs swap the
+    window for quality.rank_select_kth's histogram probe per cutoff).
+    Counts and cumulative sums are exact BIGINTs; coverage is ONE
+    division at render.
+
+    Returns one row per size: (vocab_size, n_types, covered_tokens,
+    total_tokens, coverage)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tokn")
+    ).filter(F.col("tokn") != "")
+    types = tok.groupBy("tokn").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tokn")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = types.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tokn")))
+        .alias("rank"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    total = types.agg(F.sum("c").cast("long").alias("_total"))
+    size_arr = F.explode(
+        F.array(*[F.lit(int(s)) for s in sizes])
+    ).alias("vocab_size")
+    grid = ranked.sparkSession.range(1).select(size_arr)
+    per = (
+        ranked.crossJoin(F.broadcast(grid))
+        .filter(F.col("rank") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.max("cum").cast("long").alias("covered_tokens"),
+        )
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        "n_types",
+        "covered_tokens",
+        F.col("_total").alias("total_tokens"),
+        (
+            F.col("covered_tokens").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def ngram_loopiness(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Degenerate-repetition score per document: the share of the
+    doc's n-gram OCCURRENCES claimed by its single most repeated
+    n-gram — the cheap filter that catches looping model-generated
+    text ("the the the…", repeated sentence stubs) which
+    length/punctuation heuristics miss. 1/n_grams = no repetition;
+    → 1 = the doc is one n-gram on loop.
+
+    Per-doc groupBy on (doc, gram) then a max-count re-aggregate —
+    integers end to end, one division at render. Docs with fewer than
+    ``n`` tokens drop out (no grams).
+
+    Returns (doc_id, n_ngrams, max_repeat, loop_score)."""
+    t = F.split(F.col(text_col), " ")
+    size = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    per_gram = (
+        docs.filter(size >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.max("c").cast("long").alias("max_repeat"),
+    ).select(
+        id_col,
+        "n_ngrams",
+        "max_repeat",
+        (
+            F.col("max_repeat").cast("double") / F.col("n_ngrams").cast("double")
+        ).alias("loop_score"),
+    )
