@@ -112,3 +112,35 @@ def test_hard_negatives_empty_when_all_same_label(spark):
     from fordgobike_data_pipeline_spark.operators import retrieval
 
     assert retrieval.hard_negatives(df, df.filter("vec_id = 0"), 3, 2).count() == 0
+
+
+def test_mrr_k_above_10_uses_exact_lcm(spark):
+    # 12 candidates: the only relevant one ranks 11th. With the old
+    # fixed 2520 scale, 2520//11 = 229 would make rr != 1/11; the
+    # dynamic LCM(1..12) = 27720 keeps the exact-integer invariant.
+    import math as _m
+
+    rows = [(0, _vec(0), 7)]
+    for i in range(1, 13):
+        rows.append((i, _vec(5 * i), 7 if i == 11 else 5))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    r = retrieval.mrr_at_k(corpus, corpus.filter("vec_id = 0"), k=12).collect()[0]
+    assert r.first_rel_rank == 11
+    assert r.rr_int == 27720 // 11 == 2520
+    assert r.rr == (27720 // 11) / 27720.0
+
+
+def test_mrr_query_with_no_candidates_yields_zero_row(spark):
+    # corpus = only the query itself -> zero candidates after
+    # self-exclusion; the query must still appear with rr = 0
+    corpus = spark.createDataFrame(
+        [(0, _vec(0), 7)], "vec_id bigint, embedding array<float>, label int"
+    )
+    out = retrieval.mrr_at_k(corpus, corpus, k=5).collect()
+    assert len(out) == 1
+    assert out[0].first_rel_rank == 0 and out[0].rr == 0.0
+    nd = retrieval.ndcg_at_k(corpus, corpus, k=5).collect()
+    assert len(nd) == 1
+    assert nd[0].dcg_int == 0 and nd[0].ndcg == 0.0 and nd[0].n_rel_in_corpus == 0
