@@ -97,8 +97,10 @@ def _ensure_extensions_loaded() -> None:
 # q_resize_images_seeded, q_phash_dedup_seeded (media stub-arithmetic
 # twins), q_ece_calibration, q_span_corruption, q_perplexity_buckets,
 # q_lsh_scurve (wave 22), q_ngram_novelty, q_vocab_coverage,
-# q_ngram_loopiness, q_inbatch_collision (wave 23), then resume
-# staleness rotation (oldest official rows are r3).
+# q_ngram_loopiness, q_inbatch_collision (wave 23),
+# q_label_propagation, q_conformal_threshold, q_leakage_split
+# (wave 24), then resume staleness rotation (oldest official rows
+# are r3).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_try_funcs",
     "q_attribution_position",

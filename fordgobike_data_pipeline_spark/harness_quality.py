@@ -576,3 +576,65 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("label"),
     )
     return quality.ece_calibration(scored, "score", "label", n_bins=10)
+
+
+@query(
+    "q_conformal_threshold",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> length(w))) AS tok_chars,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS n_punct
+        FROM documents
+    ),
+    q0 AS (
+        SELECT doc_id,
+               round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / n_chars) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6)
+                   AS quality
+        FROM s
+    ),
+    ranked AS (
+        SELECT quality,
+               row_number() OVER (ORDER BY quality, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM q0
+    ),
+    kth AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(least(n, ((n + 1) * 900000 + 999999) // 1000000)
+                    AS BIGINT) AS k
+        FROM ranked LIMIT 1
+    ),
+    thr AS (
+        SELECT kth.n, kth.k, r.quality AS threshold
+        FROM kth JOIN ranked r ON r.rn = kth.k
+    )
+    SELECT t.n, t.k, t.threshold,
+           CAST(sum(CASE WHEN q0.quality <= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           CAST(sum(CASE WHEN q0.quality <= t.threshold THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(t.n AS DOUBLE) AS accept_rate
+    FROM q0, thr t
+    GROUP BY t.n, t.k, t.threshold
+    """,
+)
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold calibration at alpha=0.1
+    (quality.conformal_threshold): the ceil((n+1)*0.9)-th smallest
+    quality score — accepting items at or below it gives >=90%
+    coverage under exchangeability, the distribution-free way to turn
+    a raw score into a filter cutoff. The order statistic comes from
+    rank_select_kth's histogram probe (no global sort); the oracle is
+    the independent global-sort formulation, plus the exact-integer
+    empirical accept rate."""
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = text_ops.quality_score(docs)
+    return quality.conformal_threshold(scored, "quality", "doc_id", alpha=0.1)

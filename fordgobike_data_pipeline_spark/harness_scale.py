@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .harness import query
 from .io import load_tables
 from .operators import (
+    curation,
     dedup,
     graph,
     multimodal,
@@ -3677,3 +3678,125 @@ def q_ngram_loopiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at render."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.ngram_loopiness(docs, n=3)
+
+
+@query(
+    "q_label_propagation",
+    f"""
+    WITH {_lsh_sgn_ctes(n_planes=8)},
+    {_NORM_CTE},
+    p AS (
+        SELECT sa.vec_id AS src_id, sb.vec_id AS nbr_id,
+               round({_NDOT.format(a='na', b='nb')}, 6) + 0.0 AS sim
+        FROM sgn sa
+        JOIN sgn sb ON sb.bucket = sa.bucket AND sb.vec_id != sa.vec_id
+        JOIN n na ON na.vec_id = sa.vec_id
+        JOIN n nb ON nb.vec_id = sb.vec_id
+    ),
+    r AS (
+        SELECT src_id, nbr_id,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+        FROM p
+    ),
+    edges AS (SELECT src_id AS s, nbr_id AS d FROM r WHERE rank <= 5),
+    seeds AS (SELECT vec_id AS nn, CAST(label AS BIGINT) AS l
+              FROM embeddings WHERE vec_id < 50),
+    v1 AS (
+        SELECT e.s, x.l, count(*) AS c
+        FROM edges e JOIN seeds x ON x.nn = e.d GROUP BY e.s, x.l
+    ),
+    b1 AS (
+        SELECT s AS nn, l FROM (
+            SELECT s, l, row_number() OVER (
+                PARTITION BY s ORDER BY c DESC, l ASC) AS rn FROM v1
+        ) WHERE rn = 1
+    ),
+    l1 AS (
+        SELECT * FROM seeds
+        UNION ALL
+        SELECT * FROM b1 WHERE nn NOT IN (SELECT nn FROM seeds)
+    ),
+    v2 AS (
+        SELECT e.s, x.l, count(*) AS c
+        FROM edges e JOIN l1 x ON x.nn = e.d GROUP BY e.s, x.l
+    ),
+    b2 AS (
+        SELECT s AS nn, l FROM (
+            SELECT s, l, row_number() OVER (
+                PARTITION BY s ORDER BY c DESC, l ASC) AS rn FROM v2
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT * FROM seeds
+        UNION ALL
+        SELECT * FROM b2 WHERE nn NOT IN (SELECT nn FROM seeds)
+    )
+    SELECT nn AS node, CAST(l AS INT) AS label,
+           nn IN (SELECT nn FROM seeds) AS is_seed
+    FROM l2
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the corpus kNN graph
+    (graph.label_propagation): the first 50 vectors carry known
+    labels; two synchronous majority-vote rounds (count desc, smallest
+    label tiebreak — a total order) label their graph neighborhood —
+    annotate 1%, propagate, train on the result. Fixed iteration count
+    keeps it SQL-expressible: the oracle unrolls the SAME two rounds
+    over the SAME seeded-LSH kNN edges as q_knn_graph. Each round is
+    one edge join + two hash aggregates — no windows over data, no
+    driver state."""
+    from .operators import graph
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    edges = retrieval.knn_graph(emb, k=5, n_planes=8).select("src_id", "nbr_id")
+    seeds = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    return graph.label_propagation(
+        edges, seeds, iterations=2, src_col="src_id", dst_col="nbr_id"
+    )
+
+
+@query(
+    "q_leakage_split",
+    f"""
+    WITH RECURSIVE {_mh_pairs_ctes()},
+    cedges AS (
+        SELECT id_a AS s, id_b AS d FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs
+    ),
+    cnodes AS (SELECT DISTINCT s AS node FROM cedges),
+    reach(node, comp) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN cedges e ON e.s = r.node
+    ),
+    comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN ((CAST(CAST(from_hex(substr(md5(CAST(component AS VARCHAR)),
+                          1, 16)) AS BIT) AS BIGINT) % 100) + 100) % 100 < 90
+                     THEN 'train'
+                WHEN ((CAST(CAST(from_hex(substr(md5(CAST(component AS VARCHAR)),
+                          1, 16)) AS BIT) AS BIGINT) % 100) + 100) % 100 < 95
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (curation.leakage_safe_split):
+    MinHash near-dup connected components are assigned to splits AS A
+    UNIT via an md5 bucket of the component representative, so a doc
+    and its template/mirror twin can never straddle train and eval —
+    the leakage a doc-level random split silently commits. Pairs are
+    the shared materialized artifact (_cached_mh_pairs); the oracle
+    re-derives them plus the recursive-CTE closure."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.leakage_safe_split(docs, _cached_mh_pairs(spark, sf_dir))

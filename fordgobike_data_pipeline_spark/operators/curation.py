@@ -860,3 +860,47 @@ def span_corruption_spans(
         F.col("end_pos").cast("int").alias("end_pos"),
         F.col("span_len").cast("int").alias("span_len"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    near_dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (90, 5, 5),
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: connected components over
+    the near-duplicate pair graph are assigned to splits AS A UNIT (by
+    an md5 bucket of the component representative), so two
+    near-duplicate documents can never straddle train and eval — the
+    leakage a doc-level random split silently commits, inflating eval
+    scores on anything with a template/mirror twin in train.
+
+    Components come from :func:`..dedup.connected_components`
+    (min-label propagation over pairs); singleton docs are their own
+    component. The bucket is the repo's md5 surrogate construction, so
+    the assignment is reproducible in any engine AND stable under
+    corpus growth (a component keeps its split as long as its min-id
+    member survives).
+
+    Returns (doc_id, component, split) for every input doc."""
+    from . import dedup as dedup_ops
+
+    if len(weights) != 3 or any(w <= 0 for w in weights) or sum(weights) != 100:
+        raise ValueError(f"weights must be 3 positive ints summing to 100, got {weights}")
+    comp = dedup_ops.connected_components(near_dup_pairs).select(
+        F.col("node").alias("_n"), F.col("component").alias("_comp")
+    )
+    base = docs.select(F.col(id_col))
+    with_comp = base.join(comp, base[id_col] == comp["_n"], "left").select(
+        id_col, F.coalesce(F.col("_comp"), F.col(id_col)).alias("component")
+    )
+    b = _hash_bucket(F.col("component"), 100)
+    t, v, _ = weights
+    return with_comp.select(
+        id_col,
+        "component",
+        F.when(b < t, F.lit("train"))
+        .when(b < t + v, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -384,3 +384,64 @@ def copurchase_bidirected(lineitem: DataFrame) -> DataFrame:
     return e0.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
         e0.select(F.col("q").alias("src"), F.col("p").alias("dst"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation: seed nodes carry known
+    labels; each synchronous round, every node adopts the MAJORITY
+    label among its labeled in-neighbors (count desc, then smallest
+    label — a total order, so every round is deterministic), seeds
+    never change. The classic cheap labeler over a kNN graph: annotate
+    1% of a corpus, propagate to the rest, train the quality/topic
+    classifier on the result.
+
+    A FIXED iteration count (not a fixpoint test) keeps the operator
+    SQL-expressible — the oracle unrolls the same k rounds. Each round
+    is one edge join + one (node, label) count + one argmax-by-struct
+    aggregate: all hash-partitioned, no windows, no driver state.
+    At corpus scale the edge list is the kNN graph (|V|·k rows) and
+    rounds are O(|E|).
+
+    Returns (node, label, is_seed) for every node that has a label
+    after ``iterations`` rounds (unreached nodes are absent)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    seed = seeds.select(
+        F.col(node_col).alias("_n"), F.col(label_col).cast("long").alias("_l")
+    )
+    labels = seed
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e._dst == labels._n)
+            .groupBy(F.col("_src"), F.col("_l"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # majority label: max over (count, -label) struct — count desc,
+        # smallest label tiebreak, one aggregate instead of a window
+        best = votes.groupBy("_src").agg(
+            F.max(F.struct(F.col("_c"), (-F.col("_l")).alias("_nl"))).alias("_b")
+        ).select(
+            F.col("_src").alias("_n"), (-F.col("_b._nl")).cast("long").alias("_l")
+        )
+        # seeds are clamped: their label always wins
+        labels = seed.unionByName(
+            best.join(seed.select(F.col("_n").alias("_sn")), best._n == F.col("_sn"), "left_anti")
+        )
+    is_seed = seed.select(F.col("_n"), F.lit(True).alias("_is"))
+    return (
+        labels.join(is_seed, "_n", "left")
+        .select(
+            F.col("_n").alias("node"),
+            F.col("_l").cast("int").alias("label"),
+            F.coalesce(F.col("_is"), F.lit(False)).alias("is_seed"),
+        )
+    )

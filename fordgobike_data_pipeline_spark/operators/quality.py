@@ -615,3 +615,52 @@ def ece_calibration(
             / (F.col("_n") * F.lit(1_000_000)).cast("double")
         ).alias("ece"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal threshold calibration: the ⌈(n+1)(1−α)⌉-th
+    smallest calibration score — accepting future items with score ≤
+    this threshold gives ≥ 1−α coverage under exchangeability (the
+    distribution-free guarantee). The principled way to turn a raw
+    quality/novelty/nonconformity score into a filter cutoff, instead
+    of eyeballing a percentile.
+
+    The order statistic comes from :func:`rank_select_kth` (histogram
+    probe + one-bucket rank — no global sort); the report adds the
+    empirical accept rate at the threshold (exact int/int division).
+
+    Returns one row: (n, k, threshold, n_accepted, accept_rate)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    # k = ceil((n+1)(1-alpha)) with alpha expressed as an exact integer
+    # ratio so the k expression is integer arithmetic on both engines;
+    # ceil(a/b) = (a + b - 1) div b for positive ints
+    num = round((1.0 - alpha) * 1_000_000)
+    kth = rank_select_kth(
+        df,
+        score_col,
+        id_col,
+        k_expr=f"least(n, ((n + 1) * {num} + 999999) div 1000000)",
+    ).select("n", "k", F.col("kth_value").alias("threshold"))
+    acc = df.crossJoin(F.broadcast(kth)).agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.first("threshold").alias("threshold"),
+        F.sum(
+            F.when(F.col(score_col) <= F.col("threshold"), 1).otherwise(0)
+        ).cast("long").alias("n_accepted"),
+    )
+    return acc.select(
+        "n",
+        "k",
+        "threshold",
+        "n_accepted",
+        (F.col("n_accepted").cast("double") / F.col("n").cast("double")).alias(
+            "accept_rate"
+        ),
+    )
