@@ -64,6 +64,25 @@ def main() -> None:
     )
     print(f"== span cut: {cleaned.count()} -> {kept_docs.count()} non-empty docs ==")
 
+    # 4b. audit the survivors before tokenizing: perplexity buckets
+    # (keep head / sample middle / audit tail), a leakage-safe split
+    # (near-dup clusters never straddle train and eval), and a
+    # conformal quality cutoff for future ingests
+    buckets = curation.perplexity_buckets(kept_docs)
+    print("== perplexity buckets (CCNet head/middle/tail) ==")
+    buckets.orderBy("ce_lo").show(truncate=False)
+    pairs = dedup.minhash_lsh_pairs(kept_docs, threshold=0.8)
+    split = curation.leakage_safe_split(kept_docs, pairs)
+    print("== leakage-safe split ==")
+    split.groupBy("split").count().show()
+    from fordgobike_data_pipeline_spark.operators import quality as quality_ops
+
+    thr = quality_ops.conformal_threshold(
+        text.quality_score(kept_docs), "quality", "doc_id", alpha=0.1
+    )
+    print("== conformal quality threshold (90% coverage) ==")
+    thr.show()
+
     # 5. tokenize: fit BPE on the final corpus, encode to ids
     merges = bpe.train_bpe(kept_docs, n_merges=120)
     vocab = bpe.bpe_vocab(kept_docs, merges)
