@@ -3747,8 +3747,6 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the SAME seeded-LSH kNN edges as q_knn_graph. Each round is
     one edge join + two hash aggregates — no windows over data, no
     driver state."""
-    from .operators import graph
-
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     edges = retrieval.knn_graph(emb, k=5, n_planes=8).select("src_id", "nbr_id")
     seeds = emb.filter(F.col("vec_id") < 50).select(
