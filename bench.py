@@ -297,6 +297,9 @@ HEADLINE = [
     "q_label_propagation",
     "q_conformal_threshold",
     "q_leakage_split",
+    "q_rouge_overlap",
+    "q_source_overlap",
+    "q_filter_bias",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -99,7 +99,8 @@ def _ensure_extensions_loaded() -> None:
 # q_lsh_scurve (wave 22), q_ngram_novelty, q_vocab_coverage,
 # q_ngram_loopiness, q_inbatch_collision (wave 23),
 # q_label_propagation, q_conformal_threshold, q_leakage_split
-# (wave 24), then resume staleness rotation (oldest official rows
+# (wave 24), q_rouge_overlap, q_source_overlap, q_filter_bias
+# (wave 25), then resume staleness rotation (oldest official rows
 # are r3).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_try_funcs",

@@ -638,3 +638,63 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     scored = text_ops.quality_score(docs)
     return quality.conformal_threshold(scored, "quality", "doc_id", alpha=0.1)
+
+
+@query(
+    "q_filter_bias",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> length(w))) AS tok_chars,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS n_punct
+        FROM documents
+    ),
+    q0 AS (
+        SELECT doc_id,
+               round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / n_chars) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6)
+                   AS quality
+        FROM s
+    ),
+    d AS (
+        SELECT source, CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS k
+        FROM documents JOIN q0 USING (doc_id)
+    ),
+    per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS n_kept
+        FROM d GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS tn,
+               CAST(sum(n_kept) AS BIGINT) AS tk
+        FROM per
+    )
+    SELECT source, n_rows, n_kept,
+           CAST(n_kept AS DOUBLE) / CAST(n_rows AS DOUBLE) AS keep_rate,
+           CASE WHEN tk > 0
+                THEN CAST(n_kept * tn AS DOUBLE)
+                     / CAST(n_rows * tk AS DOUBLE)
+                ELSE 0.0 END AS rate_ratio
+    FROM per, tot
+    """,
+)
+def q_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit of the quality>=0.5 filter by source
+    (quality.filter_bias_report): per-source keep rates and their
+    ratio to the corpus-wide rate — the check that a filter is not
+    quietly deleting one feed (rate_ratio << 1) while waving another
+    through. The ratio is ONE division of two exact BIGINT products,
+    not a double/double."""
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.join(text_ops.quality_score(docs), "doc_id").select(
+        "source", (F.col("quality") >= 0.5).alias("keep")
+    )
+    return quality.filter_bias_report(scored, "keep", "source")

@@ -3798,3 +3798,101 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives them plus the recursive-CTE closure."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return curation.leakage_safe_split(docs, _cached_mh_pairs(spark, sf_dir))
+
+
+@query(
+    "q_rouge_overlap",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    gc AS (
+        SELECT doc_id, t[i+1] || ' ' || t[i+2] AS gram, count(*) AS c
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+              FROM w WHERE len(t) >= 2)
+        GROUP BY doc_id, gram
+    ),
+    p AS (
+        SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 3 = 0
+    ),
+    r AS (SELECT p.ref_id, p.cand_id, gc.gram, gc.c AS cr
+          FROM p JOIN gc ON gc.doc_id = p.ref_id),
+    cnd AS (SELECT p.ref_id, p.cand_id, gc.gram, gc.c AS cc
+            FROM p JOIN gc ON gc.doc_id = p.cand_id),
+    m AS (
+        SELECT coalesce(r.ref_id, cnd.ref_id) AS ref_id,
+               coalesce(r.cand_id, cnd.cand_id) AS cand_id,
+               coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+        FROM r FULL JOIN cnd
+        ON r.ref_id = cnd.ref_id AND r.cand_id = cnd.cand_id
+           AND r.gram = cnd.gram
+    ),
+    agg AS (
+        SELECT ref_id, cand_id,
+               CAST(sum(cr) AS BIGINT) AS n_ref,
+               CAST(sum(cc) AS BIGINT) AS n_cand,
+               CAST(sum(least(cr, cc)) AS BIGINT) AS n_overlap
+        FROM m GROUP BY ref_id, cand_id
+    )
+    SELECT ref_id, cand_id, n_ref, n_cand, n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(n_ref AS DOUBLE) AS rouge_recall,
+           CAST(n_overlap AS DOUBLE) / CAST(n_cand AS DOUBLE)
+               AS rouge_precision,
+           CAST(2 * n_overlap AS DOUBLE) / CAST(n_ref + n_cand AS DOUBLE)
+               AS rouge_f1
+    FROM agg WHERE n_ref > 0 AND n_cand > 0
+    """,
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 between deterministic (doc, successor) pairs
+    (text.rouge_n): clipped bigram overlap with recall / precision /
+    count-level F1 — the reference-based eval for summarization and
+    RAG faithfulness, and the pair dial for "how much of A is
+    recycled in B". Per-doc gram COUNT tables (ROUGE clips, it does
+    not dedup), one full-outer gram merge per pair, exact integers,
+    one division per ratio."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    a = docs.select(F.col("doc_id").alias("ref_id"))
+    b = docs.select(F.col("doc_id").alias("_b"))
+    pairs = (
+        a.filter(F.col("ref_id") % 3 == 0)
+        .join(b, F.col("_b") == F.col("ref_id") + 1)
+        .select("ref_id", F.col("_b").alias("cand_id"))
+    )
+    return text.rouge_n(pairs, docs, n=2)
+
+
+@query(
+    "q_source_overlap",
+    """
+    WITH w AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    sg AS (
+        SELECT DISTINCT source AS src,
+               t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+        FROM (SELECT source, t, unnest(range(len(t) - 2)) AS i
+              FROM w WHERE len(t) >= 3)
+    ),
+    tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY src),
+    inter AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sg a JOIN sg b ON a.gram = b.gram AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, n_common,
+           CAST(n_common AS DOUBLE)
+               / CAST(ta.n + tb.n - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN tot ta ON ta.src = source_a
+    JOIN tot tb ON tb.src = source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard between corpus SOURCES
+    (text.source_overlap) — the mixture-design audit: feeds with high
+    overlap are near-copies (mirrors, re-crawls, syndication) and
+    up-weighting both double-counts the same content. Gram-keyed
+    intersection join (never |sources|² on data), inclusion-exclusion
+    union, exact integers."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.source_overlap(docs, n=3)

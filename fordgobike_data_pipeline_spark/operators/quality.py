@@ -664,3 +664,55 @@ def conformal_threshold(
             "accept_rate"
         ),
     )
+
+
+def filter_bias_report(
+    df: DataFrame,
+    keep_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Selection-bias audit for any boolean filter: per group (source,
+    language, length bucket…), the kept/total counts, the group keep
+    rate, and its ratio to the corpus-wide keep rate — the check that
+    a quality/toxicity filter is not quietly deleting one feed or
+    language (rate_ratio ≪ 1) while waving another through. Run it on
+    every new filter BEFORE shipping the filtered corpus; pair with
+    :func:`ece_calibration` for score-level diagnostics.
+
+    One grouped aggregate plus a broadcast of the 1-row total. Exact
+    integer counts; each rate is one division, and the ratio is
+    computed as (kept_g · n_total) / (n_g · kept_total) — a single
+    division of two exact BIGINT products, not a double/double.
+
+    Returns one row per group: (group, n_rows, n_kept, keep_rate,
+    rate_ratio)."""
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(keep_col).cast("boolean").cast("long").alias("_k"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_k").cast("long").alias("n_kept"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("_tn"),
+        F.sum("n_kept").cast("long").alias("_tk"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_rows").cast("double")).alias(
+            "keep_rate"
+        ),
+        F.when(
+            F.col("_tk") > 0,
+            (F.col("n_kept") * F.col("_tn")).cast("double")
+            / (F.col("n_rows") * F.col("_tk")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate_ratio"),
+    )

@@ -741,3 +741,130 @@ def ngram_loopiness(
             F.col("max_repeat").cast("double") / F.col("n_ngrams").cast("double")
         ).alias("loop_score"),
     )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 2,
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-N between (reference, candidate) document pairs: clipped
+    n-gram overlap — Σ over distinct grams of min(count_ref,
+    count_cand) — with recall (/ref grams), precision (/cand grams)
+    and the count-level F1 = 2·overlap/(n_ref + n_cand). The standard
+    reference-based eval for summarization / RAG answer faithfulness,
+    and the pair-level dial for "how much of A is recycled in B".
+
+    Per-doc gram COUNT tables (not distinct sets — ROUGE clips, it
+    does not dedup) join onto the pair list by id, then one full-outer
+    gram merge per pair. Exact integers; each ratio is ONE division.
+    Pairs whose ref or cand has fewer than ``n`` tokens drop out
+    (no grams — mirrored by oracles).
+
+    Returns (ref_id, cand_id, n_ref, n_cand, n_overlap, rouge_recall,
+    rouge_precision, rouge_f1)."""
+    t = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    gc = (
+        docs.filter(F.size(t) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
+    ref = gc.select(
+        F.col(id_col).alias("ref_id"), F.col("gram"), F.col("c").alias("_cr")
+    ).join(p, "ref_id")
+    cand = gc.select(
+        F.col(id_col).alias("cand_id"), F.col("gram"), F.col("c").alias("_cc")
+    ).join(p, "cand_id")
+    merged = ref.join(cand, ["ref_id", "cand_id", "gram"], "full_outer")
+    agg = merged.groupBy("ref_id", "cand_id").agg(
+        F.sum(F.coalesce(F.col("_cr"), F.lit(0))).cast("long").alias("n_ref"),
+        F.sum(F.coalesce(F.col("_cc"), F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            F.least(
+                F.coalesce(F.col("_cr"), F.lit(0)),
+                F.coalesce(F.col("_cc"), F.lit(0)),
+            )
+        ).cast("long").alias("n_overlap"),
+    )
+    return agg.filter((F.col("n_ref") > 0) & (F.col("n_cand") > 0)).select(
+        "ref_id",
+        "cand_id",
+        "n_ref",
+        "n_cand",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_ref").cast("double")).alias(
+            "rouge_recall"
+        ),
+        (F.col("n_overlap").cast("double") / F.col("n_cand").cast("double")).alias(
+            "rouge_precision"
+        ),
+        (
+            (2 * F.col("n_overlap")).cast("double")
+            / (F.col("n_ref") + F.col("n_cand")).cast("double")
+        ).alias("rouge_f1"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between corpus SOURCES — the
+    mixture-design audit: two feeds with high overlap are near-copies
+    of one another (mirror sites, re-crawls, syndication) and
+    up-weighting both double-counts the same content. One distinct
+    (source, gram) table; the intersection is a gram-keyed self-join
+    (combiner-friendly, never |sources|² on data); the union comes by
+    inclusion-exclusion from per-source totals. Exact integers, one
+    division.
+
+    Returns (source_a, source_b, n_a, n_b, n_common, jaccard) for
+    source_a < source_b."""
+    t = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    sg = (
+        docs.filter(F.size(t) >= n)
+        .select(F.col(source_col).alias("_src"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    totals = sg.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a = sg.select(F.col("_src").alias("source_a"), "gram")
+    b = sg.select(F.col("_src").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ta = totals.select(F.col("_src").alias("source_a"), F.col("_n").alias("n_a"))
+    tb = totals.select(F.col("_src").alias("source_b"), F.col("_n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
