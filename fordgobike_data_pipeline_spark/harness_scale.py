@@ -3896,3 +3896,94 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, exact integers."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.source_overlap(docs, n=3)
+
+
+@query(
+    "q_centroid_drift",
+    """
+    WITH e AS (
+        SELECT vec_id, label, pos,
+               CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS xi
+        FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+    ),
+    sa AS (SELECT label, pos, CAST(sum(xi) AS BIGINT) AS s
+           FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+    sb AS (SELECT label, pos, CAST(sum(xi) AS BIGINT) AS s
+           FROM e WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+    d AS (
+        SELECT sa.label,
+               CAST(sum(sa.s * sb.s) AS BIGINT) AS ab,
+               CAST(sum(sa.s * sa.s) AS BIGINT) AS aa,
+               CAST(sum(sb.s * sb.s) AS BIGINT) AS bb
+        FROM sa JOIN sb ON sa.label = sb.label AND sa.pos = sb.pos
+        GROUP BY 1
+    ),
+    na AS (SELECT label, CAST(count(*) AS BIGINT) AS n_old
+           FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+    nb AS (SELECT label, CAST(count(*) AS BIGINT) AS n_new
+           FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1)
+    SELECT d.label, n_old, n_new,
+           CAST(ab AS DOUBLE)
+               / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))
+               AS centroid_cosine
+    FROM d JOIN na USING (label) JOIN nb USING (label)
+    """,
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots
+    (similarity.centroid_drift, here the even/odd vec_id halves): the
+    cosine of each label's mean vector across snapshots — the audit
+    that catches an embedding-model bump before a persisted ANN index
+    silently degrades. Mean-of-doubles is order-dependent, so elements
+    snap to exact 1e-4 integer units per row (rint/round_even — both
+    half-even) and the centroid numerators are order-independent
+    BIGINT sums; counts cancel in cosine, one sqrt/divide chain on
+    identical integers."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+@query(
+    "q_hubness_census",
+    f"""
+    WITH {_lsh_sgn_ctes(n_planes=8)},
+    {_NORM_CTE},
+    p AS (
+        SELECT sa.vec_id AS src_id, sb.vec_id AS nbr_id,
+               round({_NDOT.format(a='na', b='nb')}, 6) + 0.0 AS sim
+        FROM sgn sa
+        JOIN sgn sb ON sb.bucket = sa.bucket AND sb.vec_id != sa.vec_id
+        JOIN n na ON na.vec_id = sa.vec_id
+        JOIN n nb ON nb.vec_id = sb.vec_id
+    ),
+    r AS (
+        SELECT src_id, nbr_id,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+        FROM p
+    ),
+    per AS (
+        SELECT nbr_id, CAST(count(*) AS BIGINT) AS k_occurrence
+        FROM r WHERE rank <= 5 GROUP BY nbr_id
+    )
+    SELECT k_occurrence, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM per GROUP BY k_occurrence
+    """,
+)
+def q_hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the corpus kNN graph
+    (retrieval.hubness_census): the k-occurrence histogram — how many
+    nodes are cited as a neighbor 1,2,… times. A long right tail is
+    the curse-of-dimensionality symptom that degrades ANN recall and
+    collapses semantic dedup around hub points; the fix (normalize /
+    center / re-rank) should land before trusting neighbor lists. Two
+    hash aggregations over the same seeded-LSH kNN edges as
+    q_knn_graph."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    edges = retrieval.knn_graph(emb, k=5, n_planes=8).select("nbr_id")
+    return retrieval.hubness_census(edges)

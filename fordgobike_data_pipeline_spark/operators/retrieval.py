@@ -739,3 +739,30 @@ def inbatch_collision(
         .otherwise(F.lit(0.0))
         .alias("collision_rate"),
     )
+
+
+def hubness_census(
+    knn_edges: DataFrame,
+    nbr_col: str = "nbr_id",
+) -> DataFrame:
+    """Hubness audit of a kNN graph: the k-occurrence histogram — how
+    many nodes appear as SOMEONE's neighbor 0,1,2,… times. In high
+    dimensions a few points become hubs (k-occurrence ≫ k) while many
+    become anti-hubs (0) — the curse-of-dimensionality symptom that
+    silently degrades ANN recall and makes semantic dedup collapse
+    unrelated docs into hub-centered clusters. A long right tail here
+    says: normalize/center the embeddings or re-rank before trusting
+    neighbor lists.
+
+    Two hash aggregations over the |V|·k edge list; anti-hubs (nodes
+    never cited) are NOT in the edge list, so the census reports the
+    cited distribution — join externally against the node table for
+    the 0-bucket if needed.
+
+    Returns (k_occurrence, n_nodes) sorted ascending."""
+    per = knn_edges.groupBy(F.col(nbr_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("k_occurrence")
+    )
+    return per.groupBy("k_occurrence").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

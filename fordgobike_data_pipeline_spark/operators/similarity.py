@@ -1682,3 +1682,72 @@ def nearest_centroid_eval(
             ),
         )
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots: the
+    cosine between each label's mean vector in OLD vs NEW — the audit
+    that catches an embedding-model version bump (or a data shift)
+    before a persisted ANN index silently degrades: re-embed, compare,
+    re-index only the labels that moved.
+
+    Determinism: a mean of doubles is order-dependent, so each
+    element is snapped to exact 1e-4 integer units per row (rint —
+    engine-stable) and the centroid NUMERATORS are order-independent
+    BIGINT sums (posexplode → (label, pos) partial aggs — the
+    relational element-wise sum). The count denominators cancel in
+    cosine, so the comparison runs directly on the integer sum
+    vectors: products ≤ (1e4·|x|·n)² stay far under int64 at corpus
+    scale, and the final sqrt/divide chain is IEEE on identical
+    integers. One scan per snapshot, no windows.
+
+    Returns one row per label present in both snapshots:
+    (label, n_old, n_new, centroid_cosine)."""
+    def sums(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        ).select(
+            "lbl",
+            "pos",
+            F.rint(F.col("x").cast("double") * F.lit(float(scale)))
+            .cast("long")
+            .alias("xi"),
+        )
+        return e.groupBy("lbl", "pos").agg(
+            F.sum("xi").cast("long").alias(f"s_{tag}")
+        )
+    n_old = old.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    n_new = new.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    j = sums(old, "a").join(sums(new, "b"), ["lbl", "pos"])
+    dots = j.groupBy("lbl").agg(
+        F.sum(F.col("s_a") * F.col("s_b")).cast("long").alias("_ab"),
+        F.sum(F.col("s_a") * F.col("s_a")).cast("long").alias("_aa"),
+        F.sum(F.col("s_b") * F.col("s_b")).cast("long").alias("_bb"),
+    )
+    return (
+        dots.join(n_old, "lbl")
+        .join(n_new, "lbl")
+        .select(
+            F.col("lbl").alias(label_col),
+            "n_old",
+            "n_new",
+            (
+                F.col("_ab").cast("double")
+                / (
+                    F.sqrt(F.col("_aa").cast("double"))
+                    * F.sqrt(F.col("_bb").cast("double"))
+                )
+            ).alias("centroid_cosine"),
+        )
+    )
