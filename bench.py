@@ -302,6 +302,7 @@ HEADLINE = [
     "q_filter_bias",
     "q_centroid_drift",
     "q_hubness_census",
+    "q_epoch_shuffle",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -100,8 +100,9 @@ def _ensure_extensions_loaded() -> None:
 # q_ngram_loopiness, q_inbatch_collision (wave 23),
 # q_label_propagation, q_conformal_threshold, q_leakage_split
 # (wave 24), q_rouge_overlap, q_source_overlap, q_filter_bias
-# (wave 25), q_centroid_drift, q_hubness_census (wave 26), then
-# resume staleness rotation (oldest official rows are r3).
+# (wave 25), q_centroid_drift, q_hubness_census (wave 26),
+# q_epoch_shuffle (wave 27), then resume staleness rotation (oldest
+# official rows are r3).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_try_funcs",
     "q_attribution_position",

@@ -1365,3 +1365,33 @@ def q_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pow() is not correctly rounded everywhere; a pinned product tree
     of IEEE multiplications is bit-stable on any engine)."""
     return dedup.lsh_scurve(spark, rows_per_band=4, n_bands=16, grid=20)
+
+
+@query(
+    "q_epoch_shuffle",
+    """
+    WITH e AS (SELECT unnest(range(3)) AS epoch),
+    keyed AS (
+        SELECT CAST(epoch AS INT) AS epoch, doc_id,
+               CAST(CAST(from_hex(substr(md5(
+                   CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)
+               ), 1, 16)) AS BIT) AS BIGINT) AS h
+        FROM documents, e
+    )
+    SELECT epoch, doc_id,
+           CAST(((h % 8) + 8) % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, ((h % 8) + 8) % 8
+               ORDER BY h, doc_id) AS INT) AS shard_pos
+    FROM keyed
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order (curation.epoch_shuffle,
+    3 epochs × 8 shards): per epoch a fresh md5(epoch:id) permutation —
+    re-runs and replacement workers read identical orders, no two
+    epochs share one (what SGD wants and ORDER BY rand() loses on
+    every retry). The permutation is (shard, position) — ordering
+    windows partition per (epoch, shard), never a global rank."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.epoch_shuffle(docs, n_epochs=3, n_shards=8)

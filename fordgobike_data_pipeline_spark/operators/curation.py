@@ -904,3 +904,63 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_epochs: int = 3,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic multi-epoch training order: for each epoch, a
+    FRESH pseudo-random permutation of the corpus — keyed by
+    md5(epoch:id), so run N and its re-run (or the elastic worker that
+    replaces a failed one) read the examples in the identical order,
+    while no two epochs share an order (the property SGD wants and
+    ad-hoc `ORDER BY rand()` loses on every retry).
+
+    Scale shape: the permutation is (shard, position-within-shard),
+    NOT a global rank — shard = hash mod n_shards spreads the corpus,
+    and the ordering window partitions per (epoch, shard) (≈|docs|/
+    n_shards rows each, the same bound the shard writer uses). A
+    trainer reads shards in index order, rows in shard_pos order.
+
+    Returns one row per (epoch, doc): (epoch, doc_id, shard,
+    shard_pos) with shard_pos 1-based."""
+    from pyspark.sql import Window
+
+    if n_epochs < 1 or n_shards < 1:
+        raise ValueError(
+            f"n_epochs and n_shards must be >= 1, got {n_epochs}, {n_shards}"
+        )
+    epochs = docs.sparkSession.range(n_epochs).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = docs.select(id_col).crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        F.col(id_col),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("epoch").cast("string"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                16,
+            ),
+            16,
+            -10,
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    w = Window.partitionBy("epoch", F.pmod(F.col("_h"), F.lit(n_shards))).orderBy(
+        "_h", id_col
+    )
+    return keyed.select(
+        "epoch",
+        id_col,
+        F.pmod(F.col("_h"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.row_number().over(w).cast("int").alias("shard_pos"),
+    )

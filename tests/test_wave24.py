@@ -105,3 +105,33 @@ def test_leakage_split_rejects_bad_weights(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError):
         curation.leakage_safe_split(docs, pairs, weights=(80, 10, 5))
+
+
+def test_epoch_shuffle_deterministic_and_distinct_orders(spark):
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = curation.epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+    b = curation.epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+    key = lambda r: (r.epoch, r.doc_id)  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    rows = {key(r): (r.shard, r.shard_pos) for r in a}
+    assert len(rows) == 100  # every (epoch, doc) present
+    # within an (epoch, shard), positions are 1..k contiguous
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in a:
+        per[(r.epoch, r.shard)].append(r.shard_pos)
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # the two epochs produce different orders (overwhelmingly likely)
+    e0 = sorted((r.shard, r.shard_pos, r.doc_id) for r in a if r.epoch == 0)
+    e1 = sorted((r.shard, r.shard_pos, r.doc_id) for r in a if r.epoch == 1)
+    assert [x[2] for x in e0] != [x[2] for x in e1]
+
+
+def test_epoch_shuffle_rejects_bad_params(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with _pt.raises(ValueError):
+        curation.epoch_shuffle(docs, n_epochs=0)
