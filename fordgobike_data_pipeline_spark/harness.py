@@ -77,83 +77,84 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-8 priority: drain the never-officially-checked backlog
-# (VERDICT r7 "Next round" item 1 — 61 queries had no official
-# CORRECTNESS row through r7; every one is hardened-mirror-green and
-# 12 were independently judge-verified). The window (first 50) =
-#   [1-38]  the wave-16–21 analytics / graph / retrieval / streaming
-#           entries never adjudicated (includes q_matryoshka_recall
-#           and q_week_overlap, whose perf fixes land this round —
-#           keep them hash-green),
-#   [39-46] TPC-H q2–q9 (q9's render-rounding fix from r7 gets its
-#           first official row alongside any r8 perf work),
-#   [47-50] the four round-7 additions (q_mrr_at_k, q_ndcg_at_k,
-#           q_hard_negatives, q_dup_weight), all judge-verified ✓.
+# Round-9 priority (VERDICT r8 "Next round" item 1): drain the LAST 31
+# never-officially-checked queries — after this window every one of the
+# 325 queries has an official CORRECTNESS row. The window (first 50) =
+#   [1-11]  TPC-H residue q10, q11, q13-q17, q19-q22 (judge mirror-
+#           verified green in r8),
+#   [12-31] the 20 wave-22-27 additions (ECE / perplexity buckets /
+#           LSH S-curve / span corruption; n-gram novelty / vocab
+#           coverage / loopiness / in-batch collision; media seeded
+#           twins; label propagation / conformal / leakage split;
+#           ROUGE / source overlap / filter bias; centroid drift /
+#           hubness census; epoch shuffle) — all judge-verified r8,
+#   [32-50] staleness rotation, oldest official row first: the 6 keys
+#           whose newest row is r2 (q_domain_cap .. q_train_split) and
+#           the alphabetically-first 13 of the 44 r3-era keys.
 #
-# ROUND-9 ROTATION QUEUE (the never-officially-checked that spill):
-# q_tpch_q10, q_tpch_q11, q_tpch_q13, q_tpch_q14, q_tpch_q15,
-# q_tpch_q16, q_tpch_q17, q_tpch_q19, q_tpch_q20, q_tpch_q21,
-# q_tpch_q22, plus the r8 additions q_image_features_seeded,
-# q_resize_images_seeded, q_phash_dedup_seeded (media stub-arithmetic
-# twins), q_ece_calibration, q_span_corruption, q_perplexity_buckets,
-# q_lsh_scurve (wave 22), q_ngram_novelty, q_vocab_coverage,
-# q_ngram_loopiness, q_inbatch_collision (wave 23),
-# q_label_propagation, q_conformal_threshold, q_leakage_split
-# (wave 24), q_rouge_overlap, q_source_overlap, q_filter_bias
-# (wave 25), q_centroid_drift, q_hubness_census (wave 26),
-# q_epoch_shuffle (wave 27), then resume staleness rotation (oldest
-# official rows are r3).
+# STALENESS ROTATION RULE (r10 and beyond, VERDICT r8 item 8): with the
+# backlog drained, each round's window = the 50 queries with the OLDEST
+# official CORRECTNESS row (ties broken alphabetically). Concretely:
+#   r10 = the remaining 31 r3-era keys (q_cross_join .. q_window_time_
+#         bucket) + the oldest 19 of the 50 r4-era keys;
+#   r11 = remaining r4 keys + oldest r5 keys; and so on.
+# At 325 queries / 50 slots the full surface re-verifies every ~7
+# rounds; queries added mid-round join the back of the queue.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_try_funcs",
-    "q_attribution_position",
-    "q_theil_sen",
-    "q_week_overlap",
-    "q_max_concurrency",
-    "q_mutual_information",
-    "q_backtest_snaive",
-    "q_xcorr_lags",
-    "q_bootstrap_ci",
-    "q_setsim_prefix",
-    "q_badword_filter",
-    "q_url_blocklist",
-    "q_phrase_search",
-    "q_tfidf_cosine_pairs",
-    "q_mixture_temperature",
-    "q_zipf_fit",
-    "q_interarrival_quantiles",
-    "q_seasonal_anomaly",
-    "q_pct_change_wow",
-    "q_tv_distance",
-    "q_rolling_dau",
-    "q_isotonic_trend",
-    "q_clustering_coeff",
-    "q_kcore",
-    "q_random_walks",
-    "q_k_anonymity",
-    "q_assortativity",
-    "q_modularity",
-    "q_rank_select_median",
-    "q_kl_divergence",
-    "q_langid_confusion",
-    "q_window_breadth",
-    "q_dedup_keep_best",
-    "q_quality_agreement",
-    "q_matryoshka_recall",
-    "q_fusion_minmax",
-    "q_keyset_pagination",
-    "q_stream_session",
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_mrr_at_k",
-    "q_ndcg_at_k",
-    "q_hard_negatives",
-    "q_dup_weight",
+    # [1-11] TPC-H residue — first official rows
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # [12-31] waves 22-27 — first official rows
+    "q_ece_calibration",
+    "q_perplexity_buckets",
+    "q_lsh_scurve",
+    "q_span_corruption",
+    "q_ngram_novelty",
+    "q_vocab_coverage",
+    "q_ngram_loopiness",
+    "q_inbatch_collision",
+    "q_image_features_seeded",
+    "q_resize_images_seeded",
+    "q_phash_dedup_seeded",
+    "q_label_propagation",
+    "q_conformal_threshold",
+    "q_leakage_split",
+    "q_rouge_overlap",
+    "q_source_overlap",
+    "q_filter_bias",
+    "q_centroid_drift",
+    "q_hubness_census",
+    "q_epoch_shuffle",
+    # [32-37] staleness: newest official row is r2
+    "q_domain_cap",
+    "q_normalize_text",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_repetition_ratio",
+    "q_train_split",
+    # [38-50] staleness: oldest 13 of the 44 r3-era keys
+    "q_agg_expr_key",
+    "q_agg_first",
+    "q_agg_max_dedup",
+    "q_agg_minmax_bounds",
+    "q_agg_null_audit",
+    "q_agg_routes",
+    "q_approx_sketches",
+    "q_asof_join",
+    "q_audio_features",
+    "q_case_age_clean",
+    "q_char_entropy",
+    "q_chunk_docs",
+    "q_coalesce_defaults",
 )
 
 

@@ -193,9 +193,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (analytics.rfm_segments): per-user recency /
     frequency / monetary from the purchase subset, each ntile(4)-scored
     with a user-id tiebreak (1 = best), concatenated into the segment
-    label. Exact equal-count quartiles — the unpartitioned windows run
-    over the |users|-sized aggregate, with the approx_percentile swap
-    documented for 100 TB (same trade as q_ntile)."""
+    label. Exact equal-count quartiles WITHOUT a global window: the
+    histogram-rank formulation (equi-width buckets + per-bucket
+    windows + closed-form tile) reproduces ntile() OVER (ORDER BY
+    metric, u) bit-for-bit — the oracle IS that global-window form."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return analytics.rfm_segments(ev, purchase_type="purchase", n_tiles=4)
 

@@ -3914,9 +3914,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM e WHERE vec_id % 2 = 1 GROUP BY 1, 2),
     d AS (
         SELECT sa.label,
-               CAST(sum(sa.s * sb.s) AS BIGINT) AS ab,
-               CAST(sum(sa.s * sa.s) AS BIGINT) AS aa,
-               CAST(sum(sb.s * sb.s) AS BIGINT) AS bb
+               sum(CAST(sa.s AS HUGEINT) * sb.s) AS ab,
+               sum(CAST(sa.s AS HUGEINT) * sa.s) AS aa,
+               sum(CAST(sb.s AS HUGEINT) * sb.s) AS bb
         FROM sa JOIN sb ON sa.label = sb.label AND sa.pos = sb.pos
         GROUP BY 1
     ),

@@ -224,18 +224,25 @@ def rfm_segments(
     concatenated segment label ('111' = best customers).
 
     Shape: one per-user aggregation over the purchase subset, the
-    global max day as a 1-row broadcast (scalar control data), three
-    ntile windows over the SAME user-level table (|users| rows — the
-    windows are over the aggregate, never the raw events). ntile with
-    a total order (metric, user_id) is deterministic on any engine.
-    The unpartitioned windows are the inherently-serial exact
-    formulation (same trade as q_ntile); at 100 TB the swap is
-    approx_percentile boundaries per metric broadcast into a per-row
-    CASE — documented, not silently applied, because the exact
-    equal-count semantics are what the oracle adjudicates.
+    global max day as a 1-row broadcast (scalar control data), then
+    exact equal-count ntiles WITHOUT an unpartitioned window (a global
+    ntile() pulls every user row into one partition — the single-sort
+    bottleneck at billions of users). Instead, the rank_select_kth
+    histogram pattern generalized to every row: the three metrics
+    unpivot to (user, metric, sort_key) — descending axes negate the
+    key so everything ranks ascending — an equi-width histogram on
+    the broadcast (min, max) steers each row into one of ``n_buckets``
+    ORDERED buckets, bucket counts cumulate over the bounded
+    3×n_buckets control table, and rows rank inside a PER-BUCKET
+    window; global rank = bucket offset + local rank, and the tile is
+    closed-form in (rank, n) — the row→tile mapping is bit-identical
+    to ``ntile() OVER (ORDER BY metric, user)``, which is what the
+    oracle adjudicates. Largest partition = largest tie class +
+    ~1/n_buckets of the value range, never the whole table.
     """
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    n_buckets = 256
     day = F.to_date(F.col(ts_col))
     anchor = events.agg(F.max(day).alias("anchor_day"))
     per_user = (
@@ -253,24 +260,98 @@ def rfm_segments(
             "frequency",
             (F.col("_cents").cast("double") / F.lit(100.0)).alias("monetary"),
         )
+        # the user table feeds four plan branches (stats, bucketing,
+        # ranking, final join) — pin it once
+        .localCheckpoint()
     )
     # 1 = best on every axis: recency ascending (recent first),
-    # frequency/monetary descending (big first).
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("u").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("u").asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("u").asc())
-    scored = per_user.select(
+    # frequency/monetary descending (big first) — negate the
+    # descending keys so every axis ranks ascending. All three cast
+    # to double (exact for day-diffs, counts < 2^53, and cents/100).
+    longf = per_user.select(
+        "u",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency")).cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    (-F.col("monetary")).cast("double").alias("v"),
+                ),
+            )
+        ).alias("e"),
+    ).select("u", F.col("e.metric").alias("metric"), F.col("e.v").alias("v"))
+    stats = longf.groupBy("metric").agg(
+        F.min("v").alias("_mn"),
+        F.max("v").alias("_mx"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    b = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("v") - F.col("_mn"))
+                / (F.col("_mx") - F.col("_mn"))
+                * n_buckets
+            ).cast("int"),
+        )
+    )
+    bucketed = longf.join(F.broadcast(stats), "metric").select(
+        "metric", "u", "v", "_n", b.alias("_b")
+    )
+    counts = bucketed.groupBy("metric", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_off = (
+        Window.partitionBy("metric")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "metric",
+        "_b",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_loc = Window.partitionBy("metric", "_b").orderBy(
+        F.col("v").asc(), F.col("u").asc()
+    )
+    ranked = bucketed.join(F.broadcast(offsets), ["metric", "_b"]).select(
+        "metric",
+        "u",
+        "_n",
+        (F.col("_off") + F.row_number().over(w_loc)).alias("_rank"),
+    )
+    # ntile(t) closed form: q = n div t tiles of size q (+1 for the
+    # first n mod t tiles); rows 1..rem*(q+1) land in the padded tiles.
+    tile = F.when(
+        F.col("_rank") <= F.col("_rem") * (F.col("_q") + 1),
+        F.expr("(_rank - 1) div (_q + 1) + 1"),
+    ).otherwise(
+        F.expr("_rem + (_rank - 1 - _rem * (_q + 1)) div _q + 1")
+    )
+    tiles = (
+        ranked.withColumn("_q", F.expr(f"_n div {n_tiles}"))
+        .withColumn("_rem", F.expr(f"_n % {n_tiles}"))
+        .withColumn("tile", tile.cast("int"))
+        .groupBy("u")
+        .pivot("metric", ["r", "f", "m"])
+        .agg(F.first("tile"))
+    )
+    return per_user.join(tiles, "u").select(
         F.col("u").alias(user_col),
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(n_tiles).over(w_r).alias("r_score"),
-        F.ntile(n_tiles).over(w_f).alias("f_score"),
-        F.ntile(n_tiles).over(w_m).alias("m_score"),
-    )
-    return scored.withColumn(
-        "segment",
-        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+        F.col("r").alias("r_score"),
+        F.col("f").alias("f_score"),
+        F.col("m").alias("m_score"),
+        F.concat_ws("", F.col("r"), F.col("f"), F.col("m")).alias("segment"),
     )
 
 

@@ -282,14 +282,12 @@ def local_clustering_coefficient(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("tri"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("d"), F.asc("n"))
-    top = (
-        deg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= top_n)
-        .drop("rk")
-    )
+    # Top-n via orderBy().limit() -> TakeOrderedAndProject (per-
+    # partition heaps + driver merge of top_n rows). An unpartitioned
+    # row_number() window here would pull EVERY node's degree row into
+    # one partition — the single-sort bottleneck at billions of nodes.
+    # Same (d desc, n asc) total order, so the row set is identical.
+    top = deg.orderBy(F.desc("d"), F.asc("n")).limit(top_n)
     return (
         top.join(tri_per_node, "n", "left")
         .select(
@@ -397,11 +395,14 @@ def label_propagation(
 ) -> DataFrame:
     """Semi-supervised label propagation: seed nodes carry known
     labels; each synchronous round, every node adopts the MAJORITY
-    label among its labeled in-neighbors (count desc, then smallest
-    label — a total order, so every round is deterministic), seeds
-    never change. The classic cheap labeler over a kNN graph: annotate
-    1% of a corpus, propagate to the rest, train the quality/topic
-    classifier on the result.
+    label among its labeled OUT-neighbors — labels flow dst -> src
+    along directed edges (count desc, then smallest label — a total
+    order, so every round is deterministic), seeds never change. For
+    undirected semantics pass a bidirected edge list (both (u,v) and
+    (v,u)); a kNN graph's "points-to-neighbor" edges are exactly the
+    out-neighbor shape. The classic cheap labeler over a kNN graph:
+    annotate 1% of a corpus, propagate to the rest, train the
+    quality/topic classifier on the result.
 
     A FIXED iteration count (not a fixpoint test) keeps the operator
     SQL-expressible — the oracle unrolls the same k rounds. Each round

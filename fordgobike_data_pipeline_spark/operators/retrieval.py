@@ -481,9 +481,17 @@ _RR_LCM = 2520
 def _rr_lcm(k: int) -> int:
     """2520 (the documented LCM(1..10) scale) for any k <= 10, the
     true LCM(1..k) beyond — 2520 divides every 1..10 reciprocal so the
-    published rr_int values for small k stay stable."""
+    published rr_int values for small k stay stable. LCM(1..k)
+    exceeds int64 at k=43 (LCM(1..42) ≈ 2.2e17 < 2^63 < LCM(1..43)),
+    so deeper cutoffs are rejected rather than silently overflowing
+    the BIGINT rr_int column."""
     import math
 
+    if k > 42:
+        raise ValueError(
+            f"k={k}: LCM(1..k) overflows int64 beyond k=42; rr_int "
+            "would wrap. Use k <= 42 or aggregate rr as a double."
+        )
     return _RR_LCM if k <= 10 else math.lcm(*range(1, k + 1))
 
 
@@ -539,9 +547,13 @@ def mrr_at_k(
     )
     base = queries.select(F.col(id_col).alias("query_id"))
     fr = base.join(fr, "query_id", "left")
+    # Integer division: lcm is divisible by every 1.._fr <= k, so
+    # `div` is exact at any k <= 42; a double divide would go inexact
+    # past 2^53 (k >= 41) and break the exact-integer invariant.
     rr_int = F.when(
-        F.col("_fr").isNotNull(), (F.lit(lcm) / F.col("_fr")).cast("long")
-    ).otherwise(F.lit(0))
+        F.col("_fr").isNotNull(),
+        F.expr(f"CAST({lcm} AS BIGINT) div _fr"),
+    ).otherwise(F.lit(0).cast("long"))
     return fr.select(
         "query_id",
         F.coalesce(F.col("_fr"), F.lit(0)).cast("int").alias("first_rel_rank"),
@@ -759,10 +771,13 @@ def hubness_census(
     cited distribution — join externally against the node table for
     the 0-bucket if needed.
 
-    Returns (k_occurrence, n_nodes) sorted ascending."""
+    Returns (k_occurrence, n_nodes) sorted ascending (the histogram
+    is tiny — #distinct occurrence counts — so the sort is free)."""
     per = knn_edges.groupBy(F.col(nbr_col)).agg(
         F.count(F.lit(1)).cast("long").alias("k_occurrence")
     )
-    return per.groupBy("k_occurrence").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    return (
+        per.groupBy("k_occurrence")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("k_occurrence")
     )

@@ -1703,9 +1703,13 @@ def centroid_drift(
     BIGINT sums (posexplode → (label, pos) partial aggs — the
     relational element-wise sum). The count denominators cancel in
     cosine, so the comparison runs directly on the integer sum
-    vectors: products ≤ (1e4·|x|·n)² stay far under int64 at corpus
-    scale, and the final sqrt/divide chain is IEEE on identical
-    integers. One scan per snapshot, no windows.
+    vectors. The per-dimension products are accumulated as
+    decimal(38,0): a product can reach (1e4·|x|·n)² ≈ 1e26 at n=1e9
+    rows/label, which overflows int64 (silent wrap under non-ANSI
+    Spark) but is exact in 128-bit decimal up to ~1e38 — room for
+    n ≈ 1e15 rows per label at |x|≤1. Only the final sqrt/divide
+    chain converts to double (correctly-rounded on identical exact
+    integers in both engines). One scan per snapshot, no windows.
 
     Returns one row per label present in both snapshots:
     (label, n_old, n_new, centroid_cosine)."""
@@ -1730,10 +1734,12 @@ def centroid_drift(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
     j = sums(old, "a").join(sums(new, "b"), ["lbl", "pos"])
+    d_a = F.col("s_a").cast("decimal(38,0)")
+    d_b = F.col("s_b").cast("decimal(38,0)")
     dots = j.groupBy("lbl").agg(
-        F.sum(F.col("s_a") * F.col("s_b")).cast("long").alias("_ab"),
-        F.sum(F.col("s_a") * F.col("s_a")).cast("long").alias("_aa"),
-        F.sum(F.col("s_b") * F.col("s_b")).cast("long").alias("_bb"),
+        F.sum(d_a * d_b).alias("_ab"),
+        F.sum(d_a * d_a).alias("_aa"),
+        F.sum(d_b * d_b).alias("_bb"),
     )
     return (
         dots.join(n_old, "lbl")

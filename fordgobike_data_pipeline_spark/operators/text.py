@@ -778,7 +778,13 @@ def rouge_n(
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
+    # Dedup the pair list: a duplicated (ref_id, cand_id) row would
+    # multiply both-sided grams quadratically through the full_outer
+    # merge but one-sided grams only linearly — skewing recall/
+    # precision/F1, not just the raw counts.
+    p = pairs.select(
+        F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id")
+    ).distinct()
     ref = gc.select(
         F.col(id_col).alias("ref_id"), F.col("gram"), F.col("c").alias("_cr")
     ).join(p, "ref_id")
