@@ -323,6 +323,38 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def machine_probe(spark) -> float:
+    """Machine-state calibration probe: a FIXED synthetic CPU+shuffle
+    job (20M-row range → xxhash64 → 1M-group aggregate → scalar sum),
+    independent of harness code and of the testdata, timed best-of-3
+    after a codegen warmup. Its only moving part is the machine: the
+    drift record (BENCH_NOTES_r08_drift.json) showed identical
+    binaries measuring 0.81×→1.02× of anchor across one day as the
+    microVM throttled, so the per-query gate kept tripping on machine
+    state rather than code. The probe's ratio against its minted
+    anchor (``probe_sec`` in BENCH_ANCHOR.json) scales the gate
+    threshold — capped at 2× so a badly degraded machine can still
+    not whitewash a real regression. The deterministic result value
+    doubles as a sanity pin."""
+    from pyspark.sql import functions as F
+
+    def one() -> None:
+        df = spark.range(0, 20_000_000, 1, 32)
+        df.select(
+            (F.col("id") % 1_000_000).alias("k"),
+            F.shiftrightunsigned(F.xxhash64("id"), 40).alias("h"),
+        ).groupBy("k").agg(F.sum("h").alias("s")).agg(F.sum("s")).collect()
+
+    one()  # codegen warm
+    best = float("inf")
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        one()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
@@ -334,6 +366,9 @@ def main() -> None:
 
     # warmup: run the flagship once to absorb JVM + codegen startup
     materialize(queries["q_agg_daily_summary"](spark, SF_DIR))
+
+    # machine-state calibration (see machine_probe docstring)
+    probe_sec = machine_probe(spark)
 
     # best-of-N per query: damps scheduler/GC noise on a shared box
     # while still charging full cold-plan cost (each run re-plans).
@@ -376,14 +411,24 @@ def main() -> None:
     regressions: dict[str, dict[str, float]] = {}
     retimed: dict[str, float] = {}
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+    probe_anchor = None
+    calibration = 1.0
     if os.path.exists(anchor_path) and sf == 0.1:
         with open(anchor_path) as f:
-            anchor = json.load(f)["queries"]
+            anchor_doc = json.load(f)
+        anchor = anchor_doc["queries"]
+        # calibrated gate: scale the 1.5x threshold by how much slower
+        # the machine is than at anchor-mint time (probe ratio, floor
+        # 1.0 so a FAST machine never loosens the gate, cap 2.0 so a
+        # degraded one cannot whitewash a real regression)
+        probe_anchor = anchor_doc.get("probe_sec")
+        if probe_anchor:
+            calibration = max(1.0, min(probe_sec / probe_anchor, 2.0))
 
         def over_anchor() -> list[str]:
             return [
                 n for n, t in timings.items()
-                if anchor.get(n) and t > 1.5 * anchor[n]
+                if anchor.get(n) and t > 1.5 * calibration * anchor[n]
             ]
 
         # de-flake the gate: a query can read 2x its isolated time from
@@ -406,7 +451,7 @@ def main() -> None:
         for name in over_anchor():
             t = retimed.get(name, timings[name])
             base = anchor[name]
-            if t <= 1.5 * base:
+            if t <= 1.5 * calibration * base:
                 continue  # noise spike — the retries cleared it
             regressions[name] = {"anchor": base, "now": t, "ratio": round(t / base, 2)}
         for name, r in regressions.items():
@@ -422,7 +467,10 @@ def main() -> None:
         # without cross-referencing fields.
         gate = {
             "scanned_vs_anchor": len([n for n in timings if anchor.get(n)]),
-            "single_pass_over_1.5x": {
+            "probe_sec": probe_sec,
+            "probe_anchor": probe_anchor,
+            "calibration": round(calibration, 3),
+            "single_pass_over_threshold": {
                 n: round(timings[n] / anchor[n], 2)
                 for n in sorted(retimed)
                 if anchor.get(n)
@@ -431,7 +479,7 @@ def main() -> None:
             "persistent": sorted(regressions),
         }
     else:
-        gate = {"scanned_vs_anchor": 0}
+        gate = {"scanned_vs_anchor": 0, "probe_sec": probe_sec}
 
     total = round(sum(timings.values()), 3)
 
@@ -466,6 +514,8 @@ def main() -> None:
         "aggregation": "min",
         "n_queries": len(timings),
         "core_total": round(sum(core_timings.values()), 3),
+        "probe": probe_sec,
+        "cal": round(calibration, 2),
         "pipeline_e2e": {"n_trips": n_trips, "sec": pipeline_sec},
         "regression_count": len(regressions),
         "full": "BENCH_FULL.json",

@@ -1,8 +1,9 @@
 """Scaling exponents for the COMPOSED pipelines (VERDICT r7 item 7).
 
 `scale_stress.py` measures individual operators under replication;
-this tool measures the three worst ABSOLUTE composed queries —
-q_clean_corpus, q_triangle_count, q_stream_session — end-to-end at
+this tool measures the worst ABSOLUTE composed queries —
+q_clean_corpus, q_triangle_count, q_stream_session, and (r9)
+q_decontaminate_near, q_dedup_incr_near — end-to-end at
 1× and N× (default 10× = sf1-equivalent) by materializing replicated
 copies of the sf0.1 tables into temp sf-dirs and calling the exact
 harness entry points on them. Replication offsets every id space per
@@ -37,10 +38,19 @@ from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def build_sf(spark, n: int, root: str) -> str:
-    """Materialize an n-replicated copy of the tables the three
-    composed queries read (documents, lineitem, events)."""
-    out = os.path.join(root, f"x{n}")
+def build_sf(spark, n: int, root: str, fixed_src0: bool = False) -> str:
+    """Materialize an n-replicated copy of the tables the composed
+    queries read (documents, lineitem, events).
+
+    ``fixed_src0``: keep ONLY copy 0's src0 document rows — the
+    replication shape for the decontamination/incremental-probe
+    queries, whose src0 side is a FIXED benchmark/archive in
+    production. Replicating src0 along with the corpus would make the
+    corpus×bench match set itself grow ~n² (every corpus replica
+    near-matches every bench replica), measuring output growth rather
+    than operator scaling; with src0 fixed, matches grow linearly with
+    the corpus — exactly the operator's O(batch) claim."""
+    out = os.path.join(root, f"x{n}_fb" if fixed_src0 else f"x{n}")
     os.makedirs(out, exist_ok=True)
 
     def rep(df, offsets: dict[str, int]):
@@ -65,6 +75,8 @@ def build_sf(spark, n: int, root: str) -> str:
     for i in range(n):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         if i > 0:
+            if fixed_src0:
+                c = c.filter(F.col("source") != "src0")
             c = c.withColumn(
                 "text", F.concat(F.col("text"), F.lit(f" rev{i} rev{i} rev{i}"))
             )
@@ -92,28 +104,42 @@ def main() -> int:
     from fordgobike_data_pipeline_spark import harness
 
     queries = harness.all_queries()
-    targets = ["q_clean_corpus", "q_triangle_count", "q_stream_session"]
+    # default = the five worst absolute composed queries (r8 three +
+    # the r9 additions per VERDICT item 6); argv[2:] overrides.
+    targets = sys.argv[2:] or [
+        "q_clean_corpus",
+        "q_triangle_count",
+        "q_stream_session",
+        "q_decontaminate_near",
+        "q_dedup_incr_near",
+    ]
+
+    # queries whose src0 side is a fixed benchmark/archive in
+    # production get the fixed-src0 replication (see build_sf)
+    fixed_src0 = {"q_decontaminate_near", "q_dedup_incr_near"}
 
     root = tempfile.mkdtemp(prefix="composed_stress_")
     results: dict[str, dict] = {name: {} for name in targets}
     try:
-        warm = build_sf(spark, 1, os.path.join(root, "warm"))
-        for name in targets:  # absorb JVM/codegen startup before timing
-            queries[name](spark, warm).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        for scale in (1, n):
-            sf_dir = build_sf(spark, scale, root)
-            for name in targets:
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                queries[name](spark, sf_dir).write.format("noop").mode(
+        for fb in sorted({t in fixed_src0 for t in targets}):
+            grp = [t for t in targets if (t in fixed_src0) == fb]
+            warm = build_sf(spark, 1, os.path.join(root, "warm"), fixed_src0=fb)
+            for name in grp:  # absorb JVM/codegen startup before timing
+                queries[name](spark, warm).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                wall = round(time.perf_counter() - t0, 3)
-                results[name][f"x{scale}"] = wall
-                print(f"  {name:<20} x{scale:<3} {wall:>8.2f}s", flush=True)
+            for scale in (1, n):
+                sf_dir = build_sf(spark, scale, root, fixed_src0=fb)
+                for name in grp:
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    wall = round(time.perf_counter() - t0, 3)
+                    results[name][f"x{scale}"] = wall
+                    print(f"  {name:<20} x{scale:<3} {wall:>8.2f}s", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
