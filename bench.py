@@ -303,6 +303,15 @@ HEADLINE = [
     "q_centroid_drift",
     "q_hubness_census",
     "q_epoch_shuffle",
+    # round-9 additions (wave 28)
+    "q_dsir_weights",
+    "q_packing_efficiency",
+    "q_stratified_sample",
+    "q_snapshot_churn",
+    "q_signature_resemblance",
+    "q_distinct_ngrams",
+    "q_filter_interaction",
+    "q_l_diversity",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -1395,3 +1395,167 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partition per (epoch, shard), never a global rank."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return curation.epoch_shuffle(docs, n_epochs=3, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Wave 28 — DSIR importance weights, packing efficiency, stratified
+# sample, snapshot churn
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKET = _DUCK_BUCKET.format(key="bg", m=4096)
+
+
+@query(
+    "q_dsir_weights",
+    f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id, source, t[i+1] || ' ' || t[i+2] AS bg
+        FROM (SELECT doc_id, source, t, unnest(range(len(t) - 1)) AS i
+              FROM w WHERE len(t) >= 2)
+    ),
+    bk AS (SELECT doc_id, source, {_DSIR_BUCKET} AS b FROM bg),
+    tc AS (SELECT b, count(*) AS tc FROM bk WHERE source = 'src0' GROUP BY b),
+    rc AS (SELECT b, count(*) AS rc FROM bk WHERE source <> 'src0' GROUP BY b),
+    tot AS (SELECT (SELECT sum(tc) FROM tc) AS T, (SELECT sum(rc) FROM rc) AS R),
+    lr AS (
+        SELECT rc.b,
+               CAST(round_even(1000000.0 * (
+                   ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE))
+                   - ln(CAST(T + 4096 AS DOUBLE))
+                   - ln(CAST(rc.rc + 1 AS DOUBLE))
+                   + ln(CAST(R + 4096 AS DOUBLE))), 0) AS BIGINT) AS lr
+        FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+    ),
+    sc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(lr) AS BIGINT) AS dsir_int
+        FROM bk JOIN lr ON lr.b = bk.b
+        WHERE source <> 'src0'
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, dsir_int,
+           CAST(dsir_int AS DOUBLE) / (1000000.0 * CAST(n_grams AS DOUBLE))
+               AS dsir_avg
+    FROM sc
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (curation.dsir_weights): hashed-bigram
+    log-likelihood ratio of each raw-pool doc under the TARGET domain
+    (source src0) vs the raw pool — the classifier-free target-domain
+    up-sampler. Per-bucket log-ratios quantize to 1e-6 integer units
+    (the proven quantized-log idiom) so per-doc scores are
+    order-independent BIGINT sums; the average divides once."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return curation.dsir_weights(raw, target, n_buckets=4096)
+
+
+@query(
+    "q_packing_efficiency",
+    f"""
+    WITH b AS (
+        SELECT {_DUCK_BUCKET.format(key="doc_id", m=1024)} AS b,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents
+    ),
+    per AS (
+        SELECT b, sum(t) AS tok, (sum(t) + 511) // 512 AS seq
+        FROM b GROUP BY b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_streams,
+           CAST(sum(seq) AS BIGINT) AS n_sequences,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(seq) * 512 - sum(tok) AS BIGINT) AS n_padding,
+           CAST(sum(tok) AS DOUBLE) / CAST(sum(seq) * 512 AS DOUBLE)
+               AS utilization
+    FROM per
+    """,
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (curation.packing_efficiency, seq_len
+    512 over 1024 hash-bucket streams): sequences / tokens / padding /
+    utilization for the concatenate-then-chunk layout — only each
+    stream's LAST sequence is part-filled, so the padding tax is
+    bounded by n_streams·seq_len. One bucket aggregate + a one-row
+    rollup; utilization is one division of exact BIGINTs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.packing_efficiency(docs, seq_len=512, n_buckets=1024)
+
+
+@query(
+    "q_stratified_sample",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST(CAST(from_hex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                    AS BIT) AS BIGINT) AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY hv, doc_id) AS INT)
+                   AS stratum_rank,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM h
+    )
+    SELECT doc_id, source, stratum_rank
+    FROM r WHERE stratum_rank <= (n * 10 + 99) // 100
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample (curation.stratified_sample)
+    by source: rank within each stratum by the md5 surrogate hash, keep
+    the first ceil(n·10/100) — every feed represented at the same rate
+    (a global deterministic sample can starve small strata). Exact
+    integer allocation; per-stratum windows, never a global rank."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.stratified_sample(docs, pct=10, strata_col="source")
+
+
+@query(
+    "q_snapshot_churn",
+    """
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, md5(text) AS h
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+        SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY status
+    """,
+)
+def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot churn report (curation.snapshot_churn): the corpus
+    diffed against a deterministic synthetic re-crawl (docs at id%7=0
+    dropped, id%5=0 edited, id%11=0 re-added under new ids) →
+    added/removed/changed/unchanged counts. One full-outer id join
+    with inline md5 content compare + a 4-row aggregate — the
+    crawl-diff that decides incremental vs full re-process."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select("doc_id", "text")
+    did = F.col("doc_id")
+    new = base.filter(did % 7 != 0).withColumn(
+        "text",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    ).unionByName(
+        base.filter(did % 11 == 0).select(
+            (did + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    return curation.snapshot_churn(base, new)

@@ -685,3 +685,42 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_comm))
         .select("modularity", "n_communities", "n_directed_edges")
     )
+
+
+@query(
+    "q_l_diversity",
+    """
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                          / 200000.0) AS INT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+    FROM qi GROUP BY c_nationkey, bal_band
+    HAVING count(DISTINCT c_mktsegment) < 3
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) over the quasi-identifier tuple
+    (nation, $2000 balance band) with market segment as the sensitive
+    attribute: groups where too few distinct sensitive values survive
+    — the disclosure risk k-anonymity alone misses (a k=20 group whose
+    members all share one segment still leaks it). Same exact-cents
+    band construction as q_k_anonymity; one groupBy + COUNT DISTINCT."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    band = F.floor(
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("double") / 200000.0
+    ).cast("int")
+    return (
+        cust.select("c_nationkey", band.alias("bal_band"), "c_mktsegment")
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+    )

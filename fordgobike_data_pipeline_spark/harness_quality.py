@@ -698,3 +698,29 @@ def q_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", (F.col("quality") >= 0.5).alias("keep")
     )
     return quality.filter_bias_report(scored, "keep", "source")
+
+
+@query(
+    "q_filter_interaction",
+    """
+    WITH b AS (
+        SELECT CAST(length(text) >= 200 AS INT) AS f_long,
+               CAST(lang = 'en' AS INT) AS f_en,
+               CAST(len(string_split(text, ' ')) >= 50 AS INT) AS f_tok,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents
+    )
+    SELECT f_long, f_en, f_tok, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS n_tokens
+    FROM b GROUP BY CUBE (f_long, f_en, f_tok)
+    """,
+)
+def q_filter_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-interaction what-if table (quality.filter_interaction):
+    doc/token counts under every subset of the cheap quality filters
+    (length ≥ 200 chars, lang = en, ≥ 50 tokens) via CUBE — marginal
+    pass rates in single-flag rows, filter overlap in pairwise rows,
+    full-stack yield in the all-flags row. One scan; the 2³ grouping
+    sets share one hash aggregate."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quality.filter_interaction(docs, min_chars=200, min_tokens=50)

@@ -3987,3 +3987,81 @@ def q_hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     edges = retrieval.knn_graph(emb, k=5, n_planes=8).select("nbr_id")
     return retrieval.hubness_census(edges)
+
+
+# ---------------------------------------------------------------------------
+# Wave 28 — corpus signature resemblance, distinct-n diversity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_signature_resemblance",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (SELECT doc_id, unnest(range(greatest(len(toks) - 3, 0) + 1)) AS i, toks FROM w),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[(i+1):(i+3)], ' ') AS shingle FROM st),
+    hh AS (
+        SELECT doc_id,
+               (({_MD5_H64.format(x='shingle', start=1)}
+                 % 4294967296 + 4294967296) % 4294967296) AS h1,
+               ((({_MD5_H64.format(x='shingle', start=17)}
+                 % 4294967296 + 4294967296) % 4294967296) | 1) AS h2
+        FROM sh
+    ),
+    ma AS (
+        SELECT t.h AS h, min(h1 + t.h * h2) AS m
+        FROM hh CROSS JOIN range(64) t(h) WHERE doc_id % 2 = 0 GROUP BY t.h
+    ),
+    mb AS (
+        SELECT t.h AS h, min(h1 + t.h * h2) AS m
+        FROM hh CROSS JOIN range(64) t(h) WHERE doc_id % 2 = 1 GROUP BY t.h
+    ),
+    ag AS (
+        SELECT CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_agree
+        FROM ma JOIN mb USING (h)
+    )
+    SELECT CAST(64 AS INT) AS n_hashes, n_agree,
+           CAST(n_agree AS DOUBLE) / 64.0 AS resemblance
+    FROM ag
+    """,
+)
+def q_signature_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level resemblance between two snapshots from MinHash
+    alone (dedup.signature_resemblance, even/odd doc_id halves as the
+    snapshots): per permutation, the corpus-wide min over A's shingles
+    equals B's with probability J(S_A, S_B) — estimating whole-crawl
+    shingle-set Jaccard without joining the crawls. Each snapshot
+    reduces to ONE 64-min row in a single map-side agg; md5-parity
+    hashes make every min bit-reproducible in SQL."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh_a = dedup.token_shingles(docs.filter(F.col("doc_id") % 2 == 0), k=3)
+    sh_b = dedup.token_shingles(docs.filter(F.col("doc_id") % 2 == 1), k=3)
+    return dedup.signature_resemblance(sh_a, sh_b, n_hashes=64)
+
+
+@query(
+    "q_distinct_ngrams",
+    """
+    WITH w AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT source, array_to_string(t[(i+1):(i+3)], ' ') AS gram
+        FROM (SELECT source, t, unnest(range(len(t) - 2)) AS i
+              FROM w WHERE len(t) >= 3)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS distinct_ratio
+    FROM g GROUP BY source
+    """,
+)
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-3-gram diversity per source (text.distinct_ngrams) —
+    the Self-BLEU-adjacent degeneracy audit for templated or
+    model-generated feeds: a collapsing ratio means the source repeats
+    the same constructions and up-weighting it teaches boilerplate.
+    One gram explode + per-source agg; ratio is one division of exact
+    BIGINTs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.distinct_ngrams(docs, n=3, by="source")

@@ -964,3 +964,208 @@ def epoch_shuffle(
         F.pmod(F.col("_h"), F.lit(n_shards)).cast("int").alias("shard"),
         F.row_number().over(w).cast("int").alias("shard_pos"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each raw
+    doc by how much more likely its hashed-bigram profile is under the
+    TARGET domain than under the raw pool — the cheap, classifier-free
+    way to up-sample target-like data (resample raw docs with
+    probability ∝ exp(score)).
+
+    Features are token bigrams hashed into ``n_buckets`` buckets (the
+    md5 surrogate construction, so the oracle reproduces the bucketing
+    bit-exactly). Each bucket's add-1-smoothed log-ratio
+    log((t_c+1)/(T+B)) − log((r_c+1)/(R+B)) is computed ONCE on exact
+    integer inputs and snapped to 1e-6 integer units (the proven
+    quantized-log idiom: ln is not correctly-rounded across engines,
+    but a rint at 1e-6 of the same exact-integer expression is
+    engine-stable), so every per-doc score is an order-independent
+    BIGINT sum; the average divides once at render.
+
+    Scale: two bucket-count aggregates (map-side combinable, output ≤
+    n_buckets rows), the log-ratio table broadcasts, scoring is one
+    hash join + one per-doc agg. Docs with < 2 tokens have no bigrams
+    and drop out (mirrored by the oracle).
+
+    Returns (doc_id, n_grams, dsir_int, dsir_avg) — dsir_avg in nats
+    per bigram, positive = target-like."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        t = F.split(F.col(text_col), " ")
+        n = F.size(t)
+        bg = F.zip_with(
+            F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return df.select(F.col(id_col), F.explode(bg).alias("_bg")).select(
+            F.col(id_col), _hash_bucket(F.col("_bg"), n_buckets).alias("_b")
+        )
+
+    raw_g = grams(docs)
+    tgt_c = grams(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    raw_c = raw_g.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    totals = tgt_c.agg(F.sum("_tc").alias("_T")).crossJoin(
+        raw_c.agg(F.sum("_rc").alias("_R"))
+    )
+    # ln terms associate left-to-right, mirrored exactly in the oracle
+    lr = (
+        raw_c.join(tgt_c, "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.rint(
+                F.lit(1e6)
+                * (
+                    F.log(F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1).cast("double"))
+                    - F.log((F.col("_T") + F.lit(n_buckets)).cast("double"))
+                    - F.log((F.col("_rc") + F.lit(1)).cast("double"))
+                    + F.log((F.col("_R") + F.lit(n_buckets)).cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("_lr"),
+        )
+    )
+    return (
+        raw_g.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("_lr").cast("long").alias("dsir_int"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "dsir_int",
+            (
+                F.col("dsir_int").cast("double")
+                / (F.lit(1e6) * F.col("n_grams").cast("double"))
+            ).alias("dsir_avg"),
+        )
+    )
+
+
+def packing_efficiency(
+    docs: DataFrame,
+    seq_len: int,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing-efficiency audit for the concatenate-then-chunk layout
+    (:func:`pack_sequences`): per hash-bucket stream only its LAST
+    sequence is partially filled, so n_sequences = ceil(stream_tokens /
+    seq_len) and the padding is n_sequences·seq_len − stream_tokens.
+    The one-row report a packing job emits to prove the layout wastes
+    <1/n_buckets·seq_len per stream — raise n_buckets for parallelism,
+    pay a bounded padding tax.
+
+    One token-count aggregate per bucket (map-side combinable,
+    ≤ n_buckets rows) then a one-row rollup; utilization is ONE
+    division of exact BIGINTs. Returns (n_streams, n_sequences,
+    n_tokens, n_padding, utilization)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = (
+        docs.select(_hash_bucket(F.col(id_col), n_buckets).alias("_b"), toks.alias("_t"))
+        .groupBy("_b")
+        .agg(F.sum("_t").alias("_tok"))
+        .select(
+            "_b", "_tok", F.expr(f"(_tok + {seq_len} - 1) div {seq_len}").alias("_seq")
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_streams"),
+        F.sum("_seq").cast("long").alias("n_sequences"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+        (F.sum("_seq") * seq_len - F.sum("_tok")).cast("long").alias("n_padding"),
+    ).select(
+        "n_streams",
+        "n_sequences",
+        "n_tokens",
+        "n_padding",
+        (
+            F.col("n_tokens").cast("double")
+            / (F.col("n_sequences") * F.lit(seq_len)).cast("double")
+        ).alias("utilization"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    pct: int = 10,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum, rank rows
+    by the md5 surrogate hash of their id (a fixed pseudo-random
+    order) and keep the first ceil(n_stratum · pct / 100) — every
+    stratum is represented at the same rate, unlike a global
+    deterministic sample that can starve small strata. The
+    mixture-preserving eval-slice / debug-slice cut.
+
+    ``pct`` is an INTEGER percent so the allocation ceil((n·pct+99)
+    div 100) is exact integer arithmetic on both engines. The ranking
+    window partitions per stratum (bounded by the largest stratum —
+    at corpus scale sub-stratify a giant source by hash prefix first);
+    stratum sizes ride the same window as a count.
+
+    Returns the sampled rows: (doc_id, <strata_col>, stratum_rank)."""
+    if not (0 < pct <= 100):
+        raise ValueError(f"pct must be in (0, 100], got {pct}")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 16), 16, -10
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.row_number().over(w).alias("stratum_rank"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    return ranked.filter(
+        F.col("stratum_rank") <= F.expr(f"(_n * {pct} + 99) div 100")
+    ).select(id_col, strata_col, F.col("stratum_rank").cast("int").alias("stratum_rank"))
+
+
+def snapshot_churn(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus churn: full-outer match on id with
+    an md5 content compare — added / removed / changed / unchanged
+    counts, the crawl-diff report that decides whether an incremental
+    re-process (or a full re-embed) is warranted and catches a feed
+    that silently truncated.
+
+    One full-outer join on the id (content hashes computed inline —
+    never ships text through the shuffle twice) and a 4-row aggregate.
+
+    Returns (status, n_docs) for status ∈ {added, removed, changed,
+    unchanged}."""
+    a = old.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_ha"))
+    b = new.select(F.col(id_col).alias("_id2"), F.md5(F.col(text_col)).alias("_hb"))
+    j = a.join(b, a._id == b._id2, "full_outer")
+    status = (
+        F.when(F.col("_id").isNull(), F.lit("added"))
+        .when(F.col("_id2").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

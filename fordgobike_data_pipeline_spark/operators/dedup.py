@@ -1023,3 +1023,66 @@ def lsh_scurve(
     sr = _pow_chain_col(F.col("s"), rows_per_band)
     p = F.lit(1.0) - _pow_chain_col(F.lit(1.0) - sr, n_bands)
     return base.select("s", p.alias("p_candidate"))
+
+
+def signature_resemblance(
+    shingles_a: DataFrame,
+    shingles_b: DataFrame,
+    n_hashes: int = 64,
+    hash_fn: str = "md5-parity",
+) -> DataFrame:
+    """Corpus-level resemblance estimate between two snapshots from
+    MinHash alone: for each of the ``n_hashes`` permutations, the
+    corpus-wide min over snapshot A's shingle set and over B's agree
+    with probability J(S_A, S_B) — so the agreement fraction estimates
+    the SHINGLE-SET Jaccard of two whole crawls without ever joining
+    them (the bottom-1 sketch argument; Broder 1997). The drift gauge
+    run between crawl snapshots: a resemblance step-change means the
+    feed mix shifted and downstream dedup/mixture assumptions need
+    re-checking.
+
+    Same Kirsch–Mitzenmacher double-hash family as
+    :func:`minhash_signatures` (h_i = h1 + i·h2, md5-parity halves by
+    default so the oracle reproduces every min bit-exactly). Each
+    snapshot reduces to ONE row of ``n_hashes`` integer minima in a
+    single map-side-combinable aggregate — no join, no shuffle beyond
+    the 1-row agg — then the two rows compare element-wise. Exact
+    integer mins; the estimate divides once.
+
+    Returns one row: (n_hashes, n_agree, resemblance)."""
+    if hash_fn == "md5-parity":
+        def bases(df: DataFrame):
+            md = F.md5(F.col("shingle"))
+            half = lambda s: F.conv(F.substring(md, s, 16), 16, -10).cast("long")  # noqa: E731
+            h1 = F.pmod(half(1), F.lit(1 << 32))
+            h2 = F.pmod(half(17), F.lit(1 << 32)).bitwiseOR(F.lit(1))
+            return df.select(h1.alias("_h1"), h2.alias("_h2"))
+    elif hash_fn == "xxhash64":
+        def bases(df: DataFrame):
+            h1 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+            h2 = F.pmod(
+                F.xxhash64("shingle", F.lit(0x9E3779B9)), F.lit(1 << 32)
+            ).bitwiseOR(F.lit(1))
+            return df.select(h1.alias("_h1"), h2.alias("_h2"))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5-parity', got {hash_fn!r}")
+
+    def corpus_mins(df: DataFrame, tag: str) -> DataFrame:
+        b = bases(df)
+        return b.agg(
+            *[
+                F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"{tag}{i}")
+                for i in range(n_hashes)
+            ]
+        )
+    ma = corpus_mins(shingles_a, "_a")
+    mb = corpus_mins(shingles_b, "_b")
+    agree = None
+    for i in range(n_hashes):
+        term = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long")
+        agree = term if agree is None else agree + term
+    return ma.crossJoin(mb).select(
+        F.lit(n_hashes).cast("int").alias("n_hashes"),
+        agree.alias("n_agree"),
+        (agree.cast("double") / F.lit(float(n_hashes))).alias("resemblance"),
+    )

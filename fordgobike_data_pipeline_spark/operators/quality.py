@@ -716,3 +716,38 @@ def filter_bias_report(
         .otherwise(F.lit(0.0))
         .alias("rate_ratio"),
     )
+
+
+def filter_interaction(
+    docs: DataFrame,
+    min_chars: int = 200,
+    min_tokens: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter-interaction audit: doc and token counts under EVERY
+    subset of the cheap quality filters (length, language, token
+    count) via CUBE — the what-if table a curation run reads before
+    committing a filter stack: marginal pass rates live in the
+    single-flag rows, interactions (e.g. "short docs are mostly
+    non-en, so the two filters overlap") in the pairwise rows, and the
+    full-stack yield in the all-flags row. Complements
+    filter_bias_report (per-GROUP rates for one filter) with the
+    cross-FILTER view.
+
+    One scan; CUBE expands to 2³ grouping sets inside the same
+    hash aggregate (map-side combinable). Flags are INTs so the
+    subtotal NULLs compare cleanly across engines.
+
+    Returns (f_long, f_en, f_tok, n_docs, n_tokens) — NULL flag =
+    "any" (the subtotal axis), 8 grouping sets over 3 flags."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(
+        (F.length(F.col(text_col)) >= min_chars).cast("int").alias("f_long"),
+        (F.col("lang") == "en").cast("int").alias("f_en"),
+        (toks >= min_tokens).cast("int").alias("f_tok"),
+        toks.alias("_t"),
+    )
+    return base.cube("f_long", "f_en", "f_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+    )

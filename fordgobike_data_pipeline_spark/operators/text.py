@@ -874,3 +874,44 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def distinct_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per group: distinct n-grams / total n-gram
+    occurrences — the Self-BLEU-adjacent degeneracy audit for
+    model-GENERATED or templated corpora (a source whose ratio
+    collapses is emitting the same constructions over and over, and
+    up-weighting it teaches the model boilerplate). Complements
+    :func:`ngram_loopiness` (within-doc repetition) with the
+    across-corpus view.
+
+    One gram explode + one per-group aggregate; the exact distinct
+    count rides Spark's two-phase count-distinct expand. Ratio is ONE
+    division of exact BIGINTs. Docs with < n tokens contribute
+    nothing (mirrored by oracles).
+
+    Returns (<by>, n_grams, n_distinct, distinct_ratio)."""
+    t = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    g = docs.filter(F.size(t) >= n).select(
+        F.col(by), F.explode(grams).alias("gram")
+    )
+    return g.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("gram").cast("long").alias("n_distinct"),
+    ).select(
+        by,
+        "n_grams",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_grams").cast("double")).alias(
+            "distinct_ratio"
+        ),
+    )
