@@ -303,7 +303,7 @@ HEADLINE = [
     "q_centroid_drift",
     "q_hubness_census",
     "q_epoch_shuffle",
-    # round-9 additions (wave 28)
+    # round-9 additions (waves 28-29)
     "q_dsir_weights",
     "q_packing_efficiency",
     "q_stratified_sample",
@@ -312,6 +312,12 @@ HEADLINE = [
     "q_distinct_ngrams",
     "q_filter_interaction",
     "q_l_diversity",
+    "q_bpe_fertility",
+    "q_threshold_sweep",
+    "q_budget_allocation",
+    "q_lsh_design_sweep",
+    "q_norm_outliers",
+    "q_stream_dedup_wm",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -96,13 +96,15 @@ def _ensure_extensions_loaded() -> None:
 # backlog drained, each round's window = the 50 queries with the OLDEST
 # official CORRECTNESS row (ties broken alphabetically). Concretely:
 #   r10 = the remaining 31 r3-era keys (q_cross_join .. q_window_time_
-#         bucket) + the 8 round-9 wave-28 additions (q_dsir_weights,
-#         q_packing_efficiency, q_stratified_sample, q_snapshot_churn,
-#         q_signature_resemblance, q_distinct_ngrams,
-#         q_filter_interaction, q_l_diversity — mid-round additions
-#         join the back of the queue) + the oldest 11 r4-era keys;
+#         bucket) + the 14 round-9 wave-28/29 additions
+#         (q_dsir_weights, q_packing_efficiency, q_stratified_sample,
+#         q_snapshot_churn, q_signature_resemblance, q_distinct_ngrams,
+#         q_filter_interaction, q_l_diversity, q_bpe_fertility,
+#         q_threshold_sweep, q_budget_allocation, q_lsh_design_sweep,
+#         q_norm_outliers, q_stream_dedup_wm — mid-round additions join
+#         the back of the queue) + the oldest 5 r4-era keys;
 #   r11 = remaining r4 keys + oldest r5 keys; and so on.
-# At 333 queries / 50 slots the full surface re-verifies every ~7
+# At 339 queries / 50 slots the full surface re-verifies every ~7
 # rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-11] TPC-H residue — first official rows

@@ -1559,3 +1559,75 @@ def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return curation.snapshot_churn(base, new)
+
+
+@query(
+    "q_budget_allocation",
+    """
+    WITH per AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    o AS (
+        SELECT source, n_tokens,
+               CAST(row_number() OVER (ORDER BY n_tokens, source) - 1 AS BIGINT) AS i,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY n_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS pre,
+               CAST(count(*) OVER () AS BIGINT) AS k
+        FROM per
+    ),
+    p AS (
+        SELECT i AS pi, pre AS pp FROM o
+        WHERE n_tokens * (k - i) >= 20000 - pre
+        ORDER BY i LIMIT 1
+    )
+    SELECT source, n_tokens,
+           CAST(CASE WHEN (SELECT count(*) FROM p) = 0
+                       OR i < (SELECT pi FROM p) THEN n_tokens
+                ELSE (20000 - (SELECT pp FROM p)) // (k - (SELECT pi FROM p))
+                     + CASE WHEN i - (SELECT pi FROM p)
+                                 < (20000 - (SELECT pp FROM p)) % (k - (SELECT pi FROM p))
+                            THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated
+    FROM o
+    """,
+)
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources
+    (curation.budget_allocation, budget 20k): every source keeps
+    min(tokens, C) for the largest uniform cap C that fits, remainder
+    spread one token each in (size, name) order — allocations sum
+    EXACTLY to min(budget, total). One per-source aggregate; the
+    pivot/cap arithmetic runs on the ≤|sources|-row control table."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.budget_allocation(docs, budget=20_000, by="source")
+
+
+_SWEEP_CONFIGS = ((32, 2), (16, 4), (8, 8))
+_SWEEP_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({b} AS INT) AS n_bands, CAST({r} AS INT) AS rows_per_band,
+           s, 1.0 - {dedup._pow_chain_sql("(1.0 - " + dedup._pow_chain_sql("s", r) + ")", b)} AS p_candidate
+    FROM grid"""
+    for b, r in _SWEEP_CONFIGS
+)
+
+
+@query(
+    "q_lsh_design_sweep",
+    f"""
+    WITH g AS (SELECT CAST(unnest(range(1, 20)) AS BIGINT) AS i),
+    grid AS (SELECT CAST(i AS DOUBLE) / CAST(20 AS DOUBLE) AS s FROM g)
+{_SWEEP_SQL}
+    """,
+)
+def q_lsh_design_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding design curves for three 64-hash configurations
+    (dedup.lsh_design_sweep: 32×2 / 16×4 / 8×8) — the side-by-side
+    audit behind the repo's 16×4 choice: candidate probability at
+    every Jaccard level per config, all square-and-multiply product
+    trees shared verbatim with the oracle (bit-identical doubles, no
+    pow())."""
+    return dedup.lsh_design_sweep(spark, configs=_SWEEP_CONFIGS, grid=20)

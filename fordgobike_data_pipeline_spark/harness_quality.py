@@ -724,3 +724,62 @@ def q_filter_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets share one hash aggregate."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return quality.filter_interaction(docs, min_chars=200, min_tokens=50)
+
+
+@query(
+    "q_threshold_sweep",
+    r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS tok_chars,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    q AS (
+        SELECT CAST(lang = 'en' AS BIGINT) AS l,
+               round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / n_chars) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6) AS quality
+        FROM s
+    ),
+    b AS (SELECT least(greatest(CAST(floor(quality * 20) AS INT), 0), 20) AS b, l FROM q),
+    per AS (SELECT b, count(*) AS n, sum(l) AS p FROM b GROUP BY b),
+    cum AS (
+        SELECT b, CAST(sum(n) OVER w AS BIGINT) AS n_pred,
+               CAST(sum(p) OVER w AS BIGINT) AS n_tp
+        FROM per WINDOW w AS (ORDER BY b DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT CAST(sum(l) AS BIGINT) AS pos FROM q)
+    SELECT CAST(b AS DOUBLE) / 20.0 AS threshold, n_pred, n_tp,
+           CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE) AS sel_precision,
+           CASE WHEN pos > 0 THEN CAST(n_tp AS DOUBLE) / CAST(pos AS DOUBLE)
+                ELSE 0.0 END AS sel_recall
+    FROM cum CROSS JOIN tot
+    """,
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep (quality.threshold_sweep) of
+    the composite quality score against the lang='en' proxy label —
+    the operating-curve table read before committing a filter cutoff
+    (pairs with q_conformal_threshold's single calibrated cutoff).
+    Bucketed cumulative over the ≤21-row grid table; exact-BIGINT
+    counts, one division per metric."""
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = text_ops.quality_score(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("label")
+        ),
+        "doc_id",
+    )
+    sweep = quality.threshold_sweep(scored, score_col="quality", label_col="label")
+    return sweep.select(
+        "threshold",
+        "n_pred",
+        "n_tp",
+        F.col("precision").alias("sel_precision"),
+        F.col("recall").alias("sel_recall"),
+    )

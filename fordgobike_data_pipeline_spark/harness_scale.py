@@ -4065,3 +4065,78 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.distinct_ngrams(docs, n=3, by="source")
+
+
+# ---------------------------------------------------------------------------
+# Wave 29 — tokenizer fertility, embedding-norm outliers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bpe_fertility",
+    r"""
+    WITH s AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS ch,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bp
+        FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ch) AS BIGINT) AS n_chars,
+           CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(bp) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(ch) AS DOUBLE) / CAST(sum(bp) AS DOUBLE) AS chars_per_token,
+           CAST(sum(bp) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS tokens_per_word
+    FROM s GROUP BY source
+    """,
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer-fertility audit per SOURCE
+    (text.tokenizer_fertility): chars per regex-BPE token and tokens
+    per whitespace word — the feed-level twin of q_tokenizer_fertility
+    (which reports per-LANGUAGE whitespace fertility): this one
+    catches a single feed whose text fragments into many tokens
+    (markup soup, heavy punctuation) before it eats the token budget.
+    One scan, exact BIGINT sums, one division per ratio."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.tokenizer_fertility(docs, by="source")
+
+
+@query(
+    "q_norm_outliers",
+    """
+    WITH n AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+                         * CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)))
+                    AS BIGINT) AS norm2_int
+        FROM embeddings
+    ),
+    o AS (SELECT vec_id, norm2_int,
+                 row_number() OVER (ORDER BY norm2_int, vec_id) AS r,
+                 count(*) OVER () AS cnt
+          FROM n),
+    qs AS (
+        SELECT (SELECT norm2_int FROM o WHERE r = (cnt + 3) // 4) AS q1,
+               (SELECT norm2_int FROM o WHERE r = (3 * cnt + 3) // 4) AS q3
+        FROM o LIMIT 1
+    )
+    SELECT vec_id, norm2_int,
+           CASE WHEN norm2_int < q1 - (3 * (q3 - q1)) // 2 THEN 'low'
+                ELSE 'high' END AS side
+    FROM n CROSS JOIN qs
+    WHERE norm2_int < q1 - (3 * (q3 - q1)) // 2
+       OR norm2_int > q3 + (3 * (q3 - q1)) // 2
+    """,
+)
+def q_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outlier scan (similarity.norm_outliers): vectors
+    outside the Tukey fences of the squared-L2 distribution — the
+    ingest gate against unnormalized batches and fp garbage. Exact
+    BIGINT norms (1e-4-unit snap, per-row HOF square-sum — zero
+    shuffles), quartiles via the histogram-probe rank select (never a
+    global sort); the oracle is the independent global-sort form."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.norm_outliers(emb)

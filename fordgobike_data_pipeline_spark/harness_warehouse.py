@@ -1247,3 +1247,78 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.parquet(out_dir).select("bucket_start", "cnt", "sum_cents")
+
+
+@query(
+    "q_stream_dedup_wm",
+    """
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING at-least-once delivery dedup via
+    ``dropDuplicatesWithinWatermark``, SQL-adjudicated — the
+    state-EVICTING dedup (q_stream_dedup uses plain event-time
+    dropDuplicates whose key state lives forever; this operator is
+    the production replacement whose state is bounded by the
+    watermark delay). Here the
+    event feed lands TWICE (two JSON waves with identical payloads —
+    the redelivery every at-least-once transport produces) and
+    ``dropDuplicatesWithinWatermark`` on event_id emits each event
+    exactly once while evicting dedup state as the watermark passes —
+    the production alternative to an unbounded dropDuplicates whose
+    state grows forever. maxFilesPerTrigger=1 forces the duplicate
+    wave through a LATER micro-batch, so the cross-batch dedup state
+    path is what's exercised (same-batch dedup would pass trivially).
+    No flush sentinel needed: the dedup filter is append-emitting (a
+    first occurrence emits immediately; only the suppression state
+    waits on the watermark). Timestamps ship as epoch micros around
+    JSON's millisecond truncation. The oracle is the plain event set —
+    hash parity proves streaming redelivery dedup ≡ exactly-once."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for wv in (0, 1):  # wave 1 = the byte-identical redelivery
+        ev.write.mode("overwrite").json(os.path.join(landing, f"wave={wv}"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(os.path.join(landing, "*"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    # delay > the feed's 30-day span: every redelivery is within the
+    # watermark, so nothing is late-dropped; in production the delay is
+    # the transport's replay horizon and state evicts behind it
+    deduped = stream.withWatermark("ts", "45 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out_dir = os.path.join(root, "deduped")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type", "ts_us"
+    )

@@ -1169,3 +1169,78 @@ def snapshot_churn(
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def budget_allocation(
+    docs: DataFrame,
+    budget: int,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget water-filling across domains: allocate ``budget``
+    tokens over sources under a UNIFORM CAP — every source keeps
+    min(its tokens, C) where C is the largest cap that fits the
+    budget, with the integer remainder spread one token each to the
+    first capped sources in (size, name) order. The equal-opportunity
+    mixture allocation (small feeds keep everything, giants get
+    truncated at the same ceiling) — the closed-form alternative to
+    tuning per-domain quotas by hand.
+
+    One per-source token aggregate; everything after runs on the
+    ≤|sources|-row control table (the rank_select_kth bounded-window
+    pattern): sort by size, prefix-sum, pick the pivot = first
+    position where capping the remaining sources fits the residual
+    budget, then exact integer div/mod. Allocations sum EXACTLY to
+    min(budget, total).
+
+    Returns (<by>, n_tokens, allocated)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    per = docs.groupBy(by).agg(
+        F.sum(F.size(F.split(F.col(text_col), " ")).cast("long"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w_ord = Window.orderBy(F.col("n_tokens").asc(), F.col(by).asc())
+    k = per.agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    o = (
+        per.select(
+            by,
+            "n_tokens",
+            (F.row_number().over(w_ord) - 1).cast("long").alias("_i"),
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_prefix"),
+        )
+        .crossJoin(F.broadcast(k))
+    )
+    # pivot: first position where capping positions i..k-1 fits the
+    # residual budget (empty ⇔ budget ≥ total ⇒ nobody is capped)
+    pivot = (
+        o.filter(
+            F.col("n_tokens") * (F.col("_k") - F.col("_i"))
+            >= F.lit(budget) - F.col("_prefix")
+        )
+        .agg(F.min(F.struct("_i", "_prefix")).alias("_pv"))
+        .select(
+            F.col("_pv._i").alias("_pi"), F.col("_pv._prefix").alias("_pp")
+        )
+    )
+    rem = F.lit(budget) - F.col("_pp")
+    m = F.col("_k") - F.col("_pi")
+    allocated = (
+        F.when(F.col("_pi").isNull() | (F.col("_i") < F.col("_pi")), F.col("n_tokens"))
+        .otherwise(
+            F.expr(f"({budget} - _pp) div (_k - _pi)")
+            + ((F.col("_i") - F.col("_pi")) < F.pmod(rem, m)).cast("long")
+        )
+        .cast("long")
+    )
+    return o.crossJoin(F.broadcast(pivot)).select(
+        by, "n_tokens", allocated.alias("allocated")
+    )

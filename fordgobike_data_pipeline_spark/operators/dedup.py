@@ -1086,3 +1086,35 @@ def signature_resemblance(
         agree.alias("n_agree"),
         (agree.cast("double") / F.lit(float(n_hashes))).alias("resemblance"),
     )
+
+
+def lsh_design_sweep(
+    spark,
+    configs: tuple[tuple[int, int], ...] = ((32, 2), (16, 4), (8, 8)),
+    grid: int = 20,
+) -> DataFrame:
+    """The banding design curve P(candidate | Jaccard=s) for SEVERAL
+    (bands, rows-per-band) configurations of the same signature width
+    — the side-by-side audit behind choosing 16×4: more bands per row
+    (32×2) catches lower-similarity pairs but floods verification
+    with false candidates; fewer (8×8) starves recall at the dedup
+    threshold. Each curve is :func:`lsh_scurve`'s fixed
+    square-and-multiply product trees, so every double is
+    bit-identical across engines with no pow() anywhere.
+
+    Returns one row per (config, grid point): (n_bands, rows_per_band,
+    s, p_candidate)."""
+    out = None
+    for n_bands, rows_per_band in configs:
+        s = (F.col("id").cast("double") / F.lit(float(grid))).alias("s")
+        base = spark.range(1, grid).select(s)
+        sr = _pow_chain_col(F.col("s"), rows_per_band)
+        p = F.lit(1.0) - _pow_chain_col(F.lit(1.0) - sr, n_bands)
+        cur = base.select(
+            F.lit(n_bands).cast("int").alias("n_bands"),
+            F.lit(rows_per_band).cast("int").alias("rows_per_band"),
+            "s",
+            p.alias("p_candidate"),
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out

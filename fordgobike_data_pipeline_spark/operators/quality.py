@@ -751,3 +751,63 @@ def filter_interaction(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_t").cast("long").alias("n_tokens"),
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str = "quality",
+    label_col: str = "label",
+    grid: int = 20,
+) -> DataFrame:
+    """Precision/recall sweep of a quality score against a binary
+    proxy label across a fixed threshold grid — the calibration table
+    read before committing a filter cutoff ("what do we keep and what
+    do we lose at every t"), pairing conformal_threshold's single
+    calibrated cutoff with the whole operating curve.
+
+    Scores bucket to floor(score·grid) (same double product on both
+    engines → identical buckets); per-bucket (count, positives) is one
+    map-side-combinable aggregate, and the ≥-threshold cumulative runs
+    over the ≤ grid+1-row bucket table (bounded control data, the
+    rank_select_kth window pattern). Totals broadcast; each
+    precision/recall is ONE division of exact BIGINTs.
+
+    Returns one row per OCCUPIED bucket b (threshold = b/grid):
+    (threshold, n_pred, n_tp, precision, recall)."""
+    from pyspark.sql import Window
+
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    b = (
+        F.least(
+            F.greatest(F.floor(F.col(score_col) * grid), F.lit(0)), F.lit(grid)
+        )
+    ).cast("int")
+    per = scored.select(
+        b.alias("_b"), F.col(label_col).cast("long").alias("_l")
+    ).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_l").alias("_p")
+    )
+    w = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "_b",
+        F.sum("_n").over(w).cast("long").alias("n_pred"),
+        F.sum("_p").over(w).cast("long").alias("n_tp"),
+    )
+    tot = scored.agg(F.sum(F.col(label_col).cast("long")).cast("long").alias("_P"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("_b").cast("double") / F.lit(float(grid))).alias("threshold"),
+        "n_pred",
+        "n_tp",
+        (F.col("n_tp").cast("double") / F.col("n_pred").cast("double")).alias(
+            "precision"
+        ),
+        F.when(
+            F.col("_P") > 0,
+            F.col("n_tp").cast("double") / F.col("_P").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )

@@ -1757,3 +1757,59 @@ def centroid_drift(
             ).alias("centroid_cosine"),
         )
     )
+
+
+def norm_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Embedding-norm outlier scan: vectors whose squared L2 norm falls
+    outside the Tukey fences [q1 − 1.5·IQR, q3 + 1.5·IQR] — the ingest
+    gate that catches unnormalized batches, zero vectors, and
+    fp-overflow garbage BEFORE they poison cosine scores and ANN
+    indexes (complements embedding_dim_stats' per-dimension view with
+    the per-VECTOR one).
+
+    Norms are exact BIGINTs — elements snap to 1e-4 integer units per
+    row and square-sum inside a per-row HOF (no shuffle, no float-sum
+    order dependence); the quartiles come from rank_select_kth's
+    two-pass histogram probe (never a global sort), and the fences are
+    integer arithmetic (1.5·IQR as (3·IQR) div 2 — floor, documented).
+
+    Returns the outlier rows: (vec_id, norm2_int, side ∈ 'low'/'high'),
+    norm2_int in squared 1e-4 units."""
+    from .quality import rank_select_kth
+
+    ints = emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("_xi"),
+    )
+    norms = ints.select(
+        F.col(id_col),
+        F.aggregate(
+            F.col("_xi"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("norm2_int"),
+    )
+    q1 = rank_select_kth(
+        norms, "norm2_int", id_col, k_expr="(n + 3) div 4"
+    ).select(F.col("kth_value").alias("_q1"))
+    q3 = rank_select_kth(
+        norms, "norm2_int", id_col, k_expr="(3 * n + 3) div 4"
+    ).select(F.col("kth_value").alias("_q3"))
+    fenced = norms.crossJoin(F.broadcast(q1)).crossJoin(F.broadcast(q3))
+    lo = F.col("_q1") - F.expr("(3 * (_q3 - _q1)) div 2")
+    hi = F.col("_q3") + F.expr("(3 * (_q3 - _q1)) div 2")
+    return fenced.filter(
+        (F.col("norm2_int") < lo) | (F.col("norm2_int") > hi)
+    ).select(
+        id_col,
+        "norm2_int",
+        F.when(F.col("norm2_int") < lo, F.lit("low"))
+        .otherwise(F.lit("high"))
+        .alias("side"),
+    )

@@ -915,3 +915,43 @@ def distinct_ngrams(
             "distinct_ratio"
         ),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility audit per group: chars per BPE-ish token
+    and BPE-ish tokens per whitespace word — the cheap pre-flight for
+    "does this tokenizer fit this corpus": fertility spikes on a feed
+    mean its text fragments into many tokens (wrong script, noisy
+    markup, heavy punctuation) and its token budget buys less content.
+    Uses the repo's BPE-ish regex (words ∪ single punctuation marks)
+    so the proxy is tokenizer-agnostic and pure codegen.
+
+    One scan, one per-group aggregate of exact BIGINT sums; each
+    ratio is ONE division. Returns (<by>, n_docs, n_chars,
+    n_ws_tokens, n_bpe_tokens, chars_per_token, tokens_per_word)."""
+    t = F.col(text_col)
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long")
+    n_ws = F.size(F.split(t, " ")).cast("long")
+    agg = docs.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(t).cast("long")).cast("long").alias("n_chars"),
+        F.sum(n_ws).cast("long").alias("n_ws_tokens"),
+        F.sum(n_bpe).cast("long").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        by,
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        (F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+        (
+            F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens").cast("double")
+        ).alias("tokens_per_word"),
+    )
