@@ -47,6 +47,11 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
+        if name in _QUERIES:
+            # a silent overwrite swaps an adjudicated key's
+            # implementation and shrinks the surface by one (r9: two
+            # wave-29 names collided with existing queries) — fail loud
+            raise ValueError(f"duplicate query registration: {name!r}")
         _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLE[name] = oracle

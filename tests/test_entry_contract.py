@@ -84,3 +84,19 @@ def test_entry_runs_on_vanilla_like_session(spark):
         "l_returnflag", "l_linestatus", "ship_year", "trip_count",
         "sum_price", "avg_price", "distinct_suppliers",
     ]
+
+
+def test_duplicate_query_registration_raises():
+    """The registration decorator must fail loud on a name collision —
+    a silent overwrite swaps an adjudicated key's implementation and
+    shrinks the surface by one (caught live in r9)."""
+    import pytest
+
+    from fordgobike_data_pipeline_spark import harness
+
+    harness._ensure_extensions_loaded()
+    existing = next(iter(harness._QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        @harness.query(existing)
+        def _clone(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
