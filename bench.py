@@ -318,6 +318,9 @@ HEADLINE = [
     "q_lsh_design_sweep",
     "q_norm_outliers",
     "q_stream_dedup_wm",
+    "q_rater_kappa",
+    "q_modality_integrity",
+    "q_epoch_order_overlap",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

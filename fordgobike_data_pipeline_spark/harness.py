@@ -106,10 +106,11 @@ def _ensure_extensions_loaded() -> None:
 #         q_snapshot_churn, q_signature_resemblance, q_distinct_ngrams,
 #         q_filter_interaction, q_l_diversity, q_bpe_fertility,
 #         q_threshold_sweep, q_budget_allocation, q_lsh_design_sweep,
-#         q_norm_outliers, q_stream_dedup_wm — mid-round additions join
-#         the back of the queue) + the oldest 5 r4-era keys;
+#         q_norm_outliers, q_stream_dedup_wm, q_rater_kappa,
+#         q_modality_integrity, q_epoch_order_overlap — mid-round
+#         additions join the back of the queue) + the oldest 2 r4 keys;
 #   r11 = remaining r4 keys + oldest r5 keys; and so on.
-# At 339 queries / 50 slots the full surface re-verifies every ~7
+# At 342 queries / 50 slots the full surface re-verifies every ~7
 # rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-11] TPC-H residue — first official rows

@@ -1631,3 +1631,63 @@ def q_lsh_design_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees shared verbatim with the oracle (bit-identical doubles, no
     pow())."""
     return dedup.lsh_design_sweep(spark, configs=_SWEEP_CONFIGS, grid=20)
+
+
+@query(
+    "q_epoch_order_overlap",
+    """
+    WITH e AS (SELECT unnest(range(2)) AS epoch),
+    keyed AS (
+        SELECT CAST(epoch AS INT) AS epoch, doc_id,
+               CAST(CAST(from_hex(substr(md5(
+                   CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)
+               ), 1, 16)) AS BIT) AS BIGINT) AS h
+        FROM documents, e
+    ),
+    p AS (
+        SELECT epoch, doc_id,
+               CAST(((h % 8) + 8) % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch, ((h % 8) + 8) % 8
+                   ORDER BY h, doc_id) AS INT) AS shard_pos
+        FROM keyed
+    ),
+    j AS (
+        SELECT count(*) AS n_same
+        FROM (SELECT doc_id, shard, shard_pos FROM p WHERE epoch = 0) a
+        JOIN (SELECT doc_id, shard, shard_pos FROM p WHERE epoch = 1) b
+          ON a.doc_id = b.doc_id AND a.shard = b.shard
+             AND a.shard_pos = b.shard_pos
+    )
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(n_same AS BIGINT) AS n_same_slot,
+           CAST(n_same AS DOUBLE)
+               / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+               AS overlap_rate
+    FROM j
+    """,
+)
+def q_epoch_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-order overlap audit over curation.epoch_shuffle: how many
+    docs land in the SAME (shard, position) slot in two consecutive
+    epochs — the check that the per-epoch permutations are actually
+    independent (an accidental shared seed puts every doc in the same
+    slot every epoch, and SGD sees one fixed order n_epochs times).
+    Expected overlap under independence is ~1/|docs| per slot; a rate
+    near 1.0 is the broken-seed signature. One self-join on the
+    (doc, slot) key."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = curation.epoch_shuffle(docs, n_epochs=2, n_shards=8)
+    a = sh.filter(F.col("epoch") == 0).select("doc_id", "shard", "shard_pos")
+    b = sh.filter(F.col("epoch") == 1).select("doc_id", "shard", "shard_pos")
+    n_same = a.join(b, ["doc_id", "shard", "shard_pos"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same_slot")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return n_docs.crossJoin(n_same).select(
+        "n_docs",
+        "n_same_slot",
+        (
+            F.col("n_same_slot").cast("double") / F.col("n_docs").cast("double")
+        ).alias("overlap_rate"),
+    )

@@ -724,3 +724,40 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_distinct") < 3)
     )
+
+
+@query(
+    "q_modality_integrity",
+    """
+    SELECT CAST((SELECT count(*) FROM documents d
+                 SEMI JOIN embeddings e ON e.vec_id = d.doc_id) AS BIGINT)
+               AS n_paired,
+           CAST((SELECT count(*) FROM documents d
+                 ANTI JOIN embeddings e ON e.vec_id = d.doc_id) AS BIGINT)
+               AS n_missing_embedding,
+           CAST((SELECT count(*) FROM embeddings e
+                 ANTI JOIN documents d ON d.doc_id = e.vec_id) AS BIGINT)
+               AS n_orphan_vector
+    """,
+)
+def q_modality_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-modality integrity audit: documents without an embedding
+    row and embeddings without a document (two anti-join counts + the
+    paired count) — the referential screen a text+vector (or
+    image+caption) pipeline runs before training on "pairs": silent
+    pairing loss biases the mixture toward whichever side survived.
+    Semi/anti joins on the id — no data columns shuffle."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs, emb = t["documents"], t["embeddings"]
+    d_ids = docs.select(F.col("doc_id").alias("k"))
+    e_ids = emb.select(F.col("vec_id").alias("k"))
+    paired = d_ids.join(e_ids, "k", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paired")
+    )
+    missing = d_ids.join(e_ids, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missing_embedding")
+    )
+    orphan = e_ids.join(d_ids, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphan_vector")
+    )
+    return paired.crossJoin(missing).crossJoin(orphan)

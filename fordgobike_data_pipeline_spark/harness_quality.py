@@ -783,3 +783,68 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("precision").alias("sel_precision"),
         F.col("recall").alias("sel_recall"),
     )
+
+
+@query(
+    "q_rater_kappa",
+    r"""
+    WITH s AS (
+        SELECT doc_id, n_chars AS meta_chars, text,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS tok_chars,
+               length(text) AS nc,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    r AS (
+        SELECT CAST(round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / nc) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6) >= 0.5
+                   AS BIGINT) AS a,
+               CAST(nc >= 200 AND n_tok >= 50 AS BIGINT) AS b
+        FROM s
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT) AS n_both_pass,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n_both_fail,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS n_only_a,
+               CAST(sum((1 - a) * b) AS BIGINT) AS n_only_b
+        FROM r
+    )
+    SELECT n, n_both_pass, n_both_fail, n_only_a, n_only_b,
+           CASE WHEN n * n - ((n_both_pass + n_only_a) * (n_both_pass + n_only_b)
+                              + (n_both_fail + n_only_b) * (n_both_fail + n_only_a)) <> 0
+                THEN CAST(n * (n_both_pass + n_both_fail)
+                          - ((n_both_pass + n_only_a) * (n_both_pass + n_only_b)
+                             + (n_both_fail + n_only_b) * (n_both_fail + n_only_a))
+                          AS DOUBLE)
+                     / CAST(n * n - ((n_both_pass + n_only_a) * (n_both_pass + n_only_b)
+                                     + (n_both_fail + n_only_b) * (n_both_fail + n_only_a))
+                            AS DOUBLE)
+                ELSE NULL END AS kappa
+    FROM m
+    """,
+)
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (quality.cohen_kappa) between two cheap raters —
+    the composite quality heuristic at 0.5 vs the length gate
+    (≥200 chars AND ≥50 tokens): chance-corrected agreement, the
+    reliability check before substituting one filter for the other.
+    One confusion-matrix aggregate; κ is ONE division of exact BIGINT
+    products."""
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.col("text")
+    rated = text_ops.quality_score(docs).join(
+        docs.select(
+            "doc_id",
+            (
+                (F.length(t) >= 200)
+                & (F.size(F.split(t, " ")) >= 50)
+            ).cast("long").alias("b"),
+        ),
+        "doc_id",
+    ).select((F.col("quality") >= 0.5).cast("long").alias("a"), "b")
+    return quality.cohen_kappa(rated, "a", "b")

@@ -811,3 +811,47 @@ def threshold_sweep(
         .otherwise(F.lit(0.0))
         .alias("recall"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two binary raters — chance-corrected
+    agreement, the inter-rater reliability check run before trusting
+    a cheap heuristic as a proxy for an expensive labeler (raw
+    percent-agreement flatters any pair of imbalanced raters; kappa
+    doesn't). κ = (p_o − p_e)/(1 − p_e) algebraically rearranged to
+    ONE division of exact BIGINT products:
+    (n·(n00+n11) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0)).
+
+    One confusion-matrix aggregate (map-side combinable); NULL for
+    the degenerate 1−p_e = 0 case (both raters constant).
+
+    Returns one row: (n, n_both_pass, n_both_fail, n_only_a,
+    n_only_b, kappa)."""
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    m = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("n_both_pass"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n_both_fail"),
+        F.sum(a * (1 - b)).cast("long").alias("n_only_a"),
+        F.sum((1 - a) * b).cast("long").alias("n_only_b"),
+    )
+    a1 = F.col("n_both_pass") + F.col("n_only_a")
+    b1 = F.col("n_both_pass") + F.col("n_only_b")
+    a0 = F.col("n_both_fail") + F.col("n_only_b")
+    b0 = F.col("n_both_fail") + F.col("n_only_a")
+    chance = a1 * b1 + a0 * b0
+    num = F.col("n") * (F.col("n_both_pass") + F.col("n_both_fail")) - chance
+    den = F.col("n") * F.col("n") - chance
+    return m.select(
+        "n",
+        "n_both_pass",
+        "n_both_fail",
+        "n_only_a",
+        "n_only_b",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("kappa"),
+    )
