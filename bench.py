@@ -321,6 +321,17 @@ HEADLINE = [
     "q_rater_kappa",
     "q_modality_integrity",
     "q_epoch_order_overlap",
+    # wave 31
+    "q_jsd_drift",
+    "q_wilson_ci",
+    "q_mcc_eval",
+    "q_source_diversity",
+    "q_t_closeness",
+    "q_embed_anisotropy",
+    # wave 32
+    "q_ivf_balance",
+    "q_template_prefix",
+    "q_schema_evolution",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

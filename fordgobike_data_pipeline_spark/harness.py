@@ -101,16 +101,21 @@ def _ensure_extensions_loaded() -> None:
 # backlog drained, each round's window = the 50 queries with the OLDEST
 # official CORRECTNESS row (ties broken alphabetically). Concretely:
 #   r10 = the remaining 31 r3-era keys (q_cross_join .. q_window_time_
-#         bucket) + the 14 round-9 wave-28/29 additions
-#         (q_dsir_weights, q_packing_efficiency, q_stratified_sample,
-#         q_snapshot_churn, q_signature_resemblance, q_distinct_ngrams,
+#         bucket) + the 19 round-9 wave-28..32 additions never yet
+#         officially checked (q_dsir_weights, q_packing_efficiency,
+#         q_stratified_sample, q_snapshot_churn,
+#         q_signature_resemblance, q_distinct_ngrams,
 #         q_filter_interaction, q_l_diversity, q_bpe_fertility,
 #         q_threshold_sweep, q_budget_allocation, q_lsh_design_sweep,
 #         q_norm_outliers, q_stream_dedup_wm, q_rater_kappa,
-#         q_modality_integrity, q_epoch_order_overlap — mid-round
-#         additions join the back of the queue) + the oldest 2 r4 keys;
-#   r11 = remaining r4 keys + oldest r5 keys; and so on.
-# At 342 queries / 50 slots the full surface re-verifies every ~7
+#         q_modality_integrity, q_epoch_order_overlap, plus the wave
+#         31-32 keys q_jsd_drift, q_wilson_ci, q_mcc_eval,
+#         q_source_diversity, q_t_closeness, q_embed_anisotropy,
+#         q_ivf_balance, q_template_prefix, q_schema_evolution —
+#         mid-round additions join the back of the queue; 31+25 > 50,
+#         so the overflow heads the r11 window);
+#   r11 = the overflow + remaining r4 keys + oldest r5 keys; and so on.
+# At 351 queries / 50 slots the full surface re-verifies every ~7
 # rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-11] TPC-H residue — first official rows

@@ -761,3 +761,93 @@ def q_modality_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orphan_vector")
     )
     return paired.crossJoin(missing).crossJoin(orphan)
+
+
+@query(
+    "q_t_closeness",
+    """
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                          / 200000.0) AS INT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    g AS (SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS n_g
+          FROM qi GROUP BY 1, 2),
+    s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS c_s FROM qi GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM qi),
+    gs AS (SELECT c_nationkey, bal_band, c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS c_gs
+           FROM qi GROUP BY 1, 2, 3),
+    d AS (
+        SELECT g.c_nationkey, g.bal_band, g.n_g,
+               sum(abs(COALESCE(gs.c_gs, 0) * big_n - s.c_s * g.n_g)) AS t_num,
+               max(big_n) AS big_n
+        FROM g CROSS JOIN s CROSS JOIN tot
+        LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+                    AND gs.bal_band = g.bal_band
+                    AND gs.c_mktsegment = s.c_mktsegment
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, bal_band, n_g AS group_size,
+           round(CAST(t_num AS DOUBLE) / (2.0 * n_g * big_n), 9) AS t_value
+    FROM d
+    WHERE CAST(t_num AS DOUBLE) / (2.0 * n_g * big_n) > 0.15
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.15) over the same quasi-identifier bands
+    as q_l_diversity (nation, $2000 balance band) with market segment
+    sensitive: groups whose sensitive-value distribution sits further
+    than t from the GLOBAL distribution in total-variation distance —
+    the disclosure risk l-diversity still misses (a group can have
+    all l values yet be 90% one of them; skew itself leaks). The
+    distance numerator Σ|c_gs·N − c_s·n_g| is an exact BIGINT
+    (cross-multiplied — no per-group float ratios), absent sensitive
+    values enter via the bounded groups×segments grid (the segment
+    table broadcasts), and the ONLY float op is the final divide by
+    2·n_g·N. Bound: c_gs·N ≤ N² — exact to N ≈ 3e9 rows."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    band = F.floor(
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("double") / 200000.0
+    ).cast("int")
+    qi = cust.select(
+        "c_nationkey", band.alias("bal_band"), "c_mktsegment"
+    )
+    g = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    s = qi.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s")
+    )
+    tot = qi.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    gs = qi.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gs")
+    )
+    d = (
+        g.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tot))
+        .join(gs, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "n_g",
+            "big_n",
+            F.abs(
+                F.coalesce(F.col("c_gs"), F.lit(0)) * F.col("big_n")
+                - F.col("c_s") * F.col("n_g")
+            ).alias("term"),
+        )
+        .groupBy("c_nationkey", "bal_band", "n_g")
+        .agg(F.sum("term").alias("t_num"), F.max("big_n").alias("big_n"))
+    )
+    t_val = F.col("t_num").cast("double") / (
+        2.0 * F.col("n_g") * F.col("big_n")
+    )
+    return d.filter(t_val > 0.15).select(
+        "c_nationkey",
+        "bal_band",
+        F.col("n_g").alias("group_size"),
+        F.round(t_val, 9).alias("t_value"),
+    )

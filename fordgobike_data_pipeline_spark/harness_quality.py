@@ -12,6 +12,8 @@ checks are adjudicated against non-trivial counts, not all-zero rows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -848,3 +850,310 @@ def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     ).select((F.col("quality") >= 0.5).cast("long").alias("a"), "b")
     return quality.cohen_kappa(rated, "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Wave 31 — symmetric drift, pass-rate CIs, MCC, mixture diversity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_jsd_drift",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE source IN ('src0', 'src2')
+    ),
+    cnt AS (
+        SELECT w,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS cb
+        FROM tok WHERE w != '' GROUP BY w
+    ),
+    tot AS (
+        SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM cnt
+    ),
+    terms AS (
+        SELECT
+            CAST(round((CAST(ca + 1 AS DOUBLE) / (na + v))
+                * ln(CAST(2 * (ca + 1) * (nb + v) AS DOUBLE)
+                     / CAST((ca + 1) * (nb + v) + (cb + 1) * (na + v) AS DOUBLE))
+                * 1e12) AS BIGINT) AS t_p,
+            CAST(round((CAST(cb + 1 AS DOUBLE) / (nb + v))
+                * ln(CAST(2 * (cb + 1) * (na + v) AS DOUBLE)
+                     / CAST((ca + 1) * (nb + v) + (cb + 1) * (na + v) AS DOUBLE))
+                * 1e12) AS BIGINT) AS t_q
+        FROM cnt, tot
+    )
+    SELECT round((CAST(sum(t_p) AS DOUBLE) + CAST(sum(t_q) AS DOUBLE))
+                 / 2.0 / 1e12 / ln(2.0), 9) AS jsd_bits,
+           (SELECT CAST(v AS BIGINT) FROM tot) AS vocab
+    FROM terms
+    """,
+)
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' unigram LMs
+    (add-one smoothed, union vocabulary) — the SYMMETRIC, bounded
+    [0,1]-bits companion to q_kl_divergence: the mixture-drift number
+    dashboards actually plot, safe when either side has zero counts
+    and comparable across source pairs because of the fixed upper
+    bound. Every ln() argument is an exact-integer rational
+    (2·p/(p+q) cross-multiplied to integers), each vocab term is
+    QUANTIZED to a 1e-12 BIGINT and summed exactly — no
+    order-dependent double Σ. One token explode, one vocab aggregate;
+    the 1-row totals broadcast."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = (
+        docs.filter(F.col("source").isin("src0", "src2"))
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == "src2", 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    mix_den = (
+        (F.col("ca") + 1) * (F.col("nb") + F.col("v"))
+        + (F.col("cb") + 1) * (F.col("na") + F.col("v"))
+    ).cast("double")
+    t_p = F.round(
+        ((F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")))
+        * F.log((2 * (F.col("ca") + 1) * (F.col("nb") + F.col("v"))).cast("double") / mix_den)
+        * 1e12
+    ).cast("long")
+    t_q = F.round(
+        ((F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")))
+        * F.log((2 * (F.col("cb") + 1) * (F.col("na") + F.col("v"))).cast("double") / mix_den)
+        * 1e12
+    ).cast("long")
+    vocab = tot.select(F.col("v").cast("long").alias("vocab"))
+    return (
+        j.select(t_p.alias("t_p"), t_q.alias("t_q"))
+        .agg(
+            F.round(
+                (F.sum("t_p").cast("double") + F.sum("t_q").cast("double"))
+                / 2.0 / 1e12 / math.log(2.0),
+                9,
+            ).alias("jsd_bits")
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+
+
+_GATE_CTE = """
+    s AS (
+        SELECT source, length(text) AS nc,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN nc >= 200 AND n_tok >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM s GROUP BY source
+    )
+"""
+
+
+@query(
+    "q_wilson_ci",
+    f"""
+    WITH {_GATE_CTE}
+    SELECT source, n_docs, n_pass,
+           round((CAST(n_pass AS DOUBLE) / n_docs + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * n_docs))
+                     / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n_docs)
+                 - (CAST(1.96 AS DOUBLE) * sqrt((CAST(n_pass AS DOUBLE) / n_docs)
+                                * (1 - CAST(n_pass AS DOUBLE) / n_docs) / n_docs
+                                + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4 * CAST(n_docs AS DOUBLE) * n_docs)))
+                     / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n_docs), 9) AS ci_lo,
+           round((CAST(n_pass AS DOUBLE) / n_docs + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * n_docs))
+                     / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n_docs)
+                 + (CAST(1.96 AS DOUBLE) * sqrt((CAST(n_pass AS DOUBLE) / n_docs)
+                                * (1 - CAST(n_pass AS DOUBLE) / n_docs) / n_docs
+                                + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4 * CAST(n_docs AS DOUBLE) * n_docs)))
+                     / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n_docs), 9) AS ci_hi
+    FROM r
+    """,
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval on each source's length-gate pass
+    rate — the uncertainty band a curation dashboard needs before
+    acting on a per-source rate (a 3-doc source at 33% is not a
+    drifted source; Wilson stays honest at small n and near 0/1 where
+    the normal interval collapses or escapes [0,1]). One groupBy for
+    (n, k); the interval is a closed-form double chain over exact
+    integers written in the IDENTICAL operation order on both engines
+    (z² always spelled 1.96*1.96 so both sides round the same
+    product, never a decimal literal that could parse 1 ulp away)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.col("text")
+    r = (
+        docs.select(
+            "source",
+            F.length(t).alias("nc"),
+            F.size(F.split(t, " ")).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when((F.col("nc") >= 200) & (F.col("n_tok") >= 50), 1).otherwise(0)
+            ).cast("long").alias("n_pass"),
+        )
+    )
+    n = F.col("n_docs")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    p = F.col("n_pass").cast("double") / n
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n.cast("double") * n))
+    ) / denom
+    return r.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.round(center - half, 9).alias("ci_lo"),
+        F.round(center + half, 9).alias("ci_hi"),
+    )
+
+
+@query(
+    "q_mcc_eval",
+    r"""
+    WITH s AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS tok_chars,
+               length(text) AS nc,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    r AS (
+        SELECT CAST(round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / nc) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6) >= 0.5
+                   AS BIGINT) AS a,
+               CAST(nc >= 200 AND n_tok >= 50 AS BIGINT) AS b
+        FROM s
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT) AS n_tp,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n_tn,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS n_fp,
+               CAST(sum((1 - a) * b) AS BIGINT) AS n_fn
+        FROM r
+    )
+    SELECT n, n_tp, n_tn, n_fp, n_fn,
+           CASE WHEN n_tp + n_fp > 0 AND n_tp + n_fn > 0
+                 AND n_tn + n_fp > 0 AND n_tn + n_fn > 0
+                THEN (CAST(n_tp AS DOUBLE) * n_tn - CAST(n_fp AS DOUBLE) * n_fn)
+                     / (sqrt(CAST(n_tp + n_fp AS DOUBLE) * (n_tp + n_fn))
+                        * sqrt(CAST(n_tn + n_fp AS DOUBLE) * (n_tn + n_fn)))
+                ELSE NULL END AS mcc
+    FROM m
+    """,
+)
+def q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation (quality.matthews_corr) between the same
+    two cheap raters as q_rater_kappa (composite quality heuristic at
+    0.5 vs the length gate): the imbalance-robust agreement number —
+    when the pass class is rare, kappa and raw accuracy both flatter
+    a rater that just says "fail"; MCC is the 0/1 Pearson correlation
+    and doesn't. Same single confusion-matrix aggregate; marginals
+    pair into two double products before the sqrt (bit-identical on
+    both engines, and immune to the int64 4-way-product overflow)."""
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.col("text")
+    rated = text_ops.quality_score(docs).join(
+        docs.select(
+            "doc_id",
+            (
+                (F.length(t) >= 200)
+                & (F.size(F.split(t, " ")) >= 50)
+            ).cast("long").alias("b"),
+        ),
+        "doc_id",
+    ).select((F.col("quality") >= 0.5).cast("long").alias("a"), "b")
+    return quality.matthews_corr(rated, "a", "b")
+
+
+@query(
+    "q_source_diversity",
+    """
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_c
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM c),
+    terms AS (
+        SELECT CAST(round((CAST(n_c AS DOUBLE) / n)
+                          * ln(CAST(n AS DOUBLE) / n_c) * 1e12) AS BIGINT) AS h_t,
+               CAST(n_c * n_c AS BIGINT) AS sq,
+               n_c
+        FROM c, tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(h_t) AS DOUBLE) / 1e12 / ln(2.0), 9) AS shannon_bits,
+           round(exp(CAST(sum(h_t) AS DOUBLE) / 1e12), 9) AS effective_cells,
+           round(CAST(sum(sq) AS DOUBLE)
+                 / (CAST((SELECT n FROM tot) AS DOUBLE)
+                    * (SELECT n FROM tot)), 9) AS simpson,
+           round(CAST(max(n_c) AS DOUBLE) / (SELECT n FROM tot), 9) AS top_share
+    FROM terms
+    """,
+)
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture diversity audit over (source, lang) cells:
+    Shannon entropy in bits, the effective number of cells (exp H —
+    "how many equally-sized sources is this mixture really"),
+    Simpson/HHI concentration, and the top cell's share — the numbers
+    a data-mixing decision (and a DoReMi/DSIR reweighting) starts
+    from. Entropy terms quantize to 1e-12 BIGINTs before the exact
+    sum (no order-dependent double Σ); Simpson is an exact Σn² over
+    N² — ONE float division. One cell aggregate (bounded rows), the
+    1-row total broadcasts."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    tot = c.agg(F.sum("n_c").cast("long").alias("n"))
+    j = c.crossJoin(F.broadcast(tot))
+    h_t = F.round(
+        (F.col("n_c").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("n_c"))
+        * 1e12
+    ).cast("long")
+    agg = j.select(
+        h_t.alias("h_t"),
+        (F.col("n_c") * F.col("n_c")).cast("long").alias("sq"),
+        "n_c",
+        "n",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum("h_t").cast("double") / 1e12 / math.log(2.0), 9).alias(
+            "shannon_bits"
+        ),
+        F.round(F.exp(F.sum("h_t").cast("double") / 1e12), 9).alias(
+            "effective_cells"
+        ),
+        F.round(
+            F.sum("sq").cast("double")
+            / (F.max("n").cast("double") * F.max("n")),
+            9,
+        ).alias("simpson"),
+        F.round(F.max("n_c").cast("double") / F.max("n"), 9).alias("top_share"),
+    )
+    return agg

@@ -4140,3 +4140,149 @@ def q_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort); the oracle is the independent global-sort form."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.norm_outliers(emb)
+
+
+# ---------------------------------------------------------------------------
+# Wave 31 — embedding-geometry anisotropy audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_anisotropy",
+    """
+    WITH e AS (
+        SELECT vec_id, label, pos,
+               CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS xi
+        FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+    ),
+    ds AS (SELECT label, pos, CAST(sum(xi) AS BIGINT) AS s
+           FROM e GROUP BY 1, 2),
+    num_l AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS num
+              FROM ds GROUP BY 1),
+    nrm AS (SELECT label, vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2
+            FROM e GROUP BY 1, 2),
+    den_l AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(n2 AS HUGEINT)) AS sn
+              FROM nrm GROUP BY 1),
+    g AS (SELECT pos, CAST(sum(s) AS BIGINT) AS gs FROM ds GROUP BY 1),
+    num_g AS (SELECT sum(CAST(gs AS HUGEINT) * gs) AS num FROM g),
+    den_g AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(sn) AS sn FROM den_l)
+    SELECT label, n,
+           CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sn AS DOUBLE))
+               AS anisotropy
+    FROM num_l JOIN den_l USING (label)
+    UNION ALL
+    SELECT CAST(NULL AS INTEGER) AS label, n,
+           CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sn AS DOUBLE))
+    FROM num_g, den_g
+    """,
+)
+def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit (similarity.anisotropy): per-label
+    and corpus-wide ‖mean‖²/mean(‖x‖²) — the collapsed-cone probe run
+    on every new embedding model before its cosines are trusted by
+    ANN, semantic dedup, or drift monitors (anisotropic geometry
+    inflates all of them). Exact 1e-4 integer units per element,
+    decimal(38,0) second moments, one final divide."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.anisotropy(emb)
+
+
+# ---------------------------------------------------------------------------
+# Wave 32 — IVF partition balance, template-flood detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ivf_balance",
+    f"""
+    WITH {_NORM_CTE},
+    c AS (SELECT vec_id AS centroid_id, nv FROM n WHERE vec_id % 25 = 0),
+    s AS (
+        SELECT n.vec_id AS cand_id, c.centroid_id,
+               round({_NDOT.format(a='n', b='c')}, 6) AS sim
+        FROM n CROSS JOIN c
+    ),
+    assign AS (
+        SELECT cand_id, centroid_id AS list_id FROM (
+            SELECT cand_id, centroid_id,
+                   row_number() OVER (PARTITION BY cand_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM s
+        ) WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT c.centroid_id AS list_id,
+               CAST(count(a.cand_id) AS BIGINT) AS list_size
+        FROM c LEFT JOIN assign a ON a.list_id = c.centroid_id
+        GROUP BY 1
+    )
+    SELECT list_size, CAST(count(*) AS BIGINT) AS n_lists
+    FROM sizes GROUP BY list_size
+    """,
+)
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit (similarity.ivf_list_balance):
+    size histogram of the seeded coarse quantizer's lists, dead
+    centroids included as size 0 — the partition-skew gate before an
+    ANN index serves (a hot list is a near-full scan per probe; at
+    1000-executor scale it is THE straggler). Same seeded assignment
+    as q_ann_ivf_seeded; bounded broadcast centroid side."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.ivf_list_balance(emb)
+
+
+@query(
+    "q_template_prefix",
+    """
+    WITH p AS (
+        SELECT source,
+               substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40)
+                   AS prefix,
+               md5(text) AS h,
+               length(text) AS nc
+        FROM documents
+    ),
+    g AS (
+        SELECT prefix,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_variants,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(nc) AS BIGINT) AS total_chars
+        FROM p GROUP BY prefix
+    )
+    SELECT prefix, n_docs, n_variants, n_sources, total_chars
+    FROM g WHERE n_docs >= 3 AND n_variants >= 2
+    """,
+)
+def q_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-flood detection: documents sharing a normalized
+    40-char PREFIX but differing in full content — the
+    mirror/boilerplate-template signature (exact dedup misses it, and
+    MinHash only catches it when the filled-in part is small). Groups
+    with ≥3 docs and ≥2 distinct bodies are template families; the
+    curation follow-up caps them per family (q_domain_cap's shape).
+    One normalized-projection hash aggregate over the corpus — the
+    prefix key is 40 chars, so the shuffle carries keys not bodies;
+    scales exactly like exact dedup."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    p = docs.select(
+        "source",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40
+        ).alias("prefix"),
+        F.md5("text").alias("h"),
+        F.length("text").alias("nc"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_variants"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("nc").cast("long").alias("total_chars"),
+        )
+        .filter((F.col("n_docs") >= 3) & (F.col("n_variants") >= 2))
+    )

@@ -1322,3 +1322,57 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "event_type", "ts_us"
     )
+
+
+@query(
+    "q_schema_evolution",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_source_nonnull,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chars_nonnull,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS n_chars_sum,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution via mergeSchema: an old shard written
+    with 3 columns and a new shard with 5 read back as ONE table, the
+    late-added columns NULL-filled on old rows — the ingestion reality
+    of any long-lived corpus (crawls add metadata mid-stream; a reader
+    that can't widen re-shards the archive). Writes the two snapshots
+    (even doc_ids 3-col, odd doc_ids 5-col), reads them with
+    spark.read.option("mergeSchema", "true"), and emits a fill-rate +
+    value-sum report; the oracle derives the same report from the
+    ORIGINAL table, so a hash match proves the widened read lost no
+    rows, invented no values, and NULLed exactly the old shard.
+    At scale mergeSchema costs one footer read per file — the report
+    itself is one aggregate."""
+    import os
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    old = os.path.join(root, "v1")
+    new = os.path.join(root, "v2")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(old)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).write.mode("overwrite").parquet(new)
+    merged = spark.read.option("mergeSchema", "true").parquet(old, new)
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("source").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_source_nonnull"),
+        F.sum(F.when(F.col("n_chars").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_chars_nonnull"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("long").alias("n_chars_sum"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )

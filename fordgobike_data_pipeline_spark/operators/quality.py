@@ -855,3 +855,52 @@ def cohen_kappa(
         "n_only_b",
         F.when(den != 0, num.cast("double") / den.cast("double")).alias("kappa"),
     )
+
+
+def matthews_corr(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient between two binary raters —
+    the imbalance-robust agreement statistic (reference parity: the
+    reference validates filters by eyeballing notebook counts; MCC is
+    the engine-side replacement that stays honest when one class is
+    rare, where kappa and accuracy both flatter). MCC is the Pearson
+    correlation of the two 0/1 columns:
+    (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+
+    One confusion-matrix aggregate (map-side combinable, identical to
+    cohen_kappa's). The cell counts are exact BIGINTs; the four
+    marginal factors are paired into two double products before the
+    sqrt (each pairwise product of exact-int doubles is correctly
+    rounded, so both engines compute bit-identical results; a single
+    int64 4-way product would overflow at n ≈ 55k). NULL when any
+    marginal is zero (a constant rater — MCC undefined).
+
+    Returns one row: (n, n_tp, n_tn, n_fp, n_fn, mcc)."""
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    m = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("n_tp"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n_tn"),
+        F.sum(a * (1 - b)).cast("long").alias("n_fp"),
+        F.sum((1 - a) * b).cast("long").alias("n_fn"),
+    )
+    tp, tn = F.col("n_tp"), F.col("n_tn")
+    fp, fn_ = F.col("n_fp"), F.col("n_fn")
+    pa1 = (tp + fp).cast("double") * (tp + fn_).cast("double")
+    pa0 = (tn + fp).cast("double") * (tn + fn_).cast("double")
+    num = tp.cast("double") * tn.cast("double") - fp.cast("double") * fn_.cast("double")
+    return m.select(
+        "n",
+        "n_tp",
+        "n_tn",
+        "n_fp",
+        "n_fn",
+        F.when(
+            (tp + fp > 0) & (tp + fn_ > 0) & (tn + fp > 0) & (tn + fn_ > 0),
+            num / (F.sqrt(pa1) * F.sqrt(pa0)),
+        ).alias("mcc"),
+    )

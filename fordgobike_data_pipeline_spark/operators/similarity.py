@@ -1813,3 +1813,131 @@ def norm_outliers(
         .otherwise(F.lit("high"))
         .alias("side"),
     )
+
+
+def anisotropy(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Embedding anisotropy audit: per-label (plus corpus-wide) ratio
+    ‖mean(x)‖² / mean(‖x‖²) — the standard degenerate-geometry probe
+    (Ethayarajh 2019's "how contextual" measure in expectation form):
+    isotropic, well-spread embeddings score ≈ 1/n → 0; a collapsed
+    cone where every vector shares a dominant direction scores → 1.
+    High anisotropy silently inflates every cosine similarity, so this
+    runs BEFORE trusting ANN recall, semantic dedup, or centroid
+    drift on a new embedding model.
+
+    Determinism: elements snap to exact 1e-4 integer units per row
+    (rint — engine-stable); per-dimension sum vectors and per-row
+    squared norms are order-independent BIGINT sums, and the
+    second-moment accumulations run as decimal(38,0) (a squared dim-sum
+    reaches (1e4·|x|·n)² ≈ 1e26 at n=1e9 rows — wraps int64, exact in
+    128-bit decimal to n ≈ 1e15). The identity
+    ‖mean‖²/mean(‖x‖²) = Σ_d s_d² / (n · Σ_rows ‖x‖²) cancels every
+    1/n early, so the only float op is ONE final divide on identical
+    exact integers. Two scans (posexplode dim-sums + per-row HOF
+    norms), no windows, no driver data.
+
+    Returns one row per label plus a NULL-label corpus row:
+    (label, n, anisotropy)."""
+    ints = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("_xi"),
+    )
+    # per-(label, dim) exact sum vectors → Σ_d s_d² per label
+    dim_sums = ints.select(
+        "lbl", F.posexplode(F.col("_xi")).alias("pos", "xi")
+    ).groupBy("lbl", "pos").agg(F.sum("xi").cast("long").alias("s"))
+    sd = F.col("s").cast("decimal(38,0)")
+    num_l = dim_sums.groupBy("lbl").agg(F.sum(sd * sd).alias("_num"))
+    # per-row squared norm inside a HOF (no shuffle), then per-label sums
+    norms = ints.select(
+        "lbl",
+        F.aggregate(
+            F.col("_xi"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("_n2"),
+    )
+    den_l = norms.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_n2").cast("decimal(38,0)")).alias("_sn"),
+    )
+    per_label = num_l.join(den_l, "lbl")
+    # corpus row: global dim sums are the label-sums summed (exact ints)
+    g_num = (
+        dim_sums.groupBy("pos")
+        .agg(F.sum("s").cast("long").alias("gs"))
+        .agg(F.sum(F.col("gs").cast("decimal(38,0)") * F.col("gs").cast("decimal(38,0)")).alias("_num"))
+    )
+    g_den = den_l.agg(
+        F.sum("n").cast("long").alias("n"), F.sum("_sn").alias("_sn")
+    )
+    g = g_num.crossJoin(g_den).select(
+        F.lit(None).cast(emb.schema[label_col].dataType).alias("lbl"),
+        "_num", "n", "_sn",
+    )
+    ratio = F.col("_num").cast("double") / (
+        F.col("n").cast("double") * F.col("_sn").cast("double")
+    )
+    return (
+        per_label.select("lbl", "_num", "n", "_sn")
+        .unionByName(g)
+        .select(F.col("lbl").alias(label_col), "n", ratio.alias("anisotropy"))
+    )
+
+
+def ivf_list_balance(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+) -> DataFrame:
+    """IVF inverted-list balance audit: the histogram of list sizes
+    (including EMPTY lists) under the seeded coarse quantizer — the
+    partition-skew check an ANN index needs before serving: a hot
+    list turns nprobe-bounded work back into a near-full scan, and
+    empty lists waste probe budget. Run it after build_ivf_index (or
+    any re-fit) and re-balance (split hot lists / drop dead
+    centroids) when the tail is long.
+
+    Assignment is the ORACLE-mode relational argmin over 6dp-rounded
+    cosines against the deterministic modulus seeds (identical
+    convention to ivf_ann_topk(exact_assign=True, kmeans_iters=0)),
+    so a SQL engine reproduces membership bit-exactly. The centroid
+    side is bounded (N/centroid_mod rows) and broadcast; one argmin
+    aggregate + two hash reaggregations — no windows over the corpus.
+
+    Returns (list_size, n_lists), list_size=0 counting dead
+    centroids."""
+    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        unit_normalize(F.col(vec_col)).alias("cent_vec"),
+    )
+    csim = F.round(dot(F.col("_nv"), F.col("cent_vec")), 6)
+    pick = F.struct((-F.col("_sim")).alias("ns"), F.col("centroid_id").alias("cid"))
+    assign = (
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            unit_normalize(F.col(vec_col)).alias("_nv"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select("cand_id", "centroid_id", csim.alias("_sim"))
+        .groupBy("cand_id")
+        .agg(F.min_by("centroid_id", pick).alias("list_id"))
+    )
+    sizes = assign.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("list_size")
+    )
+    with_empty = (
+        cent.select(F.col("centroid_id").alias("list_id"))
+        .join(sizes, "list_id", "left")
+        .select(F.coalesce(F.col("list_size"), F.lit(0)).cast("long").alias("list_size"))
+    )
+    return with_empty.groupBy("list_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists")
+    )
