@@ -1838,8 +1838,11 @@ def anisotropy(
     128-bit decimal to n ≈ 1e15). The identity
     ‖mean‖²/mean(‖x‖²) = Σ_d s_d² / (n · Σ_rows ‖x‖²) cancels every
     1/n early, so the only float op is ONE final divide on identical
-    exact integers. Two scans (posexplode dim-sums + per-row HOF
-    norms), no windows, no driver data.
+    exact integers. Two corpus scans
+    (posexplode dim-sums + per-row HOF norms); the bounded partials
+    (labels×dim rows) are eagerly checkpointed so the corpus-wide
+    Union branch reuses them rather than re-scanning. No windows, no
+    driver data.
 
     Returns one row per label plus a NULL-label corpus row:
     (label, n, anisotropy)."""
@@ -1851,9 +1854,15 @@ def anisotropy(
         ).alias("_xi"),
     )
     # per-(label, dim) exact sum vectors → Σ_d s_d² per label
-    dim_sums = ints.select(
-        "lbl", F.posexplode(F.col("_xi")).alias("pos", "xi")
-    ).groupBy("lbl", "pos").agg(F.sum("xi").cast("long").alias("s"))
+    # bounded partials (n_labels x dim and n_labels rows): checkpoint
+    # eagerly so the corpus-row Union branch reuses them instead of
+    # re-scanning the corpus (4 scans -> 2)
+    dim_sums = (
+        ints.select("lbl", F.posexplode(F.col("_xi")).alias("pos", "xi"))
+        .groupBy("lbl", "pos")
+        .agg(F.sum("xi").cast("long").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     sd = F.col("s").cast("decimal(38,0)")
     num_l = dim_sums.groupBy("lbl").agg(F.sum(sd * sd).alias("_num"))
     # per-row squared norm inside a HOF (no shuffle), then per-label sums
@@ -1863,9 +1872,13 @@ def anisotropy(
             F.col("_xi"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
         ).alias("_n2"),
     )
-    den_l = norms.groupBy("lbl").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("_n2").cast("decimal(38,0)")).alias("_sn"),
+    den_l = (
+        norms.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_n2").cast("decimal(38,0)")).alias("_sn"),
+        )
+        .localCheckpoint(eager=True)
     )
     per_label = num_l.join(den_l, "lbl")
     # corpus row: global dim sums are the label-sums summed (exact ints)
@@ -1896,6 +1909,7 @@ def ivf_list_balance(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_mod: int = 25,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF inverted-list balance audit: the histogram of list sizes
     (including EMPTY lists) under the seeded coarse quantizer — the
@@ -1912,11 +1926,23 @@ def ivf_list_balance(
     side is bounded (N/centroid_mod rows) and broadcast; one argmin
     aggregate + two hash reaggregations — no windows over the corpus.
 
+    At corpus scale pass the INDEX's own ``centroids`` table
+    (centroid_id, cent_vec — kmeans_centroids output or the persisted
+    index's; k rows, bounded): the modulus-seed default derives
+    N/centroid_mod centroids from the corpus itself, which is an
+    oracle/test convention, not a broadcastable side at 1e9 rows.
+
     Returns (list_size, n_lists), list_size=0 counting dead
     centroids."""
-    cent = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        unit_normalize(F.col(vec_col)).alias("cent_vec"),
+    cent = (
+        centroids.select(
+            "centroid_id", unit_normalize(F.col("cent_vec")).alias("cent_vec")
+        )
+        if centroids is not None
+        else corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            unit_normalize(F.col(vec_col)).alias("cent_vec"),
+        )
     )
     csim = F.round(dot(F.col("_nv"), F.col("cent_vec")), 6)
     pick = F.struct((-F.col("_sim")).alias("ns"), F.col("centroid_id").alias("cid"))
