@@ -332,6 +332,10 @@ HEADLINE = [
     "q_ivf_balance",
     "q_template_prefix",
     "q_schema_evolution",
+    # wave 33
+    "q_shard_manifest",
+    "q_dp_histogram",
+    "q_power_iteration",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

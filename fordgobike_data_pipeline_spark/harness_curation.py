@@ -1691,3 +1691,51 @@ def q_epoch_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_same_slot").cast("double") / F.col("n_docs").cast("double")
         ).alias("overlap_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 33 — shard shipping manifest, seeded-DP histogram release
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_shard_manifest",
+    """
+    SELECT doc_id % 16 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                                        1, 15)) AS BIGINT)) AS xor_fingerprint
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard shipping manifest: per-shard row count, byte-ish size,
+    and an ORDER-INDEPENDENT content fingerprint (XOR of each doc's
+    60-bit md5(id|text) prefix) — the integrity check two pipelines
+    run on opposite ends of a corpus transfer: counts catch dropped
+    rows, the XOR catches any substituted/corrupted body without
+    requiring either side to sort (XOR is commutative, so shard
+    fingerprints combine map-side; a mismatch localizes to one shard
+    of 16 instead of re-hashing the corpus). One hash aggregate;
+    fingerprints are exact BIGINTs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select((F.col("doc_id") % 16).alias("shard_id"), "text", fp.alias("_fp"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.expr("bit_xor(_fp)").alias("xor_fingerprint"),
+        )
+    )

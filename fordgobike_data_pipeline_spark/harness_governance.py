@@ -851,3 +851,52 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_g").alias("group_size"),
         F.round(t_val, 9).alias("t_value"),
     )
+
+
+@query(
+    "q_dp_histogram",
+    """
+    WITH h AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    u AS (
+        SELECT lang, n,
+               (CAST(CAST(('0x' || substr(md5(lang || '|dp-seed-42'), 1, 15))
+                          AS BIGINT) AS DOUBLE) + 0.5)
+                   / 1152921504606846976.0 AS uu
+        FROM h
+    )
+    SELECT lang,
+           round(CAST(n AS DOUBLE)
+                 + (-1.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+               AS noised_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (Laplace mechanism,
+    ε=1, sensitivity 1 — each document contributes to exactly one
+    lang cell): the noised per-language counts a data consortium can
+    publish about a private corpus. The Laplace draw inverts a
+    uniform derived from md5(cell || salt) — SEEDED, so the release
+    is reproducible and oracle-checkable; production swaps the hash
+    for a CSPRNG draw (same convention as the multimodal stub
+    decode: the mechanism's plumbing and calibration b=1/ε are real,
+    the entropy source is the injectable part). One cell-level
+    aggregate; noise applies to the bounded histogram, never
+    per-row."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fp = F.conv(
+        F.substring(F.md5(F.concat(F.col("lang"), F.lit("|dp-seed-42"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (fp.cast("double") + 0.5) / 1152921504606846976.0
+    noise = F.lit(-1.0) * F.signum(u - 0.5) * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return h.select(
+        "lang",
+        F.round(F.col("n").cast("double") + noise, 6).alias("noised_count"),
+        F.lit(1.0).cast("double").alias("epsilon"),
+    )

@@ -4286,3 +4286,64 @@ def q_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_docs") >= 3) & (F.col("n_variants") >= 2))
     )
+
+
+_PI_STEP = """
+    u{t} AS (SELECT vec_id, sum(CAST(q AS HUGEINT) * v) AS u
+             FROM e JOIN v{p} USING (pos) GROUP BY vec_id),
+    w{t} AS (SELECT pos, sum(CAST(q AS HUGEINT) * u) AS w
+             FROM e JOIN u{t} USING (vec_id) GROUP BY pos),
+    m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+    v{t} AS (SELECT pos, CASE WHEN w >= 0 THEN (w * 1000) // m
+                              ELSE -(((0 - w) * 1000) // m) END AS v
+             FROM w{t}, m{t})
+"""
+
+
+@query(
+    "q_power_iteration",
+    f"""
+    WITH e AS (
+        SELECT vec_id, pos - 1 AS pos,
+               CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+    ),
+    u1 AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS u FROM e GROUP BY 1),
+    w1 AS (SELECT pos, sum(CAST(q AS HUGEINT) * u) AS w
+           FROM e JOIN u1 USING (vec_id) GROUP BY pos),
+    m1 AS (SELECT max(abs(w)) AS m FROM w1),
+    v1 AS (SELECT pos, CASE WHEN w >= 0 THEN (w * 1000) // m
+                            ELSE -(((0 - w) * 1000) // m) END AS v
+           FROM w1, m1),
+    {_PI_STEP.format(t=2, p=1)},
+    {_PI_STEP.format(t=3, p=2)},
+    s AS (SELECT e.vec_id, sum(CAST(q AS HUGEINT) * v) AS sv
+          FROM e JOIN v3 USING (pos) GROUP BY e.vec_id),
+    fin AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows,
+               (SELECT sum(CAST(sv AS HUGEINT) * sv) FROM s) AS num,
+               (SELECT sum(v * v) FROM v3) AS den1,
+               (SELECT sum(CAST(q AS HUGEINT) * q) FROM e) AS den2
+    )
+    SELECT n_rows, CAST(64 AS INT) AS dim,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)), 9)
+               AS top_eigen_share,
+           CAST((SELECT pos FROM v3 ORDER BY abs(v) DESC, pos LIMIT 1) AS INT)
+               AS dominant_dim
+    FROM fin
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-eigenvalue share of the corpus second-moment matrix
+    (similarity.spectral_top_share, 3 deterministic power-iteration
+    rounds): the spectral diagnosis behind a high q_embed_anisotropy
+    reading — share → 1/64 is isotropic, share → 1 is a rank-1
+    collapse, and dominant_dim names the axis to project out. Exact
+    integer iterate (sign-aware truncating renormalization each
+    round), decimal/HUGEINT second moments, one double divide; the
+    oracle unrolls the same 3 rounds."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.spectral_top_share(emb, iters=3)

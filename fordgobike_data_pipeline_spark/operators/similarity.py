@@ -1967,3 +1967,94 @@ def ivf_list_balance(
     return with_empty.groupBy("list_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_lists")
     )
+
+
+def spectral_top_share(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    iters: int = 3,
+    resolution: int = 1_000,
+) -> DataFrame:
+    """Top-eigenvalue share of the (uncentered) second-moment matrix
+    via deterministic power iteration — the spectral sharpening of the
+    anisotropy audit: `anisotropy` says cosines are inflated,
+    top-eigen-share says by HOW MUCH one direction dominates (share →
+    1/dim is isotropic; share → 1 is a rank-1 collapapse) and WHICH
+    axis (dominant_dim) to inspect or project out.
+
+    Determinism (the pagerank fixed-point discipline applied to an
+    eigen solve): elements snap to exact 1e-4 integer units; each
+    iteration computes u = A·v and w = Aᵀ·u in EXACT integer
+    arithmetic (per-row HOF dot against the integer iterate, then a
+    decimal(38,0) per-dimension sum), and the iterate re-normalizes
+    to integers in [-resolution, resolution] by sign-aware TRUNCATING
+    division (w·res div max|w| — floor on the absolute value, so both
+    engines and the driver agree bit-exactly; never a float norm).
+    The Rayleigh share Σ(A·v)² / (Σv² · Σ‖A‖²) is one double divide
+    on exact integers. ``iters`` is FIXED (not convergence-tested) so
+    the oracle unrolls to the same depth.
+
+    w = Aᵀ(Av) is the corpus-sized reduce of a 64-row vector per
+    iteration; the iterate itself is bounded driver control data
+    (dim integers — the sanctioned collect class). iters+1 corpus
+    scans; cache the quantized matrix upstream when A doesn't fit
+    the page cache.
+
+    Returns one row: (n_rows, dim, top_eigen_share, dominant_dim
+    0-based)."""
+    dim = len(emb.select(vec_col).first()[0])
+    ints = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("_xi")
+    )
+    v = [1] * dim
+    for _ in range(iters):
+        varr = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        u = F.aggregate(
+            F.zip_with(F.col("_xi"), varr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        w_rows = (
+            ints.select(F.posexplode(F.col("_xi")).alias("pos", "q"), u.alias("_u"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("q").cast("decimal(38,0)") * F.col("_u")).alias("w"))
+            .collect()  # dim rows — bounded driver control data
+        )
+        w = [0] * dim
+        for r in w_rows:
+            w[r["pos"]] = int(r["w"])
+        m = max(abs(x) for x in w) or 1
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * resolution) // m)
+            for x in w
+        ]
+    varr = F.array(*[F.lit(int(c)).cast("long") for c in v])
+    s = F.aggregate(
+        F.zip_with(F.col("_xi"), varr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    q2 = F.aggregate(
+        F.col("_xi"), F.lit(0).cast("long"), lambda acc, t: acc + t * t
+    )
+    stats = ints.select(s.alias("_s"), q2.alias("_q2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("_s").cast("decimal(38,0)") * F.col("_s")).alias("_num"),
+        F.sum(F.col("_q2").cast("decimal(38,0)")).alias("_den2"),
+    )
+    den1 = sum(c * c for c in v)
+    dom = max(range(dim), key=lambda j: (abs(v[j]), -j))
+    return stats.select(
+        "n_rows",
+        F.lit(dim).cast("int").alias("dim"),
+        F.round(
+            F.col("_num").cast("double")
+            / (F.lit(float(den1)) * F.col("_den2").cast("double")),
+            9,
+        ).alias("top_eigen_share"),
+        F.lit(int(dom)).cast("int").alias("dominant_dim"),
+    )
