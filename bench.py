@@ -336,6 +336,10 @@ HEADLINE = [
     "q_shard_manifest",
     "q_dp_histogram",
     "q_power_iteration",
+    # wave 34
+    "q_preference_pairs",
+    "q_chat_lint",
+    "q_curriculum_phases",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

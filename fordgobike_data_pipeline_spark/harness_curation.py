@@ -1739,3 +1739,245 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(_fp)").alias("xor_fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 34 — preference-pair mining, chat lint, curriculum phases
+# ---------------------------------------------------------------------------
+
+_QUALITY_CTE = r"""
+    sq AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_tok,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> length(w))) AS tok_chars,
+               length(text) AS nc,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS n_punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1.0 - least((n_punct / nc) * 5.0, 1.0))
+                   + 0.3 * least((tok_chars / n_tok) / 10.0, 1.0), 6) AS quality
+        FROM sq
+    )
+"""
+
+
+@query(
+    "q_preference_pairs",
+    f"""
+    WITH {_QUALITY_CTE},
+    top AS (SELECT doc_id, source, quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS r
+            FROM q),
+    bot AS (SELECT doc_id, source, quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality ASC, doc_id DESC) AS r
+            FROM q),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM q GROUP BY source)
+    SELECT t.source, t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           round(t.quality - b.quality, 6) AS margin
+    FROM top t
+    JOIN bot b ON b.source = t.source AND b.r = t.r
+    JOIN n ON n.source = t.source
+    WHERE t.r <= n_src // 2 AND round(t.quality - b.quality, 6) >= 0.2
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training: within each
+    source, the r-th best document (by the composite quality score)
+    pairs with the r-th worst, kept only when the quality margin ≥ 0.2
+    — the standard cheap construction of (chosen, rejected) pairs from
+    a scored-but-unlabeled corpus, source-stratified so pairs compare
+    like with like and margins mean the same thing in every stratum.
+    Two per-source windows (partitioned — never global) + one
+    broadcastable per-source count; ties break on doc_id so the
+    pairing is deterministic."""
+    from pyspark.sql import Window
+
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = text_ops.quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    w_bot = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").desc()
+    )
+    top = q.select(
+        "doc_id", "source", "quality", F.row_number().over(w_top).alias("r")
+    )
+    bot = q.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("source").alias("b_source"),
+        F.col("quality").alias("b_quality"),
+        F.row_number().over(w_bot).alias("b_r"),
+    )
+    n = q.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    margin = F.round(F.col("quality") - F.col("b_quality"), 6)
+    return (
+        top.join(
+            bot,
+            (F.col("b_source") == F.col("source")) & (F.col("b_r") == F.col("r")),
+        )
+        .join(F.broadcast(n), "source")
+        .filter((F.col("r") <= F.expr("n_src div 2")) & (margin >= 0.2))
+        .select(
+            "source",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("b_doc_id").alias("rejected_id"),
+            margin.alias("margin"),
+        )
+    )
+
+
+@query(
+    "q_chat_lint",
+    """
+    WITH turns AS (
+        SELECT user_id AS conv_id, ts, event_id, event_type AS role
+        FROM events
+    ),
+    w AS (
+        SELECT conv_id, role,
+               lag(role) OVER (PARTITION BY conv_id
+                               ORDER BY ts, event_id) AS prev_role,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM turns
+    ),
+    per AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_adjacent,
+               CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+               min(CASE WHEN rn = 1 THEN role END) AS first_role
+        FROM w GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, n_same_adjacent, n_roles, first_role
+    FROM per
+    WHERE n_same_adjacent * 3 >= n_turns OR n_roles = 1
+    """,
+)
+def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format lint over the conversation view of events (same
+    derivation as q_chat_flatten: conversation = user, role = event
+    type): flags conversations where ≥⅓ of turns repeat the previous
+    role or only one role ever speaks — the malformed-transcript
+    screen an SFT pipeline runs before chat-template rendering
+    (consecutive same-role turns merge or break templates; single-role
+    "conversations" are logs, not dialogs). One partitioned lag window
+    + one aggregate; the integer n_same_adjacent·3 ≥ n_turns
+    threshold avoids any float ratio."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("role"),
+    )
+    per = (
+        turns.select(
+            "conv_id",
+            "role",
+            F.lag("role").over(w).alias("prev_role"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(
+                F.when(F.col("role") == F.col("prev_role"), 1).otherwise(0)
+            ).cast("long").alias("n_same_adjacent"),
+            F.countDistinct("role").cast("long").alias("n_roles"),
+            F.min(F.when(F.col("rn") == 1, F.col("role"))).alias("first_role"),
+        )
+    )
+    return per.filter(
+        (F.col("n_same_adjacent") * 3 >= F.col("n_turns")) | (F.col("n_roles") == 1)
+    ).select("conv_id", "n_turns", "n_same_adjacent", "n_roles", "first_role")
+
+
+@query(
+    "q_curriculum_phases",
+    f"""
+    WITH {_QUALITY_CTE},
+    g AS (SELECT doc_id, CAST(round(quality * 1e6) AS BIGINT) AS q6 FROM q),
+    r AS (SELECT doc_id, q6,
+                 row_number() OVER (ORDER BY q6, doc_id) AS rn,
+                 count(*) OVER () AS n
+          FROM g),
+    p AS (SELECT doc_id, q6,
+                 CASE WHEN rn <= (n + 2) // 3 THEN 2
+                      WHEN rn <= (2 * n + 2) // 3 THEN 1
+                      ELSE 0 END AS phase
+          FROM r)
+    SELECT CAST(phase AS INT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(q6) AS BIGINT) AS q6_min,
+           CAST(max(q6) AS BIGINT) AS q6_max,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT)) AS id_fingerprint
+    FROM p GROUP BY phase
+    """,
+)
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: exact quality terciles — phase 0
+    (cleanest third, trained first) through phase 2 (noisiest third,
+    trained last) — certified per phase by count, score range, and an
+    order-independent XOR id fingerprint. The cutoffs are EXACT order
+    statistics by (score, doc_id) from quality.rank_select_kth's
+    two-pass histogram probe, and membership compares the full
+    (score, id) tuple against the returned (kth_value, kth_id), so
+    boundary ties split exactly as the oracle's global-sort
+    row_number does — equal tercile sizes, no global window anywhere
+    on the Spark side (the oracle MAY sort; the engine must not).
+    Within-phase ordering is epoch_shuffle's job."""
+    from .operators import quality
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = text_ops.quality_score(docs).select(
+        "doc_id", F.round(F.col("quality") * 1e6).cast("long").alias("q6")
+    )
+    c1 = quality.rank_select_kth(g, "q6", "doc_id", k_expr="(n + 2) div 3").select(
+        F.col("kth_value").alias("c1_v"), F.col("kth_id").alias("c1_id")
+    )
+    c2 = quality.rank_select_kth(
+        g, "q6", "doc_id", k_expr="(2 * n + 2) div 3"
+    ).select(F.col("kth_value").alias("c2_v"), F.col("kth_id").alias("c2_id"))
+    j = g.crossJoin(F.broadcast(c1)).crossJoin(F.broadcast(c2))
+    le_c1 = (F.col("q6") < F.col("c1_v")) | (
+        (F.col("q6") == F.col("c1_v")) & (F.col("doc_id") <= F.col("c1_id"))
+    )
+    le_c2 = (F.col("q6") < F.col("c2_v")) | (
+        (F.col("q6") == F.col("c2_v")) & (F.col("doc_id") <= F.col("c2_id"))
+    )
+    fp = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        j.select(
+            F.when(le_c1, 2).when(le_c2, 1).otherwise(0).cast("int").alias("phase"),
+            "q6",
+            fp.alias("_fp"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("q6").cast("long").alias("q6_min"),
+            F.max("q6").cast("long").alias("q6_max"),
+            F.expr("bit_xor(_fp)").alias("id_fingerprint"),
+        )
+    )
