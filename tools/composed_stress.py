@@ -40,7 +40,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def build_sf(spark, n: int, root: str, fixed_src0: bool = False) -> str:
     """Materialize an n-replicated copy of the tables the composed
-    queries read (documents, lineitem, events).
+    queries read (documents, lineitem, events, embeddings).
 
     ``fixed_src0``: keep ONLY copy 0's src0 document rows — the
     replication shape for the decontamination/incremental-probe
@@ -93,6 +93,10 @@ def build_sf(spark, n: int, root: str, fixed_src0: bool = False) -> str:
     rep(ev, {"event_id": 100_000_000, "user_id": 10_000_000}).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "events.parquet"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rep(emb, {"vec_id": 10_000_000}).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
     return out
 
 
