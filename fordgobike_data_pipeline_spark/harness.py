@@ -112,12 +112,13 @@ def _ensure_extensions_loaded() -> None:
 #         31-32 keys q_jsd_drift, q_wilson_ci, q_mcc_eval,
 #         q_source_diversity, q_t_closeness, q_embed_anisotropy,
 #         q_ivf_balance, q_template_prefix, q_schema_evolution,
-#         and the wave-33/34 keys q_shard_manifest, q_dp_histogram,
+#         and the wave-33/34/35 keys q_shard_manifest, q_dp_histogram,
 #         q_power_iteration, q_preference_pairs, q_chat_lint,
-#         q_curriculum_phases — mid-round additions join the back of
-#         the queue; 31+31 > 50, so the overflow heads the r11 window);
+#         q_curriculum_phases, q_bitext_mining — mid-round additions
+#         join the back of the queue; 31+32 > 50, so the overflow heads
+#         the r11 window);
 #   r11 = the overflow + remaining r4 keys + oldest r5 keys; and so on.
-# At 357 queries / 50 slots the full surface re-verifies every ~7
+# At 358 queries / 50 slots the full surface re-verifies every ~7
 # rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-11] TPC-H residue — first official rows

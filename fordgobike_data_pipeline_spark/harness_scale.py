@@ -4347,3 +4347,54 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same 3 rounds."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.spectral_top_share(emb, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Wave 35 — margin-scored bitext mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bitext_mining",
+    f"""
+    WITH {_lsh_sgn_ctes(n_planes=8)},
+    {_NORM_CTE},
+    lng AS (SELECT doc_id AS vec_id, lang FROM documents),
+    e AS (
+        SELECT n.vec_id, lng.lang, n.nv, sgn.bucket
+        FROM n JOIN lng USING (vec_id) JOIN sgn USING (vec_id)
+    ),
+    p AS (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               CAST(round({_NDOT.format(a='s', b='t')} * 1e6) AS BIGINT) AS s6
+        FROM e s JOIN e t ON t.bucket = s.bucket
+        WHERE s.lang != 'en' AND t.lang = 'en'
+    ),
+    r AS (
+        SELECT src_id, tgt_id, s6,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY s6 DESC, tgt_id) AS rn
+        FROM p
+    ),
+    topk AS (SELECT * FROM r WHERE rn <= 4),
+    ag AS (SELECT src_id, CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(s6) AS BIGINT) AS ssum
+           FROM topk GROUP BY 1),
+    t1 AS (SELECT src_id, tgt_id, s6 AS s6_top FROM r WHERE rn = 1)
+    SELECT t1.src_id, t1.tgt_id,
+           round(CAST(s6_top AS DOUBLE) / 1e6, 6) AS sim,
+           round(CAST(c * s6_top AS DOUBLE) / CAST(ssum AS DOUBLE), 6) AS margin
+    FROM t1 JOIN ag USING (src_id)
+    WHERE ssum > 0
+      AND CAST(c * s6_top AS DOUBLE) / CAST(ssum AS DOUBLE) >= 1.02
+    """,
+)
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored bitext mining (similarity.bitext_margin_mine):
+    best English neighbor per non-English document, accepted only when
+    it beats the mean of the local top-4 — the CCMatrix/LASER
+    parallel-pair criterion that normalizes raw cosine by neighborhood
+    density. LSH-bucketed candidates (never |src|·|tgt|), partitioned
+    top-k window, exact 1e-6 integer cosines, one double divide."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    return similarity.bitext_margin_mine(t["embeddings"], t["documents"])

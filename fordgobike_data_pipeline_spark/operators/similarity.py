@@ -2058,3 +2058,86 @@ def spectral_top_share(
         ).alias("top_eigen_share"),
         F.lit(int(dom)).cast("int").alias("dominant_dim"),
     )
+
+
+def bitext_margin_mine(
+    emb: DataFrame,
+    docs: DataFrame,
+    tgt_lang: str = "en",
+    k: int = 4,
+    n_planes: int = 8,
+    margin_threshold: float = 1.02,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Parallel-corpus (bitext) mining with margin scoring: for every
+    non-target-language document, the best target-language neighbor by
+    cosine, accepted only when it BEATS the local neighborhood — the
+    Artetxe–Schwenk margin criterion (forward variant): margin =
+    cos(x, y*) / mean(top-k cos(x, ·)). Raw nearest-neighbor
+    thresholds over-accept in dense regions and under-accept in
+    sparse ones; the margin normalizes by local density, which is why
+    the mined-bitext pipelines (CCMatrix/LASER) use it.
+
+    Candidates come from the deterministic hyperplane-LSH buckets
+    (same splitmix planes as the ANN family) — never |src|·|tgt|; the
+    per-source top-k is a PARTITIONED window. Cosines round to 1e-6
+    integers, so the margin is exact-integer arithmetic
+    (c·s_top / Σs) with ONE double divide; ties break on target id.
+    Pairs with a non-positive neighborhood sum are dropped (margin
+    undefined in anti-correlated neighborhoods — documented, rare).
+
+    Returns (src_id, tgt_id, sim, margin), margin ≥ margin_threshold."""
+    from pyspark.sql import Window
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    lang = docs.select(
+        F.col(doc_id_col).alias(id_col), F.col(lang_col).alias("_lang")
+    )
+    n = emb.join(lang, id_col).select(
+        F.col(id_col),
+        F.col("_lang"),
+        unit_normalize(F.col(vec_col)).alias("_nv"),
+        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    src = n.filter(F.col("_lang") != tgt_lang).select(
+        F.col(id_col).alias("src_id"),
+        F.col("_nv").alias("_sv"),
+        "_bucket",
+    )
+    tgt = n.filter(F.col("_lang") == tgt_lang).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col("_nv").alias("_tv"),
+        "_bucket",
+    )
+    s6 = F.round(dot(F.col("_sv"), F.col("_tv")) * 1e6).cast("long")
+    pairs = src.join(tgt, "_bucket").select("src_id", "tgt_id", s6.alias("s6"))
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("s6").desc(), F.col("tgt_id").asc()
+    )
+    topk = pairs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    ag = topk.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("s6").cast("long").alias("ssum"),
+    )
+    t1 = topk.filter(F.col("_rn") == 1).select(
+        "src_id", "tgt_id", F.col("s6").alias("s6_top")
+    )
+    m = (F.col("c") * F.col("s6_top")).cast("double") / F.col("ssum").cast(
+        "double"
+    )
+    return (
+        t1.join(ag, "src_id")
+        .filter((F.col("ssum") > 0) & (m >= margin_threshold))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("s6_top").cast("double") / 1e6, 6).alias("sim"),
+            F.round(m, 6).alias("margin"),
+        )
+    )

@@ -1,0 +1,48 @@
+"""Wave-35: margin-scored bitext mining — planted-value tests."""
+
+from __future__ import annotations
+
+from fordgobike_data_pipeline_spark.operators import similarity
+
+
+def _df(spark, rows):
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        None,
+    )
+
+
+def test_bitext_margin_accepts_clear_pair(spark):
+    # src 0 (de) is nearly identical to tgt 10 (en); tgt 11/12 are
+    # orthogonal-ish noise -> margin well above threshold
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.02, 0.0]),
+            (10, [1.0, 0.0, 0.0]),
+            (11, [0.6, 0.75, 0.0]),
+            (12, [0.6, 0.0, 0.75]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "de"), (10, "en"), (11, "en"), (12, "en")], "doc_id long, lang string"
+    )
+    rows = similarity.bitext_margin_mine(
+        emb, docs, k=3, n_planes=2, margin_threshold=1.02
+    ).collect()
+    got = {r.src_id: r for r in rows}
+    if 0 in got:  # bucket recall permitting, the pair is (0 -> 10)
+        assert got[0].tgt_id == 10 and got[0].margin >= 1.02
+
+
+def test_bitext_harness_nontrivial_and_thresholded(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_bitext_mining"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    src_ids = [r.src_id for r in rows]
+    assert len(src_ids) == len(set(src_ids))  # one best pair per source doc
+    for r in rows:
+        assert r.margin >= 1.02 and -1.0 <= r.sim <= 1.0
