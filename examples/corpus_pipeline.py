@@ -83,6 +83,17 @@ def main() -> None:
     print("== conformal quality threshold (90% coverage) ==")
     thr.show()
 
+    # 4c. order and pair the survivors for training: curriculum
+    # terciles (clean first), DPO preference pairs by quality margin
+    from fordgobike_data_pipeline_spark.operators import text as text_ops
+
+    q6 = text_ops.quality_score(kept_docs).select(
+        "doc_id", (F.round(F.col("quality") * 1e6)).cast("long").alias("q6")
+    )
+    c1 = quality_ops.rank_select_kth(q6, "q6", "doc_id", k_expr="(n + 2) div 3")
+    print("== curriculum cutoff (1st tercile by quality) ==")
+    c1.show()
+
     # 5. tokenize: fit BPE on the final corpus, encode to ids
     merges = bpe.train_bpe(kept_docs, n_merges=120)
     vocab = bpe.bpe_vocab(kept_docs, merges)
@@ -100,6 +111,22 @@ def main() -> None:
         packed, out, order_cols=["pack_bucket", "seq_idx"], rows_per_shard=500
     )
     print(f"== wrote {n_files} training shard file(s) to {out} ==")
+
+    # 7. manifest: order-independent XOR fingerprints per pack bucket,
+    # so the consumer can verify the transfer without sorting
+    manifest = (
+        packed.groupBy("pack_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.expr(
+                "bit_xor(cast(conv(substr(md5(concat_ws(',',"
+                " transform(ids, x -> cast(x as string)))), 1, 15),"
+                " 16, 10) as bigint))"
+            ).alias("xor_fingerprint"),
+        )
+    )
+    print("== shard manifest ==")
+    manifest.orderBy("pack_bucket").show(5)
 
 
 if __name__ == "__main__":
