@@ -1894,8 +1894,11 @@ def anisotropy(
         F.lit(None).cast(emb.schema[label_col].dataType).alias("lbl"),
         "_num", "n", "_sn",
     )
-    ratio = F.col("_num").cast("double") / (
-        F.col("n").cast("double") * F.col("_sn").cast("double")
+    # all-zero snapshot (sn = 0): 0/0 — NULL, not an ANSI divide error
+    ratio = F.when(
+        (F.col("n") > 0) & (F.col("_sn") > 0),
+        F.col("_num").cast("double")
+        / (F.col("n").cast("double") * F.col("_sn").cast("double")),
     )
     return (
         per_label.select("lbl", "_num", "n", "_sn")
