@@ -2051,14 +2051,20 @@ def spectral_top_share(
     )
     den1 = sum(c * c for c in v)
     dom = max(range(dim), key=lambda j: (abs(v[j]), -j))
+    # all-zero corpus (den2 = 0) or zero iterate: share undefined —
+    # NULL, not an ANSI divide error
+    share = F.when(
+        (F.col("_den2") > 0) & F.lit(den1 > 0),
+        F.round(
+            F.col("_num").cast("double")
+            / (F.lit(float(den1 or 1)) * F.col("_den2").cast("double")),
+            9,
+        ),
+    )
     return stats.select(
         "n_rows",
         F.lit(dim).cast("int").alias("dim"),
-        F.round(
-            F.col("_num").cast("double")
-            / (F.lit(float(den1)) * F.col("_den2").cast("double")),
-            9,
-        ).alias("top_eigen_share"),
+        share.alias("top_eigen_share"),
         F.lit(int(dom)).cast("int").alias("dominant_dim"),
     )
 
