@@ -1157,3 +1157,95 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n_c").cast("double") / F.max("n"), 9).alias("top_share"),
     )
     return agg
+
+
+@query(
+    "q_sample_bias",
+    """
+    WITH h AS (
+        SELECT lang,
+               ((CAST(CAST(from_hex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                           AS BIT) AS BIGINT) % 1000000) + 1000000) % 1000000 AS hv
+        FROM documents
+    ),
+    corp AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY lang),
+    samp AS (SELECT lang, CAST(count(*) AS BIGINT) AS o
+             FROM h WHERE hv < 200000 GROUP BY lang),
+    tot AS (
+        SELECT CAST((SELECT sum(c) FROM corp) AS BIGINT) AS n,
+               CAST((SELECT count(*) FROM h WHERE hv < 200000) AS BIGINT) AS ns
+    ),
+    cells AS (
+        SELECT corp.lang, corp.c, COALESCE(samp.o, 0) AS o, tot.n, tot.ns
+        FROM corp LEFT JOIN samp USING (lang) CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT CAST(round(
+            ((o - CAST(ns AS DOUBLE) * c / n) * (o - CAST(ns AS DOUBLE) * c / n))
+            / (CAST(ns AS DOUBLE) * c / n) * 1e9) AS BIGINT) AS t
+        FROM cells
+    )
+    SELECT (SELECT n FROM tot) AS n_corpus,
+           (SELECT ns FROM tot) AS n_sample,
+           CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) FROM cells) - 1 AS BIGINT) AS dof,
+           round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS chi2
+    FROM terms
+    """,
+)
+def q_sample_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-bias audit: chi-square goodness-of-fit between the 20%
+    deterministic md5-hash sample (sampling.deterministic_sample's
+    exact selection rule) and the full corpus over language cells —
+    the QA gate a subsampling pipeline runs before trusting metrics
+    computed on the sample (a hash that correlates with the stratum
+    silently skews every downstream estimate; χ² ≫ dof says the
+    sample is NOT exchangeable with the corpus). Expected counts come
+    from exact BIGINT cell counts; each cell's χ² term is a fixed
+    double chain QUANTIZED to a 1e-9 BIGINT before the exact sum.
+    Two hash aggregates over one scan's projection, bounded cells."""
+    from .operators.sampling import _bucket
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = docs.select("lang", _bucket(F.col("doc_id")).alias("hv"))
+    corp = h.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    samp = (
+        h.filter(F.col("hv") < 200000)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    tot = corp.agg(F.sum("c").cast("long").alias("n")).crossJoin(
+        h.filter(F.col("hv") < 200000).agg(
+            F.count(F.lit(1)).cast("long").alias("ns")
+        )
+    )
+    cells = (
+        corp.join(samp, "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "n",
+            "ns",
+        )
+    )
+    e = F.col("ns").cast("double") * F.col("c") / F.col("n")
+    t = F.round(((F.col("o") - e) * (F.col("o") - e)) / e * 1e9).cast("long")
+    n_cells = cells.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    return (
+        cells.select(t.alias("t"), "n", "ns")
+        .agg(
+            F.max("n").alias("n_corpus"),
+            F.max("ns").alias("n_sample"),
+            F.round(F.sum("t").cast("double") / 1e9, 6).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_cells))
+        .select(
+            "n_corpus",
+            "n_sample",
+            "n_cells",
+            (F.col("n_cells") - 1).cast("long").alias("dof"),
+            "chi2",
+        )
+    )

@@ -46,3 +46,14 @@ def test_bitext_harness_nontrivial_and_thresholded(spark):
     assert len(src_ids) == len(set(src_ids))  # one best pair per source doc
     for r in rows:
         assert r.margin >= 1.02 and -1.0 <= r.sim <= 1.0
+
+
+def test_sample_bias_chi2_consistency(spark):
+    import __spark_entry__ as entry
+
+    r = entry.queries()["q_sample_bias"](spark, "/root/testdata/sf0.001").collect()[0]
+    # a hash-uniform 20% sample of an unskewed corpus: chi2 should be
+    # small relative to a wildly biased one; invariants always hold
+    assert 0 < r.n_sample < r.n_corpus
+    assert r.dof == r.n_cells - 1 >= 1
+    assert r.chi2 >= 0.0
