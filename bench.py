@@ -343,6 +343,7 @@ HEADLINE = [
     # wave 35
     "q_bitext_mining",
     "q_sample_bias",
+    "q_index_purge",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic

@@ -114,11 +114,11 @@ def _ensure_extensions_loaded() -> None:
 #         q_ivf_balance, q_template_prefix, q_schema_evolution,
 #         and the wave-33/34/35 keys q_shard_manifest, q_dp_histogram,
 #         q_power_iteration, q_preference_pairs, q_chat_lint,
-#         q_curriculum_phases, q_bitext_mining, q_sample_bias —
-#         mid-round additions join the back of the queue; 31+33 > 50,
-#         so the overflow heads the r11 window);
+#         q_curriculum_phases, q_bitext_mining, q_sample_bias,
+#         q_index_purge — mid-round additions join the back of the
+#         queue; 31+34 > 50, so the overflow heads the r11 window);
 #   r11 = the overflow + remaining r4 keys + oldest r5 keys; and so on.
-# At 359 queries / 50 slots the full surface re-verifies every ~7
+# At 360 queries / 50 slots the full surface re-verifies every ~7
 # rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-11] TPC-H residue — first official rows

@@ -4398,3 +4398,58 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k window, exact 1e-6 integer cosines, one double divide."""
     t = load_tables(spark, sf_dir, ("documents", "embeddings"))
     return similarity.bitext_margin_mine(t["embeddings"], t["documents"])
+
+
+@query(
+    "q_index_purge",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_mh_bands_ctes('corpus', 'c')},
+    mk AS (
+        SELECT band, bucket,
+               CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS d
+        FROM bandsc
+    ),
+    pb AS (SELECT band, bucket, count(*) AS n, sum(d) AS nd
+           FROM mk GROUP BY band, bucket),
+    near AS (
+        SELECT CAST(band AS INT) AS band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN n = nd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_emptied,
+               CAST(sum(nd) AS BIGINT) AS n_rows_purged
+        FROM pb GROUP BY band
+    ),
+    fp AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint,
+               min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    ),
+    fpr AS (
+        SELECT CAST(-1 AS INT) AS band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN keep_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_emptied,
+               CAST(sum(CASE WHEN keep_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rows_purged
+        FROM fp
+    )
+    SELECT * FROM near UNION ALL SELECT * FROM fpr
+    """,
+)
+def q_index_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure propagation into the persisted dedup indexes
+    (dedup.index_purge_report): GDPR-deleting documents (here the
+    deterministic doc_id % 37 erasure set) must also reach the
+    MinHash band index and the exact-dedup fingerprint index, or
+    deleted content stays findable as a bucket neighbor and a dead
+    keep_id suppresses legitimate reinserts. Per band: buckets,
+    buckets EMPTIED by the purge (droppable), member rows leaving;
+    band −1 is the fingerprint index (tombstoned entries). Completes
+    the q_gdpr_delete story for the dedup infrastructure."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    band_index = dedup.minhash_band_index(docs, hash_fn="md5-parity")
+    fp_index = dedup.fingerprint_index(docs)
+    deleted = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    return dedup.index_purge_report(band_index, fp_index, deleted)

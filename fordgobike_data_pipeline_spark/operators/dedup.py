@@ -1118,3 +1118,58 @@ def lsh_design_sweep(
         )
         out = cur if out is None else out.unionByName(cur)
     return out
+
+
+def index_purge_report(
+    band_index: DataFrame,
+    fp_index: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Erasure propagation into the PERSISTED dedup indexes: when GDPR
+    (or takedown) deletes documents, the near-dup band index and the
+    exact-dedup fingerprint index still carry their rows — deleted
+    content stays findable as a bucket neighbor and can keep
+    suppressing future reinserts via a dead keep_id. This report
+    drives the compaction: per band, how many buckets exist, how many
+    are EMPTIED by the purge (droppable from the store), and how many
+    member rows leave; band −1 covers the fingerprint index, where an
+    entry whose keep_id died is tombstoned so the next batch re-elects
+    a survivor.
+
+    Deletion flags ride a broadcastable left-semi-shaped join on the
+    id; two hash aggregates per index, no windows, no index rewrite
+    here (the report is the plan; the rewrite is an anti-join write).
+
+    Returns (band, n_buckets, n_buckets_emptied, n_rows_purged)."""
+    dels = deleted_ids.select(F.col(id_col).alias("_del_id")).distinct()
+    marked = band_index.join(
+        dels, band_index[id_col] == F.col("_del_id"), "left"
+    ).select(
+        "band",
+        "bucket",
+        F.when(F.col("_del_id").isNotNull(), 1).otherwise(0).alias("_d"),
+    )
+    per_bucket = marked.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_d").alias("_nd")
+    )
+    near = per_bucket.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("_n") == F.col("_nd"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_buckets_emptied"),
+        F.sum("_nd").cast("long").alias("n_rows_purged"),
+    ).select(F.col("band").cast("int").alias("band"), "n_buckets",
+             "n_buckets_emptied", "n_rows_purged")
+    fp = (
+        fp_index.join(dels, fp_index["keep_id"] == F.col("_del_id"), "left")
+        .select(F.when(F.col("_del_id").isNotNull(), 1).otherwise(0).alias("_d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("_d").cast("long").alias("n_buckets_emptied"),
+            F.sum("_d").cast("long").alias("n_rows_purged"),
+        )
+        .select(F.lit(-1).cast("int").alias("band"), "n_buckets",
+                "n_buckets_emptied", "n_rows_purged")
+    )
+    return near.unionByName(fp)

@@ -57,3 +57,31 @@ def test_sample_bias_chi2_consistency(spark):
     assert 0 < r.n_sample < r.n_corpus
     assert r.dof == r.n_cells - 1 >= 1
     assert r.chi2 >= 0.0
+
+
+def test_index_purge_report_planted(spark):
+    from pyspark.sql import functions as F
+
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    band_index = dedup.minhash_band_index(docs, hash_fn="md5-parity")
+    fp_index = dedup.fingerprint_index(docs)
+    # delete doc 3 entirely: its (unshared) buckets must all empty
+    deleted = docs.filter(F.col("doc_id") == 3).select("doc_id")
+    rep = {r.band: r for r in dedup.index_purge_report(
+        band_index, fp_index, deleted).collect()}
+    for band, r in rep.items():
+        if band == -1:
+            # fp index: 2 distinct contents, doc 3's entry tombstoned
+            assert r.n_buckets == 2 and r.n_rows_purged == 1
+        else:
+            # docs 1/2 share every bucket; doc 3 is alone in its own
+            assert r.n_rows_purged == 1 and r.n_buckets_emptied == 1
