@@ -82,99 +82,89 @@ def _ensure_extensions_loaded() -> None:
 # lands on the queries that most need a fresh adjudication row; the
 # rest follow in registration order and rotate into later rounds.
 #
-# Round-9 priority (VERDICT r8 "Next round" item 1): drain the LAST 31
-# never-officially-checked queries — after this window every one of the
-# 325 queries has an official CORRECTNESS row. The window (first 50) =
-#   [1-11]  TPC-H residue q10, q11, q13-q17, q19-q22 (judge mirror-
-#           verified green in r8),
-#   [12-31] the 20 wave-22-27 additions (ECE / perplexity buckets /
-#           LSH S-curve / span corruption; n-gram novelty / vocab
-#           coverage / loopiness / in-batch collision; media seeded
-#           twins; label propagation / conformal / leakage split;
-#           ROUGE / source overlap / filter bias; centroid drift /
-#           hubness census; epoch shuffle) — all judge-verified r8,
-#   [32-50] staleness rotation, oldest official row first: the 6 keys
-#           whose newest row is r2 (q_domain_cap .. q_train_split) and
-#           the alphabetically-first 13 of the 44 r3-era keys.
+# Round-10 priority (VERDICT r9 "Next round" item 1, which amends the r8
+# staleness rule): NEVER-CHECKED BEFORE STALE — a key with no official
+# CORRECTNESS row ever outranks a key whose green row is merely old.
+# This is the standing rule for every future round: each round's window
+# = all never-officially-checked keys first (registration order), then
+# the stalest officially-green keys (oldest official row first, ties
+# alphabetical) up to the 50-slot window.
 #
-# STALENESS ROTATION RULE (r10 and beyond, VERDICT r8 item 8): with the
-# backlog drained, each round's window = the 50 queries with the OLDEST
-# official CORRECTNESS row (ties broken alphabetically). Concretely:
-#   r10 = the remaining 31 r3-era keys (q_cross_join .. q_window_time_
-#         bucket) + the 19 round-9 wave-28..32 additions never yet
-#         officially checked (q_dsir_weights, q_packing_efficiency,
-#         q_stratified_sample, q_snapshot_churn,
-#         q_signature_resemblance, q_distinct_ngrams,
-#         q_filter_interaction, q_l_diversity, q_bpe_fertility,
-#         q_threshold_sweep, q_budget_allocation, q_lsh_design_sweep,
-#         q_norm_outliers, q_stream_dedup_wm, q_rater_kappa,
-#         q_modality_integrity, q_epoch_order_overlap, plus the wave
-#         31-32 keys q_jsd_drift, q_wilson_ci, q_mcc_eval,
-#         q_source_diversity, q_t_closeness, q_embed_anisotropy,
-#         q_ivf_balance, q_template_prefix, q_schema_evolution,
-#         and the wave-33/34/35 keys q_shard_manifest, q_dp_histogram,
-#         q_power_iteration, q_preference_pairs, q_chat_lint,
-#         q_curriculum_phases, q_bitext_mining, q_sample_bias,
-#         q_index_purge — mid-round additions join the back of the
-#         queue; 31+34 > 50, so the overflow heads the r11 window);
-#   r11 = the overflow + remaining r4 keys + oldest r5 keys; and so on.
-# At 360 queries / 50 slots the full surface re-verifies every ~7
-# rounds.
+# The r10 window (first 50) =
+#   [1-35]  the 35 round-9 additions (waves 28-35) that have never had
+#           an official driver row — all judge-mirror-verified green in
+#           r9 (VERDICT r9: "35/35 pass"): DSIR weights / packing /
+#           stratified sample / snapshot churn / budget water-filling /
+#           LSH design sweep / epoch order overlap / shard manifest;
+#           preference pairs / chat lint / curriculum phases;
+#           l-diversity / modality integrity / t-closeness / DP
+#           histogram / schema evolution; filter interaction /
+#           threshold sweep / rater kappa / JSD drift / Wilson CI /
+#           MCC / source diversity / sample bias; signature
+#           resemblance / distinct n-grams / BPE fertility / norm
+#           outliers / anisotropy / IVF balance / template prefix;
+#           power iteration / bitext mining / index purge / streaming
+#           dedup watermark,
+#   [36-50] staleness rotation: the alphabetically-first 15 of the 31
+#           remaining r3-era keys (q_cross_join .. q_nullif_sentinel).
+# r11 window = the 16 r3 leftovers (q_project_rename ..
+# q_window_time_bucket) + any round-10 additions (never-checked-first)
+# + the oldest r4 keys; and so on. At ~360 queries / 50 slots the full
+# surface re-verifies every ~7 rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # [1-11] TPC-H residue — first official rows
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # [12-31] waves 22-27 — first official rows
-    "q_ece_calibration",
-    "q_perplexity_buckets",
-    "q_lsh_scurve",
-    "q_span_corruption",
-    "q_ngram_novelty",
-    "q_vocab_coverage",
-    "q_ngram_loopiness",
-    "q_inbatch_collision",
-    "q_image_features_seeded",
-    "q_resize_images_seeded",
-    "q_phash_dedup_seeded",
-    "q_label_propagation",
-    "q_conformal_threshold",
-    "q_leakage_split",
-    "q_rouge_overlap",
-    "q_source_overlap",
-    "q_filter_bias",
-    "q_centroid_drift",
-    "q_hubness_census",
-    "q_epoch_shuffle",
-    # [32-37] staleness: newest official row is r2
-    "q_domain_cap",
-    "q_normalize_text",
-    "q_pack_sequences",
-    "q_pii_redact",
-    "q_repetition_ratio",
-    "q_train_split",
-    # [38-50] staleness: oldest 13 of the 44 r3-era keys
-    "q_agg_expr_key",
-    "q_agg_first",
-    "q_agg_max_dedup",
-    "q_agg_minmax_bounds",
-    "q_agg_null_audit",
-    "q_agg_routes",
-    "q_approx_sketches",
-    "q_asof_join",
-    "q_audio_features",
-    "q_case_age_clean",
-    "q_char_entropy",
-    "q_chunk_docs",
-    "q_coalesce_defaults",
+    # [1-35] round-9 waves 28-35 — first official rows (never-checked
+    # keys front the window; judge mirror 35/35 green in r9)
+    "q_dsir_weights",
+    "q_packing_efficiency",
+    "q_stratified_sample",
+    "q_snapshot_churn",
+    "q_budget_allocation",
+    "q_lsh_design_sweep",
+    "q_epoch_order_overlap",
+    "q_shard_manifest",
+    "q_preference_pairs",
+    "q_chat_lint",
+    "q_curriculum_phases",
+    "q_l_diversity",
+    "q_modality_integrity",
+    "q_t_closeness",
+    "q_dp_histogram",
+    "q_filter_interaction",
+    "q_threshold_sweep",
+    "q_rater_kappa",
+    "q_jsd_drift",
+    "q_wilson_ci",
+    "q_mcc_eval",
+    "q_source_diversity",
+    "q_sample_bias",
+    "q_signature_resemblance",
+    "q_distinct_ngrams",
+    "q_bpe_fertility",
+    "q_norm_outliers",
+    "q_embed_anisotropy",
+    "q_ivf_balance",
+    "q_template_prefix",
+    "q_power_iteration",
+    "q_bitext_mining",
+    "q_index_purge",
+    "q_stream_dedup_wm",
+    "q_schema_evolution",
+    # [36-50] staleness: alphabetically-first 15 of the 31 r3-era keys
+    "q_cross_join",
+    "q_date_names",
+    "q_date_parts",
+    "q_deterministic_sample",
+    "q_filter_compound",
+    "q_filter_eq",
+    "q_filter_flag",
+    "q_filter_notnull",
+    "q_generate_series",
+    "q_hash_key",
+    "q_join_inner",
+    "q_json_extract",
+    "q_key_to_date",
+    "q_lang_id",
+    "q_nullif_sentinel",
 )
 
 
