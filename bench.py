@@ -64,7 +64,6 @@ HEADLINE = [
     "q_winnow_fingerprint",
     "q_rollup",
     "q_ann_lsh",
-    "q_ann_ivf",
     "q_embed_pairs_lsh",
     "q_asof_join",
     "q_range_join",
@@ -281,7 +280,6 @@ HEADLINE = [
     "q_agg_breadth",
     "q_bootstrap_ci",
     "q_try_funcs",
-    "q_phash_dedup",
     # round-8 additions
     "q_image_features_seeded",
     "q_resize_images_seeded",

@@ -52,7 +52,6 @@ def test_no_unintended_cartesian(spark):
         "q_embed_cosine_pairs",
         "q_ann_topk",
         "q_ann_lsh",
-        "q_ann_ivf",
         "q_tfidf",  # broadcast scalar n_docs
         "q_generate_series",  # 1-row bounds
         "q_union_all_null",  # 1-row literal

@@ -80,7 +80,9 @@ def test_phash_band_join_complete_vs_bruteforce(spark):
 
 
 def test_phash_dedup_query_finds_all_planted_recrawl_dups(spark):
-    rows = harness.all_queries()["q_phash_dedup"](spark, SF_SMOKE).collect()
+    from fordgobike_data_pipeline_spark.harness_scale import q_phash_dedup
+
+    rows = q_phash_dedup(spark, SF_SMOKE).collect()
     from fordgobike_data_pipeline_spark.io import load_tables
 
     docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
