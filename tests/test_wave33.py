@@ -35,6 +35,28 @@ def test_spectral_dominant_axis_picked(spark):
     assert r.dominant_dim == 2 and r.top_eigen_share > 0.99
 
 
+def test_spectral_empty_corpus_returns_null_row(spark):
+    # ADVICE r9: .first() on an empty frame returned None and raised
+    # TypeError — degenerate corpora now yield the NULL-shaped row
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    r = similarity.spectral_top_share(df).collect()
+    assert len(r) == 1
+    assert r[0].n_rows == 0 and r[0].top_eigen_share is None
+
+
+def test_spectral_explicit_dim_skips_probe(spark):
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = similarity.spectral_top_share(df, dim=3).collect()[0]
+    assert r.dim == 3 and abs(r.top_eigen_share - 1.0) < 1e-9
+
+
+def test_bitext_empty_corpus_returns_empty(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    docs = spark.createDataFrame([], "doc_id long, lang string")
+    assert similarity.bitext_margin_mine(emb, docs).count() == 0
+
+
 def test_shard_manifest_partitions_corpus(spark):
     import __spark_entry__ as entry
 

@@ -26,8 +26,11 @@ def test_preference_pairs_margins_and_stratification(spark):
 
 def test_chat_lint_flags_are_real(spark):
     rows = entry.queries()["q_chat_lint"](spark, SF).collect()
+    # non-vacuous at adjudication scale (ADVICE r9): the ¼ threshold
+    # flags ≥1 conversation even at sf0.001/sf0.01
+    assert rows
     for r in rows:
-        assert r.n_same_adjacent * 3 >= r.n_turns or r.n_roles == 1
+        assert r.n_same_adjacent * 4 >= r.n_turns or r.n_roles == 1
         assert r.first_role is not None and r.n_turns >= 1
 
 
