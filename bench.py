@@ -40,6 +40,25 @@ from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# BENCH-SURFACE RULE (VERDICT r9 item 3 — the standing contract between
+# the ~355-key registry and this HEADLINE list). Every registered query
+# is in exactly one of three classes:
+#   1. HEADLINE (anchored): timed every round, gated at 1.5x (probe-
+#      scaled) against BENCH_ANCHOR.json. Any key measured >~1s warm at
+#      sf0.1 MUST be here — the round-10 census (BENCH_NOTES_r10_
+#      unbenched.json: one cold pass over all unbenched keys + isolated
+#      best-of-3 of the outliers) promoted q_approx_sketches,
+#      q_decontaminate, q_semantic_keep and q_stream_join on that rule.
+#   2. Sub-second residue (unbenched, ~62 keys): SURVEY scalar/lookup
+#      keys and cheap variants, each <1s warm at sf0.1 per the same
+#      census. Their cost is noise against the ~300s headline aggregate;
+#      re-censused whenever one's implementation changes materially.
+#   3. Documented heavy exclusions (2): q_er_canonical (~17s connected-
+#      components fixpoint) and q_setsim_prefix (~1M-row output, ~210s)
+#      — both oracle-adjudicated at sf0.01 by the driver; benching them
+#      would dominate the aggregate without adding signal.
+# A new query therefore ships either with an anchor or with census
+# evidence it is sub-second; nothing is silently untimed.
 HEADLINE = [
     "q_agg_daily_summary",
     "q_join_role_playing",
@@ -342,6 +361,11 @@ HEADLINE = [
     "q_bitext_mining",
     "q_sample_bias",
     "q_index_purge",
+    # round-10 census promotions (bench-surface rule class 1: >1s warm)
+    "q_approx_sketches",
+    "q_decontaminate",
+    "q_semantic_keep",
+    "q_stream_join",
     # q_er_canonical: oracle-only (connected-components fixpoint loop
     # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
