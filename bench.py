@@ -361,6 +361,12 @@ HEADLINE = [
     "q_bitext_mining",
     "q_sample_bias",
     "q_index_purge",
+    # wave-36 additions (round 10)
+    "q_wasserstein_drift",
+    "q_source_loo_impact",
+    "q_cdc_chunks",
+    "q_kcenter_coreset",
+    "q_balanced_bits",
     # round-10 census promotions (bench-surface rule class 1: >1s warm)
     "q_approx_sketches",
     "q_decontaminate",

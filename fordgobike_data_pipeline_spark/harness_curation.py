@@ -1987,3 +1987,134 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(_fp)").alias("id_fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 36 — leave-one-source-out valuation, CDC chunk dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_source_loo_impact",
+    """
+    WITH hs AS (
+        SELECT md5(text) AS h, source AS src,
+               CAST(count(*) AS BIGINT) AS c_hs
+        FROM documents GROUP BY 1, 2
+    ),
+    ph AS (SELECT h, CAST(sum(c_hs) AS BIGINT) AS c_h FROM hs GROUP BY h),
+    excl AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS n_excl
+        FROM hs JOIN ph USING (h) WHERE c_hs = c_h GROUP BY src
+    ),
+    ps AS (
+        SELECT source AS src, CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(n_chars) AS BIGINT) AS chars_s
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_s) AS BIGINT) AS big_n,
+               CAST(sum(chars_s) AS BIGINT) AS big_s,
+               (SELECT CAST(count(*) AS BIGINT) FROM ph) AS big_h
+        FROM ps
+    )
+    SELECT src AS source, n_s AS n_docs,
+           CASE WHEN big_n - n_s > 0 THEN
+             round(CAST(big_s - chars_s AS DOUBLE) / (big_n - n_s), 9)
+           END AS mean_chars_loo,
+           CASE WHEN big_n - n_s > 0 THEN
+             round(CAST(big_s - chars_s AS DOUBLE) / (big_n - n_s)
+                   - CAST(big_s AS DOUBLE) / big_n, 9)
+           END AS delta_mean_chars,
+           CASE WHEN big_n - n_s > 0 THEN
+             round(CAST((big_n - n_s) - (big_h - coalesce(n_excl, 0))
+                        AS DOUBLE) / (big_n - n_s), 9)
+           END AS dup_rate_loo,
+           CASE WHEN big_n - n_s > 0 THEN
+             round(CAST((big_n - n_s) - (big_h - coalesce(n_excl, 0))
+                        AS DOUBLE) / (big_n - n_s)
+                   - CAST(big_n - big_h AS DOUBLE) / big_n, 9)
+           END AS delta_dup_rate
+    FROM ps LEFT JOIN excl USING (src), tot
+    """,
+)
+def q_source_loo_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out corpus valuation
+    (curation.source_loo_impact): for every source, the corpus mean
+    doc length and exact-duplicate rate WITHOUT that source, plus the
+    deltas vs the full mixture — Shapley-lite source attribution
+    computed for all sources in ONE pass via per-hash exclusive
+    bookkeeping (a hash survives source removal iff a copy exists
+    outside it), so there is no per-source re-scan or anti-join.
+    Exact BIGINT counters; divides guarded on an empty remainder."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.source_loo_impact(docs)
+
+
+@query(
+    "q_cdc_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id AS id, w, pos - 1 AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w,
+                   generate_subscripts(
+                       string_split_regex(lower(trim(text)), '\\s+'), 1
+                   ) AS pos
+            FROM documents
+        ) WHERE w != ''
+    ),
+    ld AS (
+        SELECT id, pos, w,
+               lead(w, 1) OVER (PARTITION BY id ORDER BY pos) AS w1,
+               lead(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bnd AS (
+        SELECT id, pos, w,
+               CASE WHEN pos = 0 OR (w1 IS NOT NULL AND w2 IS NOT NULL
+                         AND CAST(('0x' || substr(
+                                 md5(w || ' ' || w1 || ' ' || w2), 1, 15))
+                             AS BIGINT) % 8 = 0)
+                    THEN 1 ELSE 0 END AS boundary
+        FROM ld
+    ),
+    chunked AS (
+        SELECT id, pos, w,
+               sum(boundary) OVER (PARTITION BY id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS chunk
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT id, chunk,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS ch,
+               CAST(count(*) AS BIGINT) AS nw
+        FROM chunked GROUP BY id, chunk
+    ),
+    per_hash AS (
+        SELECT ch, CAST(count(*) AS BIGINT) AS cnt, min(nw) AS nw
+        FROM chunks GROUP BY ch
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(cnt) - count(*) AS BIGINT) AS dup_chunks,
+           round(CAST(sum(cnt * nw) AS DOUBLE) / sum(cnt), 9)
+               AS avg_chunk_words,
+           CAST(sum((cnt - 1) * nw) AS BIGINT) AS dedup_savings_words
+    FROM per_hash
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup census (dedup.cdc_chunk_stats):
+    rolling-hash word-3-gram boundaries (md5-derived, expected chunk
+    8 words), chunk identity by content hash, corpus-level dup/savings
+    stats. The storage-dedup CDC idea applied to text: boundaries
+    depend only on LOCAL content, so an insertion re-chunks one chunk
+    instead of shifting every later chunk — the property that makes
+    chunk-level dedup catch lightly-edited recrawls whole-doc hashing
+    misses (unit test plants exactly that edit). Windows are
+    partitioned per document; the census shuffle carries 16-byte
+    chunk hashes."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.cdc_chunk_stats(docs)

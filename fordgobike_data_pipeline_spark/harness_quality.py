@@ -1249,3 +1249,61 @@ def q_sample_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 36 — W1 drift with units
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wasserstein_drift",
+    """
+    WITH base AS (
+        SELECT n_chars // 32 AS bucket,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+        FROM documents WHERE source IN ('src0', 'src2')
+    ),
+    b AS (
+        SELECT bucket,
+               CAST(sum(ia) AS BIGINT) AS ca,
+               CAST(sum(1 - ia) AS BIGINT) AS cb
+        FROM base GROUP BY bucket
+    ),
+    cum AS (
+        SELECT bucket,
+               sum(ca) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS cum_a,
+               sum(cb) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM b
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM b
+    )
+    SELECT CASE WHEN n_a > 0 AND n_b > 0 THEN
+             round(32.0 * CAST((SELECT sum(abs(CAST(cum_a AS HUGEINT) * n_b
+                                              - CAST(cum_b AS HUGEINT) * n_a))
+                                FROM cum, tot) AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
+           END AS w1,
+           n_a, n_b, n_buckets
+    FROM tot
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between src0 and src2
+    document-length distributions on a 32-char bucket grid
+    (quality.wasserstein_hist_drift) — the drift statistic WITH UNITS
+    that completes the divergence family (JSD bits, KS stat, PSI, TV):
+    the result reads directly as "the length profiles are N
+    characters apart". Exact-integer CDF cross-multiplication
+    (decimal/HUGEINT), window only over the bounded bucket table,
+    one final double divide."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quality.wasserstein_hist_drift(
+        docs, "source", "src0", "src2", "n_chars", bucket_width=32
+    )

@@ -4471,3 +4471,141 @@ def q_index_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_index = dedup.fingerprint_index(docs)
     deleted = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
     return dedup.index_purge_report(band_index, fp_index, deleted)
+
+
+# ---------------------------------------------------------------------------
+# Wave 36 — k-center coreset selection, mean-centered binary signatures
+# ---------------------------------------------------------------------------
+
+_KC_E_CTE = """
+    e AS (
+        SELECT vec_id, pos - 1 AS pos,
+               CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+    )
+"""
+
+# one greedy step: center t picked from the running min-distance table
+# of step p, distances folded with least(); tiebreak ascending vec_id
+_KC_STEP = """
+    c{t} AS (SELECT vec_id AS id, dmin FROM s{p}
+             ORDER BY dmin DESC, vec_id LIMIT 1),
+    v{t} AS (SELECT pos, q AS v FROM e
+             WHERE vec_id = (SELECT id FROM c{t})),
+    s{t} AS (SELECT s{p}.vec_id,
+                    least(s{p}.dmin, nd.d) AS dmin
+             FROM s{p} JOIN (
+                 SELECT e.vec_id,
+                        CAST(sum((e.q - v{t}.v) * (e.q - v{t}.v)) AS BIGINT)
+                            AS d
+                 FROM e JOIN v{t} USING (pos) GROUP BY e.vec_id
+             ) nd USING (vec_id))
+"""
+
+
+@query(
+    "q_kcenter_coreset",
+    f"""
+    WITH {_KC_E_CTE},
+    c1 AS (SELECT min(vec_id) AS id FROM e),
+    v1 AS (SELECT pos, q AS v FROM e WHERE vec_id = (SELECT id FROM c1)),
+    s1 AS (SELECT e.vec_id,
+                  CAST(sum((e.q - v1.v) * (e.q - v1.v)) AS BIGINT) AS dmin
+           FROM e JOIN v1 USING (pos) GROUP BY e.vec_id),
+    {_KC_STEP.format(t=2, p=1)},
+    {_KC_STEP.format(t=3, p=2)},
+    {_KC_STEP.format(t=4, p=3)},
+    {_KC_STEP.format(t=5, p=4)}
+    SELECT CAST(1 AS INT) AS sel_rank, (SELECT id FROM c1) AS vec_id,
+           CAST(0 AS BIGINT) AS d2
+    UNION ALL SELECT 2, (SELECT id FROM c2), (SELECT dmin FROM c2)
+    UNION ALL SELECT 3, (SELECT id FROM c3), (SELECT dmin FROM c3)
+    UNION ALL SELECT 4, (SELECT id FROM c4), (SELECT dmin FROM c4)
+    UNION ALL SELECT 5, (SELECT id FROM c5), (SELECT dmin FROM c5)
+    """,
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (sampling.kcenter_coreset, k=5):
+    Gonzalez' farthest-point traversal over the embedding corpus —
+    the geometric data-pruning/active-learning selection primitive.
+    Exact integer squared distances on 1e-4 quantized vectors, seed =
+    min id, ascending-id argmax tiebreaks; k bounded TakeOrdered
+    scans, selection is k rows of driver control data. The oracle
+    unrolls the same 5 greedy steps as CTEs."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return sampling.kcenter_coreset(emb, k=5)
+
+
+@query(
+    "q_balanced_bits",
+    f"""
+    WITH e AS (
+        SELECT vec_id, pos - 1 AS pos,
+               CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+    ),
+    thr AS (
+        SELECT pos, CASE WHEN s >= 0 THEN s // n
+                         ELSE -((0 - s) // n) END AS t
+        FROM (SELECT pos, CAST(sum(q) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY pos)
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN pos < 32 AND q > t
+                             THEN (1::BIGINT << pos) ELSE 0 END)
+                    AS BIGINT) AS w_lo,
+               CAST(sum(CASE WHEN pos >= 32 AND q > t
+                             THEN (1::BIGINT << (pos - 32)) ELSE 0 END)
+                    AS BIGINT) AS w_hi
+        FROM e JOIN thr USING (pos) GROUP BY vec_id
+    ),
+    {_NORM_CTE.strip().rstrip()},
+    qs AS (SELECT s.vec_id, s.w_lo, s.w_hi, n.nv
+           FROM sig s JOIN n USING (vec_id) WHERE s.vec_id < 5),
+    scored AS (
+        SELECT qs.vec_id AS qid, c.vec_id AS cid,
+               bit_count(xor(c.w_lo, qs.w_lo))
+                   + bit_count(xor(c.w_hi, qs.w_hi)) AS hamming,
+               CAST(round({_NDOT.format(a='cn', b='qs')} * 1e6, 0) AS BIGINT)
+                   AS s6
+        FROM qs, sig c JOIN n cn USING (vec_id)
+        WHERE c.vec_id != qs.vec_id
+    ),
+    th AS (SELECT qid, cid FROM (
+               SELECT qid, cid, row_number() OVER (
+                   PARTITION BY qid ORDER BY hamming ASC, cid ASC) AS r
+               FROM scored) WHERE r <= 10),
+    tc AS (SELECT qid, cid FROM (
+               SELECT qid, cid, row_number() OVER (
+                   PARTITION BY qid ORDER BY s6 DESC, cid ASC) AS r
+               FROM scored) WHERE r <= 10),
+    common AS (
+        SELECT th.qid, CAST(count(*) AS BIGINT) AS n_common
+        FROM th JOIN tc USING (qid, cid) GROUP BY th.qid
+    )
+    SELECT q2.vec_id AS vec_id,
+           CAST(coalesce(common.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(coalesce(common.n_common, 0) AS DOUBLE) / 10.0, 6)
+               AS recall_at_k
+    FROM (SELECT DISTINCT vec_id FROM qs) q2
+    LEFT JOIN common ON common.qid = q2.vec_id
+    """,
+)
+def q_balanced_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centered 64-bit binary signatures + Hamming recall audit
+    (similarity.balanced_bits_recall): one bit per dimension
+    thresholded at the per-dimension corpus mean (de-biasing the
+    anisotropic common direction that collapses raw sign bits), then
+    recall@10 of Hamming top-10 vs exact cosine top-10 for the 5
+    probe queries — the go/no-go audit before serving the 32×
+    -compressed binary index. Sign-aware truncating-division
+    thresholds, exact integer bit words, bit_count(xor) Hamming,
+    1e-6 integer cosine tiebreaks."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.balanced_bits_recall(emb, n_queries=5, k=10)

@@ -1244,3 +1244,90 @@ def budget_allocation(
     return o.crossJoin(F.broadcast(pivot)).select(
         by, "n_tokens", allocated.alias("allocated")
     )
+
+
+def source_loo_impact(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Leave-one-source-out corpus valuation — the cheap end of the
+    data-attribution spectrum (Shapley-style source valuation without
+    retraining): for every source, what the corpus composition
+    metrics become if that source is DROPPED, computed for all
+    sources in one pass rather than |sources| re-scans. A mixture
+    owner reads the deltas directly: "removing src2 raises mean doc
+    length by 40 chars and cuts the exact-dup rate by 2 points" is an
+    actionable acquisition/retirement signal.
+
+    The trick is per-hash bookkeeping: the corpus-minus-s distinct
+    count is H − |hashes exclusive to s| (a hash survives removal of
+    s iff some copy lives outside s), so one md5-level aggregate with
+    per-source counts answers every leave-one-out question at once —
+    no per-source anti-join, no re-scan. All counters are exact
+    BIGINT sums; the only float ops are the final mean/rate divides,
+    guarded against an empty remainder.
+
+    Scale: one exact-dedup-shaped hash aggregate (shuffle carries
+    16-byte keys), one (hash, source) pre-aggregate, and source-level
+    joins over the bounded source dimension. Returns one row per
+    source: (source, n_docs, mean_chars_loo, delta_mean_chars,
+    dup_rate_loo, delta_dup_rate)."""
+    h = F.md5(F.col(text_col)).alias("h")
+    per_hs = docs.select(h, F.col(source_col).alias("src")).groupBy(
+        "h", "src"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_hs"))
+    per_h = per_hs.groupBy("h").agg(F.sum("c_hs").cast("long").alias("c_h"))
+    # hashes exclusive to a source: every copy lives in that source
+    excl = (
+        per_hs.join(per_h, "h")
+        .filter(F.col("c_hs") == F.col("c_h"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excl"))
+    )
+    per_src = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum(size_col).cast("long").alias("chars_s"),
+    )
+    tot = per_src.agg(
+        F.sum("n_s").cast("long").alias("big_n"),
+        F.sum("chars_s").cast("long").alias("big_s"),
+    ).crossJoin(
+        F.broadcast(per_h.agg(F.count(F.lit(1)).cast("long").alias("big_h")))
+    )
+    j = (
+        per_src.join(excl, "src", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "n_s",
+            "chars_s",
+            F.coalesce(F.col("n_excl"), F.lit(0)).alias("n_excl"),
+            "big_n",
+            "big_s",
+            "big_h",
+        )
+    )
+    n_loo = F.col("big_n") - F.col("n_s")
+    mean_loo = (F.col("big_s") - F.col("chars_s")).cast("double") / n_loo.cast(
+        "double"
+    )
+    mean_full = F.col("big_s").cast("double") / F.col("big_n").cast("double")
+    distinct_loo = F.col("big_h") - F.col("n_excl")
+    dup_loo = (n_loo - distinct_loo).cast("double") / n_loo.cast("double")
+    dup_full = (F.col("big_n") - F.col("big_h")).cast("double") / F.col(
+        "big_n"
+    ).cast("double")
+    return j.select(
+        F.col("src").alias("source"),
+        F.col("n_s").alias("n_docs"),
+        F.when(n_loo > 0, F.round(mean_loo, 9)).alias("mean_chars_loo"),
+        F.when(n_loo > 0, F.round(mean_loo - mean_full, 9)).alias(
+            "delta_mean_chars"
+        ),
+        F.when(n_loo > 0, F.round(dup_loo, 9)).alias("dup_rate_loo"),
+        F.when(n_loo > 0, F.round(dup_loo - dup_full, 9)).alias(
+            "delta_dup_rate"
+        ),
+    )

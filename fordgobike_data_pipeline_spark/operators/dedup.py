@@ -1173,3 +1173,96 @@ def index_purge_report(
                 "n_buckets_emptied", "n_rows_purged")
     )
     return near.unionByName(fp)
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 3,
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup census at word
+    granularity — the storage-dedup technique (rolling-hash boundary
+    detection, as in LBFS/restic/borg) applied to corpus text: a
+    chunk boundary opens wherever the hash of the local word
+    ``gram``-gram ≡ 0 (mod ``boundary_mod``), so boundaries are a
+    function of LOCAL content only. Unlike fixed-width chunking
+    (q_chunk_docs), a one-word insertion re-chunks only the chunk it
+    lands in — every later chunk keeps its identity, which is what
+    makes chunk-level dedup effective on recrawled / lightly-edited
+    documents where whole-doc hashes all miss.
+
+    Pipeline: tokenize with positions → per-doc lead window builds
+    each position's gram → boundary flag from the md5-derived integer
+    (the repo's engine-portable hash idiom) → chunk id = running
+    boundary count (partitioned cumulative sum) → chunk content
+    re-assembled in position order and md5'd → corpus-level census on
+    the chunk-hash aggregate. Expected chunk length is
+    ``boundary_mod`` words.
+
+    Scale: one explode, two windows PARTITIONED BY document (never
+    global), one hash aggregate whose shuffle carries 16-byte chunk
+    keys. Deterministic end-to-end (md5 both engines, position-ordered
+    reassembly). Returns one row: (n_chunks, n_distinct_chunks,
+    dup_chunks, avg_chunk_words, dedup_savings_words)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    w_doc = Window.partitionBy("_id").orderBy("pos")
+    leads = toks.select(
+        "_id",
+        "pos",
+        "w",
+        *[F.lead("w", i).over(w_doc).alias(f"w{i}") for i in range(1, gram)],
+    )
+    gram_str = F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, gram)])
+    fp = F.conv(F.substring(F.md5(gram_str), 1, 15), 16, 10).cast("long")
+    tail_null = F.lit(False)
+    for i in range(1, gram):
+        tail_null = tail_null | F.col(f"w{i}").isNull()
+    boundary = F.when(
+        (F.col("pos") == 0)
+        | (~tail_null & (fp % F.lit(boundary_mod) == 0)),
+        1,
+    ).otherwise(0)
+    w_cum = Window.partitionBy("_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chunked = leads.select(
+        "_id", "pos", "w", F.sum(boundary).over(w_cum).alias("chunk")
+    )
+    chunks = chunked.groupBy("_id", "chunk").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("ch"),
+        F.count(F.lit(1)).cast("long").alias("nw"),
+    )
+    per_hash = chunks.groupBy("ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("nw").alias("nw"),
+    )
+    return per_hash.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("dup_chunks"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("nw")).cast("double")
+            / F.sum("cnt").cast("double"),
+            9,
+        ).alias("avg_chunk_words"),
+        F.sum((F.col("cnt") - 1) * F.col("nw")).cast("long").alias(
+            "dedup_savings_words"
+        ),
+    )

@@ -142,3 +142,70 @@ def weighted_sample(
     return scored.orderBy(
         F.col("es_score").desc(), F.col(key_col).asc()
     ).limit(n)
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez' 2-approximation,
+    the farthest-point traversal) over an embedding corpus — the
+    geometric data-pruning primitive: the selected rows are the most
+    mutually-distant exemplars, the k-center radius after selection
+    bounds how well the coreset covers the corpus, and "active
+    learning / coreset" pipelines (e.g. greedy k-center selection for
+    CNN coresets, Sener & Savarese) use exactly this traversal to pick
+    which documents to label or keep.
+
+    Determinism & exactness: vectors snap to 1e-4 integer units
+    (rint, engine-stable); ALL distances are exact integer squared
+    L2 in BIGINT (max term ≈ dim·(2·scale·|x|)² ≈ 4e11 at dim 64 —
+    well inside int64); the seed is the minimum id; every argmax
+    tiebreaks on ascending id. The oracle unrolls the same k greedy
+    steps as CTEs over the position-exploded integers.
+
+    Scale: k bounded scans, each a TakeOrdered reduce (no global
+    sort); the selected set is k rows of driver control data (the
+    sanctioned bounded-collect class, same as k-means centroids); the
+    running min-distance column updates by composition, so Catalyst
+    fuses each round's distance into one stage. Never materializes
+    pairs. Returns k rows: (sel_rank, vec_id, d2) where d2 is the
+    exact integer squared distance (1e-8 units) from the selected
+    point to the previously selected set (0 for the seed)."""
+    ints = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("_xi"),
+    ).localCheckpoint(eager=True)
+
+    def _d2(center: list[int]):
+        carr = F.array(*[F.lit(int(c)).cast("long") for c in center])
+        return F.aggregate(
+            F.zip_with(F.col("_xi"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    seed = ints.orderBy("_id").limit(1).collect()[0]
+    selected = [(1, int(seed["_id"]), 0)]
+    cur = ints.withColumn("dmin", _d2(list(seed["_xi"])))
+    for rank in range(2, k + 1):
+        far = (
+            cur.orderBy(F.col("dmin").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((rank, int(far["_id"]), int(far["dmin"])))
+        cur = cur.withColumn(
+            "dmin", F.least(F.col("dmin"), _d2(list(far["_xi"])))
+        )
+    return emb.sparkSession.createDataFrame(
+        selected, "sel_rank int, vec_id long, d2 long"
+    )

@@ -2183,3 +2183,130 @@ def bitext_margin_mine(
             F.round(m, 6).alias("margin"),
         )
     )
+
+
+def balanced_bits_recall(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Mean-centered 64-bit binary signatures + Hamming-vs-exact
+    recall audit — the cheapest ANN tier: one bit per dimension
+    (xi > per-dimension corpus mean), so a 64-dim float vector
+    compresses 32× into a single pair of int words and candidate
+    scoring is two XOR+popcounts. Centering each bit's threshold at
+    the DATA mean (rather than 0, as raw-sign/SimHash bits do)
+    de-biases the anisotropic common-direction component that
+    otherwise drives every signature toward the same codeword, which
+    is precisely the failure q_embed_anisotropy measures. The audit
+    half reports recall@k of Hamming top-k against exact cosine
+    top-k per probe query — the go/no-go number before swapping the
+    binary index into a retrieval pipeline.
+
+    Determinism: 1e-4 integer quantization (rint); per-dim mean
+    thresholds as SIGN-AWARE truncating integer division (both
+    engines agree on negatives); bit words are exact integer sums of
+    1<<pos; Hamming is bit_count(xor); cosine ordering uses the
+    family's 1e-6 integer cosine with ascending-id tiebreaks.
+
+    Scale: one position-explode aggregate for the 64 thresholds
+    (bounded output), one explode-join to build signatures (shuffle
+    carries (id, two longs)), then candidate scoring is
+    n_queries·N — linear, same envelope as q_ann_topk's exact
+    baseline; the window is PARTITIONED per query. Returns one row
+    per probe query: (vec_id, n_common, recall_at_k)."""
+    from pyspark.sql import Window
+
+    ints = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "q"),
+    )
+    thr = ints.groupBy("pos").agg(
+        F.sum("q").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    ).select(
+        "pos",
+        F.when(
+            F.col("s") >= 0, F.expr("s div n")
+        ).otherwise(-F.expr("(0 - s) div n")).alias("t"),
+    )
+    sig = (
+        ints.join(F.broadcast(thr), "pos")
+        .select(
+            "_id",
+            "pos",
+            F.when(F.col("q") > F.col("t"), 1).otherwise(0).alias("bit"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pos") < 32) & (F.col("bit") == 1),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("w_lo"),
+            F.sum(
+                F.when(
+                    (F.col("pos") >= 32) & (F.col("bit") == 1),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), pos - 32)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("w_hi"),
+        )
+    )
+    nv = emb.select(
+        F.col(id_col).alias("_id"), unit_normalize(F.col(vec_col)).alias("_nv")
+    )
+    base = sig.join(nv, "_id")
+    q_side = base.filter(F.col("_id") < n_queries).select(
+        F.col("_id").alias("qid"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+        F.col("_nv").alias("_qv"),
+    )
+    cand = base.crossJoin(F.broadcast(q_side)).filter(F.col("_id") != F.col("qid"))
+    ham = F.bit_count(
+        F.col("w_lo").bitwiseXOR(F.col("q_lo"))
+    ) + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+    s6 = F.round(dot(F.col("_nv"), F.col("_qv")) * 1e6).cast("long")
+    scored = cand.select(
+        "qid", "_id", ham.alias("hamming"), s6.alias("s6")
+    )
+    w_h = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("_id").asc()
+    )
+    w_c = Window.partitionBy("qid").orderBy(
+        F.col("s6").desc(), F.col("_id").asc()
+    )
+    top_h = scored.withColumn("rh", F.row_number().over(w_h)).filter(
+        F.col("rh") <= k
+    )
+    top_c = scored.withColumn("rc", F.row_number().over(w_c)).filter(
+        F.col("rc") <= k
+    )
+    common = top_h.select("qid", "_id").join(
+        top_c.select("qid", "_id"), ["qid", "_id"]
+    ).groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return (
+        q_side.select("qid")
+        .join(common, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
