@@ -367,6 +367,12 @@ HEADLINE = [
     "q_cdc_chunks",
     "q_kcenter_coreset",
     "q_balanced_bits",
+    # wave-37 additions (round 10)
+    "q_lateness_audit",
+    "q_compaction_plan",
+    "q_blocking_quality",
+    "q_huber_mean",
+    "q_dp_quantiles",
     # round-10 census promotions (bench-surface rule class 1: >1s warm)
     "q_approx_sketches",
     "q_decontaminate",

@@ -2403,3 +2403,112 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 50, F.col("mean_b"))).alias("ci_median"),
         F.max(F.when(F.col("rn") == 98, F.col("mean_b"))).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 37 — watermark lateness audit, Huber robust location
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lateness_audit",
+    """
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us, event_id // 256 AS batch FROM events
+    ),
+    pb AS (SELECT batch, max(us) AS bmax FROM ev GROUP BY batch),
+    wm AS (
+        SELECT batch,
+               max(bmax) OVER (ORDER BY batch
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS wm_us
+        FROM pb
+    ),
+    d(delay_min) AS (VALUES (1), (5), (15)),
+    j AS (
+        SELECT ev.us, wm.wm_us, d.delay_min
+        FROM ev JOIN wm USING (batch) CROSS JOIN d
+    )
+    SELECT delay_min,
+           CAST(sum(CASE WHEN wm_us IS NOT NULL
+                          AND us < wm_us - delay_min * CAST(60000000 AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(CAST(sum(CASE WHEN wm_us IS NOT NULL
+                          AND us < wm_us - delay_min * CAST(60000000 AS BIGINT)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9)
+               AS late_ratio
+    FROM j GROUP BY delay_min
+    """,
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark design audit (temporal.watermark_lateness_audit):
+    replay the events stream in ingest order (event_id) at the
+    engine's own micro-batch granularity and count, for each
+    candidate ``withWatermark`` delay {1, 5, 15} min, the events that
+    would have arrived behind the watermark — the measured basis for
+    choosing the streaming jobs' lateness budget instead of guessing.
+    Integer epoch-microsecond comparisons; the cummax window runs
+    over the batch-SUMMARY table only."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from .operators import temporal
+
+    return temporal.watermark_lateness_audit(ev, delays_minutes=[1, 5, 15])
+
+
+_HB_STEP = """
+    a{t} AS (
+        SELECT i.grp,
+               CAST(sum(CAST(CASE WHEN abs(v - m) <= 1000000 THEN v * 1000000
+                        ELSE CAST(round_even(1e6 / abs(v - m) * v * 1e6, 0)
+                                  AS BIGINT) END AS HUGEINT)) AS HUGEINT)
+                   AS swv,
+               CAST(sum(CASE WHEN abs(v - m) <= 1000000 THEN 1000000
+                        ELSE CAST(round_even(1e6 / abs(v - m) * 1e6, 0)
+                                  AS BIGINT) END) AS BIGINT) AS sw
+        FROM i JOIN l{p} USING (grp) GROUP BY i.grp
+    ),
+    l{t} AS (
+        SELECT l{p}.grp, l{p}.n, l{p}.s,
+               CAST(CASE WHEN swv >= 0 THEN swv // sw
+                         ELSE -((0 - swv) // sw) END AS BIGINT) AS m
+        FROM a{t} JOIN l{p} USING (grp)
+    )
+"""
+
+
+@query(
+    "q_huber_mean",
+    f"""
+    WITH i AS (
+        SELECT event_type AS grp,
+               CAST(round_even(value * 1e6, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    b AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s FROM i GROUP BY grp),
+    l0 AS (SELECT grp, n, s,
+                  CAST(CASE WHEN s >= 0 THEN s // n
+                            ELSE -((0 - s) // n) END AS BIGINT) AS m
+           FROM b),
+    {_HB_STEP.format(t=1, p=0)},
+    {_HB_STEP.format(t=2, p=1)}
+    SELECT grp AS event_type, n,
+           round(CAST(s AS DOUBLE) / n / 1e6, 9) AS plain_mean,
+           round(CAST(m AS DOUBLE) / 1e6, 9) AS huber_mean,
+           round((CAST(m AS DOUBLE) - CAST(s AS DOUBLE) / n) / 1e6, 9)
+               AS delta
+    FROM l2
+    """,
+)
+def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of location for events.value per event type
+    (analytics.huber_location, c=1.0, two fixed IRLS rounds) — the
+    robust mean that completes the robust-stats family: outliers are
+    down-weighted by c/|r| rather than dominating (mean) or being
+    hard-dropped (winsorize). Exact-integer iterate via sign-aware
+    truncating division of decimal/HUGEINT sums; per-term 1e-6
+    quantization before every sum; the oracle unrolls the same two
+    rounds."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return analytics.huber_location(ev, "event_type", "value", c=1.0, iters=2)

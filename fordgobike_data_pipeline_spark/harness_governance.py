@@ -900,3 +900,78 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") + noise, 6).alias("noised_count"),
         F.lit(1.0).cast("double").alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 37 — DP quantiles (exponential mechanism)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dp_quantiles",
+    """
+    WITH b AS (
+        SELECT n_chars // 32 AS bucket, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               CAST(sum(n) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM b
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM b),
+    qd(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                     (CAST(0.75 AS DOUBLE))),
+    g AS (
+        SELECT cum.bucket, cum.cum, tot.big_n, qd.q,
+               CAST(round_even(q * big_n * 1e6, 0) AS BIGINT) AS target
+        FROM cum, tot, qd
+    ),
+    sc AS (
+        SELECT q, bucket, cum, big_n,
+               round(CAST(0.5 AS DOUBLE)
+                     * (CAST(-abs(cum * CAST(1000000 AS BIGINT) - target)
+                             AS DOUBLE) / 1e6)
+                     + (-ln(-ln(
+                         (CAST(CAST(('0x' || substr(md5(
+                              CAST(q AS VARCHAR) || '|'
+                              || CAST(bucket AS VARCHAR)
+                              || '|' || 'dpq-seed-42'), 1, 15))
+                            AS BIGINT) AS DOUBLE) + 0.5)
+                         / 1152921504606846976.0))), 6) AS score
+        FROM g
+    ),
+    pick AS (
+        SELECT q, bucket, cum, big_n,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY score DESC, bucket ASC) AS rn
+        FROM sc
+    ),
+    dp AS (SELECT q, (bucket + 1) * 32 AS dp_value, cum AS dp_cum, big_n
+           FROM pick WHERE rn = 1),
+    hit AS (SELECT q, min(bucket) AS tbucket FROM g
+            WHERE cum * CAST(1000000 AS BIGINT) >= target GROUP BY q),
+    tc AS (SELECT hit.q, cum.cum AS true_cum, hit.tbucket
+           FROM hit JOIN cum ON cum.bucket = hit.tbucket)
+    SELECT dp.q, CAST(dp.dp_value AS BIGINT) AS dp_value,
+           CAST((tc.tbucket + 1) * 32 AS BIGINT) AS true_value,
+           round(CAST(abs(dp.dp_cum - tc.true_cum) AS DOUBLE) / dp.big_n, 9)
+               AS rank_error
+    FROM dp JOIN tc USING (q)
+    """,
+)
+def q_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private quantile release via the exponential
+    mechanism (governance.dp_quantiles, ε=1): candidate bucket edges
+    score u = −|rank distance|, released edge = argmax(ε·u/2 +
+    seeded Gumbel) — the mechanism-class companion to q_dp_histogram's
+    Laplace release, with the same seeded-entropy convention (md5
+    uniform → reproducible, oracle-checkable; production injects a
+    CSPRNG). Exact BIGINT rank arithmetic on the bounded bucket
+    table; scores quantized to 1e-6 with ascending-bucket tiebreak so
+    a last-ulp ln() divergence cannot flip the argmax. Reports the
+    released value, the true grid quantile, and the realized rank
+    error."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return governance.dp_quantiles(docs, "n_chars", qs=[0.25, 0.5, 0.75])

@@ -4609,3 +4609,77 @@ def q_balanced_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 integer cosine tiebreaks."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.balanced_bits_recall(emb, n_queries=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Wave 37 — ER blocking-scheme audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_blocking_quality",
+    f"""
+    WITH {_mh_pairs_ctes()},
+    keyed AS (
+        SELECT doc_id AS id,
+               'len16:' || CAST(n_chars // 16 AS VARCHAR) AS len16,
+               'first_word:' || split_part(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ', 1) AS first_word,
+               'prefix8:' || substr(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   1, 8) AS prefix8
+        FROM documents
+    ),
+    lk AS (
+        SELECT id, 'len16' AS scheme, len16 AS bkey FROM keyed
+        UNION ALL
+        SELECT id, 'first_word', first_word FROM keyed
+        UNION ALL
+        SELECT id, 'prefix8', prefix8 FROM keyed
+    ),
+    blocks AS (
+        SELECT scheme, bkey, CAST(count(*) AS BIGINT) AS nb
+        FROM lk GROUP BY 1, 2
+    ),
+    ps AS (
+        SELECT scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum((CAST(nb AS HUGEINT) * (nb - 1)) // 2) AS HUGEINT)
+                   AS cand
+        FROM blocks GROUP BY 1
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM documents),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM mh_pairs),
+    co AS (
+        SELECT ka.scheme, CAST(count(*) AS BIGINT) AS n_co
+        FROM mh_pairs p
+        JOIN lk ka ON ka.id = p.id_a
+        JOIN lk kb ON kb.id = p.id_b AND kb.scheme = ka.scheme
+        WHERE ka.bkey = kb.bkey
+        GROUP BY 1
+    )
+    SELECT ps.scheme, ps.n_blocks, CAST(ps.cand AS BIGINT) AS cand_pairs,
+           CASE WHEN nt.big_n > 1 THEN
+             round(CAST(1 AS DOUBLE) - CAST(ps.cand AS DOUBLE)
+                   / (CAST(nt.big_n AS DOUBLE) * (nt.big_n - 1) / 2), 9)
+           END AS reduction_ratio,
+           CASE WHEN tt.n_truth > 0 THEN
+             round(CAST(coalesce(co.n_co, 0) AS DOUBLE) / tt.n_truth, 9)
+           END AS pair_completeness
+    FROM ps LEFT JOIN co USING (scheme), nt, tt
+    """,
+)
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-scheme audit (dedup.blocking_quality): reduction
+    ratio and pair completeness (Christen's blocking-quality pair)
+    for three candidate block keys — 16-char length band, first
+    normalized word, 8-char normalized prefix — against the verified
+    MinHash near-dup pair set as the reference matches (the cached
+    md5-parity pair set every dedup audit consumes). Reduction ratio
+    is computed from BLOCK SIZES (Σ C(n_b,2), decimal/HUGEINT — no
+    pair materialization); completeness joins only the bounded truth
+    set. The recall-ceiling numbers that justify (or veto) a blocking
+    key before the 100 TB matcher runs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    truth = _cached_mh_pairs(spark, sf_dir)
+    return dedup.blocking_quality(docs, truth)

@@ -1376,3 +1376,52 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("long").alias("n_chars_sum"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 37 — compaction planning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_compaction_plan",
+    """
+    WITH census AS (
+        SELECT source AS part, doc_id // 100 AS file_id,
+               CAST(sum(n_chars) AS BIGINT) AS n_bytes
+        FROM documents GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT part,
+               n_bytes AS b,
+               CAST(coalesce(sum(n_bytes) OVER (
+                        PARTITION BY part ORDER BY file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) // 65536 AS BIGINT) AS bin
+        FROM census
+    )
+    SELECT part, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(b) AS BIGINT) AS total_bytes,
+           round(CAST(sum(b) AS DOUBLE) / 65536.0, 9) AS fill_ratio
+    FROM a GROUP BY part, bin
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLAN (warehouse.compaction_plan): given a
+    per-(table-partition, file) size census — derived here from the
+    documents table so the oracle sees identical inputs; production
+    feeds the harvest_footers metadata the compact_small_files action
+    uses — assign files to ~64 KiB output bins by next-fit in file
+    order (bin = exclusive running bytes // target). Stable under
+    re-runs, append-only friendly (earlier bins never change), within
+    2x of optimal fill. Windows PARTITIONED per table partition over
+    metadata-scale input."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    census = docs.groupBy(
+        F.col("source").alias("part"),
+        F.expr("doc_id div 100").alias("file_id"),
+    ).agg(F.sum("n_chars").cast("long").alias("n_bytes"))
+    return warehouse.compaction_plan(
+        census, "part", "file_id", "n_bytes", target_bytes=65536
+    )

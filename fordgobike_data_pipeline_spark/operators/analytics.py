@@ -1054,3 +1054,93 @@ def theil_sen_trend(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.percentile(F.col("s"), F.lit(0.5)), 9).alias("sen_slope"),
     )
+
+
+def huber_location(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    c: float = 1.0,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Huber M-estimator of location per group — the robust mean that
+    completes the robust-stats family (q_mad_outliers detects,
+    q_winsorize clips, this ESTIMATES): outliers beyond ``c`` get
+    down-weighted by w = c/|r| instead of either dominating the mean
+    or being hard-dropped. Computed by ``iters`` FIXED IRLS rounds
+    (not convergence-tested, so the oracle unrolls the same depth —
+    the q_power_iteration discipline).
+
+    Determinism: values snap to 1e-6 integer units (rint); the
+    running location is re-quantized to integer units each round via
+    SIGN-AWARE truncating division of a decimal(38,0)/HUGEINT
+    numerator (Σ w·v in 1e-12 units — v and w each carry 1e-6) by the
+    exact Σ w — both engines agree bit-exactly, so round-(t+1)'s
+    per-row weights see identical integers. Outlier terms w·v and w
+    are each one double op ROUNDED to an integer unit grid before the
+    exact sum (the order-independent-sum playbook).
+
+    Scale: ``iters`` grouped aggregates over the corpus — partial-agg
+    friendly, no windows, no driver data beyond the plan. Returns one
+    row per group: (group, n, plain_mean, huber_mean, delta)."""
+    cu = int(round(c * scale))
+    ints = df.select(
+        F.col(group_col).alias("grp"),
+        F.rint(F.col(value_col).cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("v"),
+    )
+    base = ints.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    # integer-unit starting location: sign-aware truncating mean
+    m0 = F.when(F.col("s") >= 0, F.expr("s div n")).otherwise(
+        -F.expr("(0 - s) div n")
+    )
+    loc = base.select("grp", "n", "s", m0.cast("long").alias("m"))
+    for _ in range(iters):
+        j = ints.join(F.broadcast(loc.select("grp", "m")), "grp")
+        r = F.col("v") - F.col("m")
+        absr = F.abs(r)
+        inlier = absr <= cu
+        # inlier: w = 1e6 units, wv = v (1e-6 value units, w folded out
+        # so both terms stay exact integers); outlier: one double op
+        # each, rounded to the same grids
+        w_units = F.when(inlier, F.lit(scale).cast("long")).otherwise(
+            F.rint(F.lit(float(cu)) / absr.cast("double") * F.lit(float(scale))).cast("long")
+        )
+        wv_units = F.when(inlier, F.col("v") * F.lit(scale).cast("long")).otherwise(
+            F.rint(
+                F.lit(float(cu)) / absr.cast("double") * F.col("v").cast("double") * F.lit(float(scale))
+            ).cast("long")
+        )
+        agg = (
+            j.select("grp", w_units.alias("w_units"), wv_units.alias("wv_units"))
+            .groupBy("grp")
+            .agg(
+                F.sum(F.col("wv_units").cast("decimal(38,0)")).alias("swv"),
+                F.sum("w_units").cast("long").alias("sw"),
+            )
+        )
+        loc = agg.join(loc.select("grp", "n", "s"), "grp").select(
+            "grp",
+            "n",
+            "s",
+            F.expr(
+                "CAST(CASE WHEN swv >= 0 THEN CAST(swv AS DECIMAL(38,0)) div CAST(sw AS DECIMAL(38,0)) "
+                "ELSE -(CAST(0 - swv AS DECIMAL(38,0)) div CAST(sw AS DECIMAL(38,0))) END AS BIGINT)"
+            ).alias("m"),
+        )
+    return loc.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n").cast("double") / F.lit(float(scale)), 9).alias("plain_mean"),
+        F.round(F.col("m").cast("double") / F.lit(float(scale)), 9).alias("huber_mean"),
+        F.round(
+            (F.col("m").cast("double") - F.col("s").cast("double") / F.col("n").cast("double"))
+            / F.lit(float(scale)),
+            9,
+        ).alias("delta"),
+    )

@@ -113,3 +113,109 @@ def pii_census(
             ),
         )
     )
+
+
+def dp_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float] = (0.25, 0.5, 0.75),
+    epsilon: float = 1.0,
+    bucket_width: int = 32,
+    salt: str = "dpq-seed-42",
+) -> DataFrame:
+    """Differentially-private quantile release via the EXPONENTIAL
+    MECHANISM over a fixed bucket grid — the governance companion to
+    the Laplace histogram (same release pipeline, different
+    mechanism class): each candidate bucket edge scores utility
+    u = −|cum_count − q·N| (rank distance to the target quantile,
+    sensitivity 1), and the released value is
+    argmax(ε·u/2 + Gumbel) — the standard Gumbel-max sampling of
+    exp(ε·u/2). As with q_dp_histogram, the Gumbel draw inverts a
+    uniform derived from md5(q‖bucket‖salt), so the release is
+    SEEDED/reproducible and oracle-checkable; production swaps the
+    hash for a CSPRNG (the mechanism plumbing — utilities,
+    calibration, argmax — is the real part, entropy is the
+    injectable part).
+
+    Determinism: counts/cumulatives are exact BIGINT (window over the
+    BOUNDED bucket table only); the score is quantized to 1e-6 before
+    the argmax with an ascending-bucket tiebreak, so a last-ulp ln()
+    difference between engines cannot flip the winner.
+
+    Scale: one grouped count over the corpus; everything after runs
+    on the bounded (buckets × |qs|) grid. Returns one row per q:
+    (q, dp_value, true_value, rank_error)."""
+    b = df.select(
+        F.expr(f"{value_col} div {int(bucket_width)}").alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "bucket", F.sum("n").over(w_cum).cast("long").alias("cum")
+    )
+    tot = b.agg(F.sum("n").cast("long").alias("big_n"))
+    spark = df.sparkSession
+    q_df = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    g = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(q_df))
+    # utility in exact 1e-6 rank units: -(|1e6*cum - round(1e6*q*N)|)
+    target = F.rint(F.col("q") * F.col("big_n").cast("double") * 1e6).cast(
+        "long"
+    )
+    u = -F.abs(F.col("cum") * F.lit(1_000_000).cast("long") - target)
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("q").cast("string"), F.col("bucket").cast("string"), F.lit(salt)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    uu = (fp.cast("double") + 0.5) / 1152921504606846976.0
+    gumbel = -F.log(-F.log(uu))
+    score = F.round(
+        F.lit(float(epsilon)) / 2.0 * (u.cast("double") / 1e6) + gumbel, 6
+    )
+    from pyspark.sql import Window as W2
+
+    w_pick = W2.partitionBy("q").orderBy(
+        F.col("score").desc(), F.col("bucket").asc()
+    )
+    scored = g.select(
+        "q", "bucket", "cum", "big_n", score.alias("score")
+    ).withColumn("rn", F.row_number().over(w_pick))
+    dp_pick = scored.filter(F.col("rn") == 1).select(
+        "q",
+        ((F.col("bucket") + 1) * F.lit(int(bucket_width))).cast("long").alias(
+            "dp_value"
+        ),
+        F.col("cum").alias("dp_cum"),
+        "big_n",
+    )
+    # true quantile on the same grid: first bucket with cum >= q*N
+    hit = g.filter(
+        F.col("cum") * F.lit(1_000_000).cast("long") >= target
+    ).groupBy("q").agg(F.min("bucket").alias("tbucket"))
+    true_cum = hit.join(
+        cum.withColumnRenamed("bucket", "tbucket"), "tbucket"
+    ).select("q", F.col("cum").alias("true_cum"), "tbucket")
+    return (
+        dp_pick.join(true_cum, "q")
+        .select(
+            "q",
+            "dp_value",
+            ((F.col("tbucket") + 1) * F.lit(int(bucket_width))).cast(
+                "long"
+            ).alias("true_value"),
+            F.round(
+                F.abs(F.col("dp_cum") - F.col("true_cum")).cast("double")
+                / F.col("big_n").cast("double"),
+                9,
+            ).alias("rank_error"),
+        )
+    )

@@ -514,3 +514,75 @@ def seasonal_profile_dow(
             9,
         ).alias("seasonal_index"),
     )
+
+
+def watermark_lateness_audit(
+    events: DataFrame,
+    delays_minutes: list[int] = (1, 5, 15),
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Watermark design audit — answers "which watermark delay would
+    have dropped how much of THIS stream?" before anyone picks the
+    ``withWatermark`` value for the streaming jobs
+    (streaming/incremental.py): for each candidate delay, replay the
+    batch's arrival order (the monotone ingest id) and count events
+    whose event time had already fallen behind the watermark when
+    they arrived. This is the offline twin of Structured Streaming's
+    own bookkeeping: the engine advances the watermark per
+    MICRO-BATCH (max event time seen in completed batches minus the
+    delay), so the audit buckets arrivals into ``batch_size``-row
+    micro-batches and takes the watermark an event faces as
+    cummax(prior batches' max event time) − delay — exactly the
+    granularity at which the real engine would have dropped it.
+
+    Determinism: all comparisons run on integer epoch microseconds;
+    the delay grid is a bounded literal relation (broadcast).
+
+    Scale: one per-batch aggregate (output rows = n_events /
+    batch_size), a cumulative-max window over that BATCH-SUMMARY
+    table (metadata-scale — the same state the streaming engine keeps
+    per micro-batch; at extreme event counts raise ``batch_size`` or
+    two-level the cummax), then one broadcast join back. Returns one
+    row per delay: (delay_min, n_late, n_total, late_ratio)."""
+    ev = events.select(
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.expr(f"{arrival_col} div {int(batch_size)}").alias("_batch"),
+    )
+    per_batch = ev.groupBy("_batch").agg(F.max("_us").alias("_bmax"))
+    w_prior = Window.orderBy("_batch").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = per_batch.select(
+        "_batch", F.max("_bmax").over(w_prior).alias("_wm_us")
+    )
+    spark = events.sparkSession
+    delays = spark.createDataFrame(
+        [(int(d),) for d in delays_minutes], "delay_min int"
+    )
+    joined = ev.join(F.broadcast(wm), "_batch").crossJoin(F.broadcast(delays))
+    late = F.when(
+        F.col("_wm_us").isNotNull()
+        & (
+            F.col("_us")
+            < F.col("_wm_us") - F.col("delay_min").cast("long") * 60_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        joined.groupBy("delay_min")
+        .agg(
+            F.sum(late).cast("long").alias("n_late"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .select(
+            "delay_min",
+            "n_late",
+            "n_total",
+            F.round(
+                F.col("n_late").cast("double") / F.col("n_total").cast("double"),
+                9,
+            ).alias("late_ratio"),
+        )
+    )

@@ -593,3 +593,55 @@ def compact_small_files(
         "target_file_bytes": target_file_bytes,
     }
 
+
+
+def compaction_plan(
+    census: DataFrame,
+    group_col: str = "part",
+    file_col: str = "file_id",
+    bytes_col: str = "n_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Deterministic small-file compaction PLAN — the relational,
+    oracle-checkable half of :func:`compact_small_files`: given a
+    file-size census (one row per file), assign every file to an
+    output bin so each bin lands near ``target_bytes``. The
+    assignment is next-fit in file order — ``bin = cumulative bytes
+    BEFORE this file // target`` — which is what a maintenance job
+    wants: stable under re-runs (no size-sorting reshuffle of file
+    identities), append-only friendly (new files extend the last bin
+    or open a new one, earlier bins never change), and within 2× of
+    optimal fill for any input (next-fit's classic bound).
+
+    Scale: one window per table-partition group (PARTITIONED cumsum
+    in file order — never global) over the file CENSUS, which is
+    metadata (one row per file, the same input harvest_footers
+    produces), then one aggregate. Exact integer byte accounting;
+    the only float is the final fill ratio. Returns one row per
+    (group, bin): (part, bin, n_files, total_bytes, fill_ratio)."""
+    w = Window.partitionBy(group_col).orderBy(file_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0)).cast("long")
+    assigned = census.withColumn("_cum", cum_before).select(
+        F.col(group_col).alias("part"),
+        F.col(bytes_col).cast("long").alias("b"),
+        F.expr(f"_cum div {int(target_bytes)}").cast("long").alias("bin"),
+    )
+    return (
+        assigned.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("b").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "part",
+            "bin",
+            "n_files",
+            "total_bytes",
+            F.round(
+                F.col("total_bytes").cast("double") / F.lit(float(target_bytes)),
+                9,
+            ).alias("fill_ratio"),
+        )
+    )
