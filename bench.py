@@ -373,6 +373,12 @@ HEADLINE = [
     "q_blocking_quality",
     "q_huber_mean",
     "q_dp_quantiles",
+    # wave-38 additions (round 10)
+    "q_mutual_knn",
+    "q_silhouette",
+    "q_shingle_sensitivity",
+    "q_source_set_cover",
+    "q_hill_tail",
     # round-10 census promotions (bench-surface rule class 1: >1s warm)
     "q_approx_sketches",
     "q_decontaminate",

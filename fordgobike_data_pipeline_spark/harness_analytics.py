@@ -2512,3 +2512,37 @@ def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return analytics.huber_location(ev, "event_type", "value", c=1.0, iters=2)
+
+
+@query(
+    "q_hill_tail",
+    """
+    WITH t AS (
+        SELECT n_chars AS x, doc_id AS id FROM documents
+        WHERE n_chars > 0 ORDER BY x DESC, id ASC LIMIT 21
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x DESC, id ASC) AS rn
+          FROM t),
+    ref AS (SELECT x AS x_tail FROM r WHERE rn = 21),
+    terms AS (
+        SELECT x_tail,
+               CAST(round_even(ln(CAST(x AS DOUBLE) / x_tail) * 1e12, 0)
+                    AS BIGINT) AS t
+        FROM r, ref WHERE rn <= 20
+    )
+    SELECT CAST(20 AS INT) AS k, x_tail,
+           CASE WHEN sum(t) > 0 THEN
+             round(20 * 1e12 / CAST(sum(t) AS DOUBLE), 9)
+           END AS alpha_hat
+    FROM terms GROUP BY x_tail
+    """,
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over the top-20 document lengths
+    (analytics.hill_tail_index): α̂ = k / Σ ln(x_(i)/x_(k+1)) — the
+    heavy-tail audit behind cap/salting decisions (α̂ ≈ 1 ⇒ Zipf-like
+    head dominance, α̂ > 2 ⇒ finite variance). Top-(k+1) selection is
+    a bounded TakeOrderedAndProject with ascending-id tiebreaks;
+    log-ratio terms quantize to 1e-12 BIGINTs before the exact sum."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return analytics.hill_tail_index(docs, "n_chars", "doc_id", k=20)

@@ -2118,3 +2118,76 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk hashes."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.cdc_chunk_stats(docs)
+
+
+@query(
+    "q_source_set_cover",
+    """
+    WITH tt AS (
+        SELECT source AS src,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT src, md5(gram) AS gh
+        FROM (SELECT src,
+                     array_to_string(toks[(i+1):(i+3)], ' ') AS gram
+              FROM (SELECT src, toks,
+                           unnest(range(greatest(len(toks) - 3, 0) + 1)) AS i
+                    FROM tt))
+        WHERE gram != ''
+    ),
+    u AS (SELECT CAST(count(DISTINCT gh) AS BIGINT) AS universe FROM g),
+    cnt1 AS (SELECT src, CAST(count(*) AS BIGINT) AS gain FROM g GROUP BY src),
+    s1 AS (SELECT src, gain FROM cnt1 ORDER BY gain DESC, src ASC LIMIT 1),
+    cov1 AS (SELECT gh FROM g WHERE src = (SELECT src FROM s1)),
+    r2 AS (SELECT g.src, g.gh FROM g
+           WHERE g.src != (SELECT src FROM s1)
+             AND NOT EXISTS (SELECT 1 FROM cov1 WHERE cov1.gh = g.gh)),
+    srcs AS (SELECT DISTINCT source AS src FROM documents),
+    cnt2 AS (SELECT s.src, CAST(coalesce(c.gain, 0) AS BIGINT) AS gain
+             FROM (SELECT src FROM srcs
+                   WHERE src != (SELECT src FROM s1)) s
+             LEFT JOIN (SELECT src, count(*) AS gain
+                        FROM r2 GROUP BY src) c USING (src)),
+    s2 AS (SELECT src, gain FROM cnt2 ORDER BY gain DESC, src ASC LIMIT 1),
+    cov2 AS (SELECT gh FROM cov1
+             UNION SELECT gh FROM g WHERE src = (SELECT src FROM s2)),
+    r3 AS (SELECT g.src, g.gh FROM g
+           WHERE g.src != (SELECT src FROM s1)
+             AND g.src != (SELECT src FROM s2)
+             AND NOT EXISTS (SELECT 1 FROM cov2 WHERE cov2.gh = g.gh)),
+    cnt3 AS (SELECT s.src, CAST(coalesce(c.gain, 0) AS BIGINT) AS gain
+             FROM (SELECT src FROM srcs
+                   WHERE src != (SELECT src FROM s1)
+                     AND src != (SELECT src FROM s2)) s
+             LEFT JOIN (SELECT src, count(*) AS gain
+                        FROM r3 GROUP BY src) c USING (src)),
+    s3 AS (SELECT src, gain FROM cnt3 ORDER BY gain DESC, src ASC LIMIT 1)
+    SELECT CAST(1 AS INT) AS step, (SELECT src FROM s1) AS source,
+           (SELECT gain FROM s1) AS marginal_gain,
+           round(CAST((SELECT gain FROM s1) AS DOUBLE) / universe, 9)
+               AS cum_coverage
+    FROM u
+    UNION ALL
+    SELECT 2, (SELECT src FROM s2), (SELECT gain FROM s2),
+           round(CAST((SELECT gain FROM s1) + (SELECT gain FROM s2)
+                      AS DOUBLE) / universe, 9)
+    FROM u
+    UNION ALL
+    SELECT 3, (SELECT src FROM s3), (SELECT gain FROM s3),
+           round(CAST((SELECT gain FROM s1) + (SELECT gain FROM s2)
+                      + (SELECT gain FROM s3) AS DOUBLE) / universe, 9)
+    FROM u
+    """,
+)
+def q_source_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coverage-maximizing source selection
+    (curation.source_set_cover, 3 steps): data mixing as SET COVER —
+    the source order that maximizes marginal distinct-3-gram
+    coverage, i.e. which feeds actually add linguistic material. One
+    anti-join + argmax per step (never pairwise sources), md5 gram
+    keys, 1-row bounded winner collects; the oracle unrolls the same
+    greedy rounds."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.source_set_cover(docs, steps=3)

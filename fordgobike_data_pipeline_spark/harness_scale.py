@@ -4683,3 +4683,157 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     truth = _cached_mh_pairs(spark, sf_dir)
     return dedup.blocking_quality(docs, truth)
+
+
+# ---------------------------------------------------------------------------
+# Wave 38 — mutual-kNN census, simplified silhouette, shingle sweep
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mutual_knn",
+    f"""
+    WITH {_lsh_sgn_ctes(n_planes=8)},
+    {_NORM_CTE},
+    p AS (
+        SELECT sa.vec_id AS src_id, sb.vec_id AS nbr_id,
+               round({_NDOT.format(a='na', b='nb')}, 6) + 0.0 AS sim
+        FROM sgn sa
+        JOIN sgn sb ON sb.bucket = sa.bucket AND sb.vec_id != sa.vec_id
+        JOIN n na ON na.vec_id = sa.vec_id
+        JOIN n nb ON nb.vec_id = sb.vec_id
+    ),
+    r AS (
+        SELECT src_id, nbr_id,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank
+        FROM p
+    ),
+    gk AS (SELECT src_id, nbr_id FROM r WHERE rank <= 5),
+    m AS (
+        SELECT g.src_id, g.nbr_id
+        FROM gk g JOIN gk h
+          ON h.src_id = g.nbr_id AND h.nbr_id = g.src_id
+    ),
+    deg AS (
+        SELECT nn.src_id, CAST(coalesce(c.md, 0) AS BIGINT) AS md
+        FROM (SELECT DISTINCT src_id FROM gk) nn
+        LEFT JOIN (SELECT src_id, CAST(count(*) AS BIGINT) AS md
+                   FROM m GROUP BY 1) c USING (src_id)
+    )
+    SELECT md AS mutual_degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY md
+    """,
+)
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN degree census (retrieval.mutual_knn_stats): strip
+    the kNN graph down to reciprocated edges — the hub-robust
+    neighbourhood structure density clustering and SemDeDup-style
+    pipelines actually use — and histogram how many of each node's
+    k=5 edges survive. One self-join of the deterministic LSH kNN
+    graph on the reversed edge key; output bounded at k+1 rows."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return retrieval.mutual_knn_stats(emb, k=5)
+
+
+@query(
+    "q_silhouette",
+    """
+    WITH e AS (
+        SELECT vec_id, pos - 1 AS pos,
+               CAST(round_even(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+    ),
+    c AS (SELECT vec_id AS cid, pos, q AS cv FROM e WHERE vec_id < 4),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               CAST(sum((e.q - c.cv) * (e.q - c.cv)) AS BIGINT) AS d2
+        FROM e JOIN c USING (pos) GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d
+    ),
+    a AS (SELECT vec_id, cid AS cluster, d2 AS a2 FROM r WHERE rn = 1),
+    b AS (SELECT vec_id, CAST(min(d2) AS BIGINT) AS b2
+          FROM r WHERE rn > 1 GROUP BY vec_id),
+    s AS (
+        SELECT cluster,
+               CASE WHEN greatest(a2, b2) > 0 THEN
+                 CAST(round_even(CAST(b2 - a2 AS DOUBLE)
+                                 / greatest(a2, b2) * 1e9, 0) AS BIGINT)
+               ELSE 0 END AS s9
+        FROM a JOIN b USING (vec_id)
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(s9) AS DOUBLE) / count(*) / 1e9, 9)
+               AS mean_silhouette
+    FROM s GROUP BY cluster
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (similarity.
+    simplified_silhouette, k=4 deterministic seed centroids — the
+    q_ann_ivf_seeded convention): a(x) = d(x, own centroid),
+    b(x) = min d(x, others), s = (b−a)/max(a,b), mean per cluster —
+    the linear-time clustering-quality audit for the k-means-cell
+    machinery (SemDeDup cells, IVF lists). Exact integer squared
+    distances; per-row s quantized to 1e-9 before the exact per-
+    cluster sum."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.simplified_silhouette(emb, k=4)
+
+
+_SHK_STEP = """
+    sh{k} AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[(i+1):(i+{k})], ' ') AS sh
+        FROM (SELECT doc_id, toks,
+                     unnest(range(greatest(len(toks) - {k}, 0) + 1)) AS i
+              FROM tt)
+        WHERE array_to_string(toks[(i+1):(i+{k})], ' ') != ''
+    ),
+    fp{k} AS (
+        SELECT doc_id, md5(string_agg(sh, '|' ORDER BY sh)) AS fp
+        FROM sh{k} GROUP BY doc_id
+    ),
+    rk{k} AS (
+        SELECT CAST({k} AS INT) AS k,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+               round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+                     / count(*), 9) AS dup_rate
+        FROM fp{k}
+    )
+"""
+
+
+@query(
+    "q_shingle_sensitivity",
+    f"""
+    WITH tt AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    {_SHK_STEP.format(k=2)},
+    {_SHK_STEP.format(k=3)},
+    {_SHK_STEP.format(k=5)}
+    SELECT * FROM rk2
+    UNION ALL SELECT * FROM rk3
+    UNION ALL SELECT * FROM rk5
+    """,
+)
+def q_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-width sensitivity sweep (dedup.shingle_set_sensitivity,
+    k ∈ {{2,3,5}}): fingerprint every doc by its sorted DISTINCT
+    k-shingle set and report the collapse rate per width — the
+    empirical companion to q_lsh_design_sweep's analytic S-curves for
+    choosing the MinHash family's k. One tokenize+explode+hash
+    aggregate per width, 16-byte shuffle keys."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.shingle_set_sensitivity(docs, ks=(2, 3, 5))

@@ -1144,3 +1144,55 @@ def huber_location(
             9,
         ).alias("delta"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Hill estimator of the heavy-tail index over the top-k order
+    statistics — the distribution-shape audit behind every "cap the
+    outliers" decision (q_domain_cap, packing budgets, skew-join
+    salting): α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)). α̂ ≈ 1 means a
+    Zipf-like tail where the largest items dominate totals (caps and
+    salting are mandatory); α̂ > 2 means finite variance and sane
+    averages. The token-frequency analogue is q_zipf_fit; this runs
+    on any numeric column (document lengths here).
+
+    The top-(k+1) selection is a TakeOrderedAndProject (bounded k+1
+    rows, never a global sort), deterministically tie-broken by
+    ascending id. Each log-ratio term is quantized to a 1e-12 BIGINT
+    before the exact sum (order-independent), one final divide.
+    Returns one row: (k, x_tail, alpha_hat)."""
+    from pyspark.sql import Window
+
+    top = (
+        df.select(
+            F.col(value_col).cast("long").alias("x"),
+            F.col(id_col).alias("_id"),
+        )
+        .filter(F.col("x") > 0)
+        .orderBy(F.col("x").desc(), F.col("_id").asc())
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.col("x").desc(), F.col("_id").asc())
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    ref = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("x").alias("x_tail")
+    )
+    terms = ranked.filter(F.col("rn") <= k).crossJoin(F.broadcast(ref)).select(
+        "x_tail",
+        F.rint(
+            F.log(F.col("x").cast("double") / F.col("x_tail").cast("double"))
+            * 1e12
+        ).cast("long").alias("t"),
+    )
+    return terms.groupBy("x_tail").agg(
+        F.lit(int(k)).cast("int").alias("k"),
+        F.when(
+            F.sum("t") > 0,
+            F.round(F.lit(float(k)) * 1e12 / F.sum("t").cast("double"), 9),
+        ).alias("alpha_hat"),
+    ).select("k", "x_tail", "alpha_hat")

@@ -1331,3 +1331,99 @@ def source_loo_impact(
             "delta_dup_rate"
         ),
     )
+
+
+def source_set_cover(
+    docs: DataFrame,
+    steps: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Greedy coverage-maximizing source selection — data mixing as
+    SET COVER: pick the source sequence that maximizes marginal
+    distinct 3-gram coverage of the whole corpus, the "which feeds
+    actually add linguistic material" question a mixture owner asks
+    before buying/weighting sources (greedy is the classic (1−1/e)
+    approximation, and its SELECTION ORDER is the deliverable).
+
+    Each step is one anti-join of the (source, gram) distinct table
+    against the grams already covered, then an argmax — no pairwise
+    source comparisons. Gram keys are md5-hashed so the shuffles
+    carry 16-byte keys. The per-step winner is a 1-row bounded
+    collect (driver control data, like k-means centroids); ties
+    break on ascending source name. ``steps`` is fixed, so the
+    oracle unrolls the same greedy rounds.
+
+    Returns one row per step: (step, source, marginal_gain,
+    cum_coverage)."""
+    g = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(split(lower(trim("
+                    f"{text_col})), '\\\\s+')) - 3, 0)), "
+                    f"i -> array_join(slice(split(lower(trim({text_col})), "
+                    f"'\\\\s+'), i + 1, 3), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .select("src", F.md5("gram").alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    universe = g.select("gh").distinct().count()
+    srcs = docs.select(
+        F.col(source_col).alias("src")
+    ).distinct().localCheckpoint(eager=True)
+    remaining = g
+    covered = None
+    picked: list[str] = []
+    out = []
+    for step in range(1, steps + 1):
+        # zero-gain sources still compete (alphabetical tiebreak), so
+        # every step emits a row even once coverage is exhausted —
+        # keeps the step count fixed for the unrolled oracle
+        pool = srcs.filter(~F.col("src").isin(picked)) if picked else srcs
+        gains = pool.join(
+            remaining.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("gain")
+            ),
+            "src",
+            "left",
+        ).select("src", F.coalesce(F.col("gain"), F.lit(0)).cast("long").alias("gain"))
+        top = gains.orderBy(F.col("gain").desc(), F.col("src").asc()).limit(
+            1
+        ).collect()
+        if not top:
+            break
+        src, gain = top[0]["src"], int(top[0]["gain"])
+        picked.append(src)
+        out.append((step, src, gain))
+        won = g.filter(F.col("src") == src).select("gh")
+        covered = won if covered is None else covered.unionByName(won).distinct()
+        remaining = remaining.filter(F.col("src") != src).join(
+            covered, "gh", "left_anti"
+        )
+    from pyspark.sql import Window
+
+    sel = docs.sparkSession.createDataFrame(
+        out, "step int, source string, marginal_gain long"
+    )
+    w_cum = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    # cum_coverage rounded ENGINE-side (F.round half-up matches the
+    # oracle's SQL round — python's round() is half-even and diverges)
+    return sel.select(
+        "step",
+        "source",
+        "marginal_gain",
+        F.when(
+            F.lit(universe > 0),
+            F.round(
+                F.sum("marginal_gain").over(w_cum).cast("double")
+                / F.lit(float(universe or 1)),
+                9,
+            ),
+        ).alias("cum_coverage"),
+    )

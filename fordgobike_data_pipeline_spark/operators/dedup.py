@@ -1373,3 +1373,61 @@ def blocking_quality(
             ).alias("pair_completeness"),
         )
     )
+
+
+def shingle_set_sensitivity(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (2, 3, 5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shingle-size sensitivity sweep — the measured basis for the
+    MinHash family's ``k`` parameter: for each candidate shingle
+    width, fingerprint every document by its DISTINCT k-shingle SET
+    (order-insensitive md5 of the sorted set) and report how many
+    documents collapse. Small k over-merges (any two docs sharing
+    vocabulary collide at k=1), large k under-merges (one edit breaks
+    every shingle); the k where the collapse rate stabilizes is the
+    width at which shingling starts capturing composition rather
+    than vocabulary — the empirical companion to q_lsh_design_sweep's
+    analytic S-curves.
+
+    One tokenize+explode+distinct+hash aggregate per k (|ks| linear
+    passes, shuffles carry 16-byte keys). Returns one row per k:
+    (k, n_docs, n_distinct, dup_docs, dup_rate)."""
+    out = None
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    for k in ks:
+        sh = (
+            docs.select(
+                F.col(id_col).alias("_id"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+                        f"i -> array_join(slice({toks}, i + 1, {k}), ' '))"
+                    )
+                ).alias("sh"),
+            )
+            .filter(F.col("sh") != "")
+            .distinct()
+        )
+        fp = sh.groupBy("_id").agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_set("sh")), "|")
+            ).alias("fp")
+        )
+        row = fp.agg(
+            F.lit(int(k)).alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias(
+                "dup_docs"
+            ),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("dup_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -781,3 +781,52 @@ def hubness_census(
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("k_occurrence")
     )
+
+
+def mutual_knn_stats(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Mutual-kNN degree census — the robustness filter on top of the
+    directed kNN graph: an edge survives only if BOTH endpoints rank
+    each other in their top-k. Hub nodes (q_hubness_census) collect
+    thousands of inbound edges that are not reciprocated; mutual-kNN
+    strips exactly those, which is why density-based clustering and
+    SemDeDup-style pipelines run on the mutual graph. The degree
+    histogram (how many nodes keep 0..k mutual neighbours) is the
+    one-screen readout of how hub-distorted the neighbourhood
+    structure is.
+
+    Built as one self-join of the deterministic LSH kNN graph
+    (:func:`knn_graph` — seeded hyperplanes, rounded cosine, id
+    tiebreaks) on the reversed edge key; the join carries (src, nbr)
+    id pairs only. Output is bounded: k+1 rows.
+
+    Returns (mutual_degree, n_nodes) — nodes with ≥1 directed edge,
+    bucketed by how many of their k edges are reciprocated."""
+    g = knn_graph(
+        corpus, k=k, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, seed=seed,
+    ).select("src_id", "nbr_id")
+    rev = g.select(
+        F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
+    )
+    mutual = g.join(rev, ["src_id", "nbr_id"], "left_semi")
+    deg = g.select("src_id").distinct().join(
+        mutual.groupBy("src_id").agg(
+            F.count(F.lit(1)).cast("long").alias("md")
+        ),
+        "src_id",
+        "left",
+    ).select(
+        "src_id", F.coalesce(F.col("md"), F.lit(0)).cast("long").alias("md")
+    )
+    return (
+        deg.groupBy(F.col("md").alias("mutual_degree"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

@@ -2310,3 +2310,83 @@ def balanced_bits_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Simplified silhouette per cluster — the clustering-quality
+    audit for the k-means-cell machinery (SemDeDup cells, IVF lists):
+    classic silhouette needs all pairwise distances (quadratic);
+    the simplified form replaces them with point→CENTROID distances —
+    a(x) = d(x, own centroid), b(x) = min d(x, other centroids),
+    s = (b−a)/max(a,b) — which is linear and is the variant actually
+    computable at corpus scale. Mean s per cluster near 1 = compact,
+    near 0 = boundary-heavy, negative = misassigned mass (a cell
+    worth splitting before trusting per-cell dedup).
+
+    Centroids here are the deterministic seed rows (id < k) — the
+    same kmeans_iters=0 convention as q_ann_ivf_seeded, keeping every
+    distance an exact integer and the whole audit oracle-expressible.
+    Exactness: 1e-4 quantized vectors; d² are exact BIGINT sums via a
+    position join (corpus×k×dim intermediate — same envelope as the
+    IVF assign step); per-row s is ONE double divide quantized to
+    1e-9 before the exact per-cluster sum; 0/0 (a point equal to two
+    centroids) pins s = 0.
+
+    Returns one row per cluster: (cluster, n, mean_silhouette)."""
+    ints = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "q"),
+    )
+    cents = ints.filter(F.col("_id") < k).select(
+        F.col("_id").alias("cid"), "pos", F.col("q").alias("cv")
+    )
+    d = (
+        ints.join(cents, "pos")
+        .groupBy("_id", "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cv")) * (F.col("q") - F.col("cv")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    r = d.withColumn("rn", F.row_number().over(w))
+    a = r.filter(F.col("rn") == 1).select(
+        "_id", F.col("cid").alias("cluster"), F.col("d2").alias("a2")
+    )
+    b = r.filter(F.col("rn") > 1).groupBy("_id").agg(
+        F.min("d2").cast("long").alias("b2")
+    )
+    s = a.join(b, "_id").select(
+        "cluster",
+        F.when(
+            F.greatest(F.col("a2"), F.col("b2")) > 0,
+            F.rint(
+                (F.col("b2") - F.col("a2")).cast("double")
+                / F.greatest(F.col("a2"), F.col("b2")).cast("double")
+                * 1e9
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("s9"),
+    )
+    return s.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("s9").cast("double") / F.count(F.lit(1)).cast("double") / 1e9,
+            9,
+        ).alias("mean_silhouette"),
+    )
