@@ -107,10 +107,16 @@ def _ensure_extensions_loaded() -> None:
 #           dedup watermark,
 #   [36-50] staleness rotation: the alphabetically-first 15 of the 31
 #           remaining r3-era keys (q_cross_join .. q_nullif_sentinel).
-# r11 window = the 16 r3 leftovers (q_project_rename ..
-# q_window_time_bucket) + any round-10 additions (never-checked-first)
-# + the oldest r4 keys; and so on. At ~360 queries / 50 slots the full
-# surface re-verifies every ~7 rounds.
+# r11 window (never-checked first, then stalest): the 15 round-10
+# additions (waves 36-38: q_wasserstein_drift, q_source_loo_impact,
+# q_cdc_chunks, q_kcenter_coreset, q_balanced_bits, q_lateness_audit,
+# q_huber_mean, q_compaction_plan, q_dp_quantiles, q_blocking_quality,
+# q_mutual_knn, q_silhouette, q_shingle_sensitivity,
+# q_source_set_cover, q_hill_tail — all mirror-green at sf0.01+sf0.1
+# this round), then the 16 r3 leftovers (q_project_rename ..
+# q_window_time_bucket), then the 19 alphabetically-first r4 keys.
+# At ~370 queries / 50 slots the full surface re-verifies every ~7
+# rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-35] round-9 waves 28-35 — first official rows (never-checked
     # keys front the window; judge mirror 35/35 green in r9)
