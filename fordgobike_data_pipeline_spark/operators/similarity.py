@@ -65,10 +65,20 @@ def unit_normalize(a: Column) -> Column:
     reuse), so the naive transform(a, x -> x / l2_norm(a)) is O(dim²)
     interpreted work per row — measured ~2 ms/row at dim=64, which
     dominated every similarity query. array_repeat evaluates the norm
-    once, making the whole thing O(dim)."""
+    once, making the whole thing O(dim).
+
+    Zero vectors (norm 0) normalize to the zero vector instead of
+    raising ANSI DIVIDE_BY_ZERO (Spark 4 default) — every downstream
+    cosine against them is then 0, the natural "no similarity"
+    reading. Found by hypothesis fuzz in round 10; the fixtures never
+    contain zero vectors, so no adjudicated result changes."""
     n = l2_norm(a)
     return F.zip_with(
-        a, F.array_repeat(n, F.size(a)), lambda x, nn: x.cast("double") / nn
+        a,
+        F.array_repeat(n, F.size(a)),
+        lambda x, nn: F.when(nn > 0, x.cast("double") / nn).otherwise(
+            F.lit(0.0)
+        ),
     )
 
 

@@ -101,3 +101,89 @@ def test_compaction_next_fit_invariants(spark, sizes):
     # 100 yields bins {0, 2} — ids are labels, not a dense range)
     bins = sorted(r.bin for r in out)
     assert bins[0] == 0 and len(set(bins)) == len(bins)
+
+
+_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=40), min_size=1, max_size=8
+)
+
+
+@given(_texts)
+@settings(max_examples=6, deadline=None)
+def test_cdc_conserves_tokens(spark, texts):
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_toks = sum(len(t.lower().split()) for t in texts)
+    r = dedup.cdc_chunk_stats(df).collect()[0]
+    if n_toks == 0:
+        assert r.n_chunks is None or r.n_chunks == 0
+        return
+    # every token lands in exactly one chunk
+    total_words = int(round(r.avg_chunk_words * r.n_chunks))
+    assert total_words == n_toks
+    assert 0 <= r.dup_chunks <= r.n_chunks
+
+
+@given(_texts)
+@settings(max_examples=6, deadline=None)
+def test_blocking_quality_ratios_bounded(spark, texts):
+    from fordgobike_data_pipeline_spark.operators import dedup
+
+    rows = [(i, t, "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    truth = spark.createDataFrame(
+        [(i, i + 1) for i in range(len(texts) - 1)], "id_a long, id_b long"
+    )
+    for r in dedup.blocking_quality(docs, truth).collect():
+        if r.reduction_ratio is not None:
+            assert -1e-9 <= r.reduction_ratio <= 1.0 + 1e-9
+        if r.pair_completeness is not None:
+            assert -1e-9 <= r.pair_completeness <= 1.0 + 1e-9
+        assert r.cand_pairs >= 0
+
+
+@given(_texts)
+@settings(max_examples=5, deadline=None)
+def test_set_cover_gains_non_increasing(spark, texts):
+    from fordgobike_data_pipeline_spark.operators import curation
+
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(curation.source_set_cover(docs, steps=3).collect(), key=lambda r: r.step)
+    gains = [r.marginal_gain for r in out]
+    # greedy marginal gains are non-increasing; coverage is monotone in [0,1]
+    assert gains == sorted(gains, reverse=True)
+    covs = [r.cum_coverage for r in out if r.cum_coverage is not None]
+    assert covs == sorted(covs)
+    assert all(-1e-9 <= c <= 1.0 + 1e-9 for c in covs)
+
+
+_vecs4 = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=5,
+    max_size=10,
+)
+
+
+@given(_vecs4)
+@settings(max_examples=5, deadline=None)
+def test_mutual_degree_bounded_and_silhouette_in_range(spark, vecs):
+    from fordgobike_data_pipeline_spark.operators import retrieval, similarity
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    k = 3
+    for r in retrieval.mutual_knn_stats(df, k=k, n_planes=2).collect():
+        assert 0 <= r.mutual_degree <= k
+        assert r.n_nodes >= 1
+    for r in similarity.simplified_silhouette(df, k=2).collect():
+        assert -1.0 - 1e-9 <= r.mean_silhouette <= 1.0 + 1e-9
