@@ -53,10 +53,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #      keys and cheap variants, each <1s warm at sf0.1 per the same
 #      census. Their cost is noise against the ~300s headline aggregate;
 #      re-censused whenever one's implementation changes materially.
-#   3. Documented heavy exclusions (2): q_er_canonical (~17s connected-
-#      components fixpoint) and q_setsim_prefix (~1M-row output, ~210s)
-#      — both oracle-adjudicated at sf0.01 by the driver; benching them
-#      would dominate the aggregate without adding signal.
+#   3. Documented heavy exclusion (1): q_setsim_prefix (~1M-row output,
+#      ~210s — the output itself is quadratic on this template-heavy
+#      corpus) — oracle-adjudicated at sf0.01 by the driver; benching
+#      it would dominate the aggregate without adding signal.
+#      (q_er_canonical left this class in round 10: exact-name
+#      contraction + an adaptive broadcast-levenshtein matcher + the
+#      small-graph CC fast path took it 16.8s -> 3.4s, oracle-identical,
+#      so it is anchored HEADLINE now.)
 # A new query therefore ships either with an anchor or with census
 # evidence it is sub-second; nothing is silently untimed.
 HEADLINE = [
@@ -384,8 +388,10 @@ HEADLINE = [
     "q_decontaminate",
     "q_semantic_keep",
     "q_stream_join",
-    # q_er_canonical: oracle-only (connected-components fixpoint loop
-    # is ~27s at sf0.1 — adjudicated at sf0.01 by the driver instead)
+    # q_er_canonical: promoted round 10 after the exact-name-contraction
+    # + adaptive-matcher + small-graph-CC rewrite (16.8s -> 3.4s,
+    # bit-identical vs the unchanged full-graph oracle at all SFs)
+    "q_er_canonical",
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
     # corpus is template-heavy, so ~8% of ALL pairs qualify even at
     # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the

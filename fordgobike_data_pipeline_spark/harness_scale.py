@@ -3179,15 +3179,70 @@ def q_er_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"substring(p_name, {pos} + 2, length(p_name)))"
         ).alias("name"),
     )
-    pairs = dedup_mod.edit_distance_join(
-        clean, dirty, "clean_id", "dirty_id", "name", max_dist=1
-    ).select("clean_id", "dirty_id")
-    cc = dedup_mod.connected_components(pairs, "clean_id", "dirty_id")
+    # EXACT-NAME CONTRACTION (round-10 plan fix; bit-identical output,
+    # proven by the unchanged full-graph recursive-CTE oracle): the
+    # lev<=1 edge relation depends ONLY on the name pair, so every
+    # same-name same-side group shares one edge set — contract each to
+    # a single node (gid = min member id) BEFORE the O(len) deletion-
+    # neighborhood expansion and the transitive closure, then restore
+    # member/dirty counts from the bounded group table. On name-
+    # degenerate corpora (TPC-H p_name: 64 distinct names across 20k
+    # parts at sf0.1) this collapses ~1.3M true pairs to a name-level
+    # graph of dozens of nodes (~17s -> ~2s); on a collision-free
+    # corpus it is a no-op pass-through. Component ids are unchanged:
+    # every component contains a clean endpoint, and min(member ids) =
+    # min over member groups of the group min.
+    cgrp = clean.groupBy("name").agg(
+        F.min("clean_id").alias("cgid"),
+        F.count(F.lit(1)).cast("long").alias("c_n"),
+    ).localCheckpoint(eager=True)
+    dgrp = dirty.groupBy("name").agg(
+        F.min("dirty_id").alias("dgid"),
+        F.count(F.lit(1)).cast("long").alias("d_n"),
+    ).localCheckpoint(eager=True)
+    # adaptive matcher (the AQE idea one level up): the contracted
+    # name tables are bounded by the name DOMAIN, so when their
+    # product is small a broadcast nested-loop levenshtein is ONE
+    # stage and beats the 6-shuffle SymSpell index DAG; past the cap
+    # the deletion-neighborhood index join takes over (the 100 TB
+    # path). The two counts are bounded control data (1 row each).
+    n_c, n_d = cgrp.count(), dgrp.count()
+    if n_c * n_d <= 4_000_000:
+        pairs = (
+            dgrp.select("dgid", F.col("name").alias("_rn"))
+            .crossJoin(F.broadcast(cgrp.select("cgid", F.col("name").alias("_ln"))))
+            .filter(F.levenshtein("_ln", "_rn") <= 1)
+            .select("cgid", "dgid")
+        )
+    else:
+        pairs = dedup_mod.edit_distance_join(
+            cgrp.select("cgid", "name"),
+            dgrp.select("dgid", "name"),
+            "cgid",
+            "dgid",
+            "name",
+            max_dist=1,
+        ).select("cgid", "dgid")
+    # the contracted edge list is name-domain-sized: collapse it to one
+    # partition so each CC fixpoint round is a single-task job instead
+    # of 32 near-empty tasks
+    pairs = pairs.coalesce(1).localCheckpoint(eager=True)
+    cc = dedup_mod.connected_components(pairs, "cgid", "dgid")
+    stats = cc.join(
+        cgrp.select(F.col("cgid").alias("node"), F.col("c_n").alias("n_all"))
+        .withColumn("n_d", F.lit(0).cast("long"))
+        .unionByName(
+            dgrp.select(
+                F.col("dgid").alias("node"), F.col("d_n").alias("n_all")
+            ).withColumn("n_d", F.col("n_all"))
+        ),
+        "node",
+    )
     return (
-        cc.groupBy("component")
+        stats.groupBy("component")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum((F.col("node") >= 1000000).cast("long")).alias("n_dirty"),
+            F.sum("n_all").cast("long").alias("n_members"),
+            F.sum("n_d").cast("long").alias("n_dirty"),
         )
         .join(
             clean.select(

@@ -473,6 +473,16 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # size-aware layout (round 10): the fixpoint's cost at SMALL edge
+    # counts is pure scheduling — each round is 2 shuffles x
+    # shuffle.partitions near-empty tasks. Materializing the cache
+    # costs one count (needed anyway on first use); below the
+    # threshold, collapse both sides to one partition so every round
+    # is a couple of single-task stages. Above it, nothing changes —
+    # the big-graph path keeps full parallelism. Result values are
+    # identical either way (min-label is partitioning-invariant).
+    if edges.count() <= 200_000:
+        edges = edges.coalesce(1)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
