@@ -90,87 +90,75 @@ def _ensure_extensions_loaded() -> None:
 # the stalest officially-green keys (oldest official row first, ties
 # alphabetical) up to the 50-slot window.
 #
-# The r10 window (first 50) =
-#   [1-35]  the 35 round-9 additions (waves 28-35) that have never had
-#           an official driver row — all judge-mirror-verified green in
-#           r9 (VERDICT r9: "35/35 pass"): DSIR weights / packing /
-#           stratified sample / snapshot churn / budget water-filling /
-#           LSH design sweep / epoch order overlap / shard manifest;
-#           preference pairs / chat lint / curriculum phases;
-#           l-diversity / modality integrity / t-closeness / DP
-#           histogram / schema evolution; filter interaction /
-#           threshold sweep / rater kappa / JSD drift / Wilson CI /
-#           MCC / source diversity / sample bias; signature
-#           resemblance / distinct n-grams / BPE fertility / norm
-#           outliers / anisotropy / IVF balance / template prefix;
-#           power iteration / bitext mining / index purge / streaming
-#           dedup watermark,
-#   [36-50] staleness rotation: the alphabetically-first 15 of the 31
-#           remaining r3-era keys (q_cross_join .. q_nullif_sentinel).
-# r11 window (never-checked first, then stalest): the 15 round-10
-# additions (waves 36-38: q_wasserstein_drift, q_source_loo_impact,
-# q_cdc_chunks, q_kcenter_coreset, q_balanced_bits, q_lateness_audit,
-# q_huber_mean, q_compaction_plan, q_dp_quantiles, q_blocking_quality,
-# q_mutual_knn, q_silhouette, q_shingle_sensitivity,
-# q_source_set_cover, q_hill_tail — all mirror-green at sf0.01+sf0.1
-# this round), then the 16 r3 leftovers (q_project_rename ..
-# q_window_time_bucket), then the 19 alphabetically-first r4 keys.
-# At ~370 queries / 50 slots the full surface re-verifies every ~7
-# rounds.
+# History: the r10 window was the 35 round-9 additions (waves 28-35,
+# first official rows) + the alphabetically-first 15 r3-era keys —
+# CORRECTNESS_r10.json recorded all 50 green.
+#
+# The r11 window (first 50), per the standing never-checked-first rule
+# and the rotation pre-declared in round 10:
+#   [1-15]  the 15 round-10 additions (waves 36-38) with no official
+#           row yet — judge mirror 15/15 green in r10,
+#   [16-31] the 16 remaining r3-era keys (newest official row is
+#           seven rounds old),
+#   [32-50] the 19 alphabetically-first r4-era keys.
+# r12 window (never-checked first, then stalest): any round-11
+# additions without an official row, then the 31 remaining r4 keys,
+# then the oldest r5 keys up to 50 slots. At ~370 queries / 50 slots
+# the full surface re-verifies every ~7 rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # [1-35] round-9 waves 28-35 — first official rows (never-checked
-    # keys front the window; judge mirror 35/35 green in r9)
-    "q_dsir_weights",
-    "q_packing_efficiency",
-    "q_stratified_sample",
-    "q_snapshot_churn",
-    "q_budget_allocation",
-    "q_lsh_design_sweep",
-    "q_epoch_order_overlap",
-    "q_shard_manifest",
-    "q_preference_pairs",
-    "q_chat_lint",
-    "q_curriculum_phases",
-    "q_l_diversity",
-    "q_modality_integrity",
-    "q_t_closeness",
-    "q_dp_histogram",
-    "q_filter_interaction",
-    "q_threshold_sweep",
-    "q_rater_kappa",
-    "q_jsd_drift",
-    "q_wilson_ci",
-    "q_mcc_eval",
-    "q_source_diversity",
-    "q_sample_bias",
-    "q_signature_resemblance",
-    "q_distinct_ngrams",
-    "q_bpe_fertility",
-    "q_norm_outliers",
-    "q_embed_anisotropy",
-    "q_ivf_balance",
-    "q_template_prefix",
-    "q_power_iteration",
-    "q_bitext_mining",
-    "q_index_purge",
-    "q_stream_dedup_wm",
-    "q_schema_evolution",
-    # [36-50] staleness: alphabetically-first 15 of the 31 r3-era keys
-    "q_cross_join",
-    "q_date_names",
-    "q_date_parts",
-    "q_deterministic_sample",
-    "q_filter_compound",
-    "q_filter_eq",
-    "q_filter_flag",
-    "q_filter_notnull",
-    "q_generate_series",
-    "q_hash_key",
-    "q_join_inner",
-    "q_json_extract",
-    "q_key_to_date",
-    "q_lang_id",
-    "q_nullif_sentinel",
+    # [1-15] waves 36-38 — first official rows
+    "q_wasserstein_drift",
+    "q_source_loo_impact",
+    "q_cdc_chunks",
+    "q_kcenter_coreset",
+    "q_balanced_bits",
+    "q_lateness_audit",
+    "q_huber_mean",
+    "q_compaction_plan",
+    "q_dp_quantiles",
+    "q_blocking_quality",
+    "q_mutual_knn",
+    "q_silhouette",
+    "q_shingle_sensitivity",
+    "q_source_set_cover",
+    "q_hill_tail",
+    # [16-31] staleness: the 16 r3-era keys
+    "q_project_rename",
+    "q_quantize_embed",
+    "q_random_projection",
+    "q_range_join",
+    "q_round_minutes",
+    "q_sessionize",
+    "q_smart_date_key",
+    "q_string_concat",
+    "q_summary_stats",
+    "q_top_ngrams",
+    "q_union_all_null",
+    "q_union_distinct",
+    "q_weekend_flag",
+    "q_window_hopping",
+    "q_window_rownum",
+    "q_window_time_bucket",
+    # [32-50] staleness: alphabetically-first 19 of the 50 r4-era keys
+    "q_agg_daily_summary",
+    "q_ann_ivf_seeded",
+    "q_ann_lsh",
+    "q_bigram_lm",
+    "q_bm25",
+    "q_chat_flatten",
+    "q_clean_corpus",
+    "q_containment_pairs",
+    "q_cube",
+    "q_date_arith",
+    "q_dedup_agreement",
+    "q_dedup_clusters",
+    "q_dedup_incr_near",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_domain_mixture",
+    "q_dup_cluster_sizes",
+    "q_dup_span_stats",
+    "q_embed_dim_stats",
 )
 
 
