@@ -1156,10 +1156,13 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_NORM = """
     n AS (
         SELECT vec_id,
-               list_transform(embedding, x -> x::DOUBLE /
-                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
-               AS nv
-        FROM embeddings
+               list_transform(embedding,
+                   x -> CASE WHEN nrm > 0 THEN x::DOUBLE / nrm
+                             ELSE 0.0 END) AS nv
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(
+                         embedding, y -> y::DOUBLE * y::DOUBLE))) AS nrm
+              FROM embeddings)
     )
 """
 _MMR_DOT = "round(list_sum(list_transform(range(64), i -> {a}.nv[i+1] * {b}.nv[i+1])), 6) + 0.0"
@@ -2470,8 +2473,10 @@ _HB_STEP = """
     ),
     l{t} AS (
         SELECT l{p}.grp, l{p}.n, l{p}.s,
-               CAST(CASE WHEN swv >= 0 THEN swv // sw
-                         ELSE -((0 - swv) // sw) END AS BIGINT) AS m
+               CASE WHEN sw > 0 THEN
+                 CAST(CASE WHEN swv >= 0 THEN swv // sw
+                           ELSE -((0 - swv) // sw) END AS BIGINT)
+                 ELSE l{p}.m END AS m
         FROM a{t} JOIN l{p} USING (grp)
     )
 """

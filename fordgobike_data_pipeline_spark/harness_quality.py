@@ -1275,7 +1275,9 @@ def q_sample_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(ca) OVER (ORDER BY bucket
                              ROWS UNBOUNDED PRECEDING) AS cum_a,
                sum(cb) OVER (ORDER BY bucket
-                             ROWS UNBOUNDED PRECEDING) AS cum_b
+                             ROWS UNBOUNDED PRECEDING) AS cum_b,
+               COALESCE(lead(bucket) OVER (ORDER BY bucket), bucket)
+                 - bucket AS gap
         FROM b
     ),
     tot AS (
@@ -1286,7 +1288,8 @@ def q_sample_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CASE WHEN n_a > 0 AND n_b > 0 THEN
              round(32.0 * CAST((SELECT sum(abs(CAST(cum_a AS HUGEINT) * n_b
-                                              - CAST(cum_b AS HUGEINT) * n_a))
+                                              - CAST(cum_b AS HUGEINT) * n_a)
+                                           * gap)
                                 FROM cum, tot) AS DOUBLE)
                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
            END AS w1,

@@ -369,10 +369,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_CTE = """
     n AS (
         SELECT vec_id,
-               list_transform(embedding, x -> x::DOUBLE /
-                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
-               AS nv
-        FROM embeddings
+               list_transform(embedding,
+                   x -> CASE WHEN nrm > 0 THEN x::DOUBLE / nrm
+                             ELSE 0.0 END) AS nv
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(
+                         embedding, y -> y::DOUBLE * y::DOUBLE))) AS nrm
+              FROM embeddings)
     )
 """
 _NDOT = "list_sum(list_transform(range(64), i -> {a}.nv[i+1] * {b}.nv[i+1]))"
@@ -3542,11 +3545,13 @@ def _trunc_norm_cte(name: str, d: int) -> str:
     return f"""
     {name} AS (
         SELECT vec_id,
-               list_transform(embedding[1:{d}], x -> x::DOUBLE /
-                   sqrt(list_sum(list_transform(embedding[1:{d}],
-                                                y -> y::DOUBLE * y::DOUBLE))))
-               AS nv
-        FROM embeddings
+               list_transform(embedding[1:{d}],
+                   x -> CASE WHEN nrm > 0 THEN x::DOUBLE / nrm
+                             ELSE 0.0 END) AS nv
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding[1:{d}],
+                         y -> y::DOUBLE * y::DOUBLE))) AS nrm
+              FROM embeddings)
     )"""
 
 

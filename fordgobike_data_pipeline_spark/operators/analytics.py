@@ -1124,13 +1124,18 @@ def huber_location(
                 F.sum("w_units").cast("long").alias("sw"),
             )
         )
-        loc = agg.join(loc.select("grp", "n", "s"), "grp").select(
+        # sw = 0 iff every row's residual exceeds ~cu·scale integer
+        # units (w = rint(cu/|r|·scale) rounds to 0); keep the previous
+        # iterate instead of dividing by zero (ANSI mode throws).
+        loc = agg.join(loc.select("grp", "n", "s", F.col("m").alias("m_prev")), "grp").select(
             "grp",
             "n",
             "s",
             F.expr(
+                "CASE WHEN sw > 0 THEN "
                 "CAST(CASE WHEN swv >= 0 THEN CAST(swv AS DECIMAL(38,0)) div CAST(sw AS DECIMAL(38,0)) "
-                "ELSE -(CAST(0 - swv AS DECIMAL(38,0)) div CAST(sw AS DECIMAL(38,0))) END AS BIGINT)"
+                "ELSE -(CAST(0 - swv AS DECIMAL(38,0)) div CAST(sw AS DECIMAL(38,0))) END AS BIGINT) "
+                "ELSE m_prev END"
             ).alias("m"),
         )
     return loc.select(

@@ -1355,7 +1355,10 @@ def source_set_cover(
     oracle unrolls the same greedy rounds.
 
     Returns one row per step: (step, source, marginal_gain,
-    cum_coverage)."""
+    cum_coverage) — always exactly ``steps`` rows; when the corpus
+    has fewer distinct sources than steps, the surplus steps carry
+    NULL source/gain/coverage (matching the oracle's empty scalar
+    subqueries)."""
     g = (
         docs.select(
             F.col(source_col).alias("src"),
@@ -1397,6 +1400,10 @@ def source_set_cover(
             1
         ).collect()
         if not top:
+            # fewer distinct sources than steps: the step count stays
+            # fixed — emit the remaining steps with NULL source/gain,
+            # matching the oracle's empty scalar subqueries.
+            out.extend((s, None, None) for s in range(step, steps + 1))
             break
         src, gain = top[0]["src"], int(top[0]["gain"])
         picked.append(src)
@@ -1414,12 +1421,15 @@ def source_set_cover(
     w_cum = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
     # cum_coverage rounded ENGINE-side (F.round half-up matches the
     # oracle's SQL round — python's round() is half-even and diverges)
+    # padded NULL-source rows get NULL cum_coverage too (the oracle's
+    # NULL gain poisons its cumulative sum; Spark's SUM skips NULLs,
+    # so gate on source IS NOT NULL explicitly)
     return sel.select(
         "step",
         "source",
         "marginal_gain",
         F.when(
-            F.lit(universe > 0),
+            F.lit(universe > 0) & F.col("source").isNotNull(),
             F.round(
                 F.sum("marginal_gain").over(w_cum).cast("double")
                 / F.lit(float(universe or 1)),

@@ -923,11 +923,18 @@ def wasserstein_hist_drift(
     profile moved enough to re-tune packing or curriculum cutoffs.
 
     On a shared discrete grid W1 has the closed form
-    ``width · Σ_buckets |CDF_a − CDF_b|``. Determinism/exactness:
+    ``width · Σ_buckets |CDF_a − CDF_b|`` where the sum runs over the
+    FULL grid. We only materialize occupied buckets, so each occupied
+    bucket's |ΔCDF| term is weighted by the run length it represents:
+    ``gap = lead(bucket) − bucket`` (the CDFs are constant across the
+    empty buckets in between, so one term times the gap is exact; the
+    last bucket contributes 0 — both CDFs are 1 there). Without the
+    gap weight, gapped supports under-report (a=0 vs b=96 at width 32
+    would return 32 instead of the true 96). Determinism/exactness:
     bucket = value // width (integer floor division — non-negative
     values, so Spark ``div`` and DuckDB ``//`` agree); cumulative
     counts are exact BIGINT window sums; each |ΔCDF| term is
-    cross-multiplied to the integer ``|cum_a·n_b − cum_b·n_a|``
+    cross-multiplied to the integer ``|cum_a·n_b − cum_b·n_a|·gap``
     (decimal(38,0)/HUGEINT — the product reaches n² ≈ 1e22 at 1e11
     rows, past int64) and summed exactly; the ONLY float op is the
     final ``width·Σ / (n_a·n_b)`` divide.
@@ -953,19 +960,29 @@ def wasserstein_hist_drift(
     from pyspark.sql import Window
 
     w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_lead = Window.orderBy("bucket")
     cum = base.select(
         "bucket",
         F.sum("ca").over(w_cum).alias("cum_a"),
         F.sum("cb").over(w_cum).alias("cum_b"),
+        (
+            F.coalesce(F.lead("bucket").over(w_lead), F.col("bucket"))
+            - F.col("bucket")
+        )
+        .cast("long")
+        .alias("gap"),
     )
     tot = base.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
-    term = F.abs(
-        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
-        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    term = (
+        F.abs(
+            F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+        )
+        * F.col("gap")
     )
     return (
         cum.crossJoin(F.broadcast(tot))

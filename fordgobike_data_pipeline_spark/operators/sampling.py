@@ -193,8 +193,23 @@ def kcenter_coreset(
             lambda acc, t: acc + t,
         )
 
-    seed = ints.orderBy("_id").limit(1).collect()[0]
-    selected = [(1, int(seed["_id"]), 0)]
+    from pyspark.sql import types as T
+
+    # result id column keeps the INPUT id type (string doc ids work,
+    # not just bigint vec_ids)
+    out_schema = T.StructType(
+        [
+            T.StructField("sel_rank", T.IntegerType(), False),
+            T.StructField("vec_id", emb.schema[id_col].dataType, True),
+            T.StructField("d2", T.LongType(), True),
+        ]
+    )
+    seed_rows = ints.orderBy("_id").limit(1).collect()
+    if not seed_rows:
+        # empty corpus: empty coreset, stable schema (no seed to scan)
+        return emb.sparkSession.createDataFrame([], out_schema)
+    seed = seed_rows[0]
+    selected = [(1, seed["_id"], 0)]
     cur = ints.withColumn("dmin", _d2(list(seed["_xi"])))
     for rank in range(2, k + 1):
         far = (
@@ -202,10 +217,8 @@ def kcenter_coreset(
             .limit(1)
             .collect()[0]
         )
-        selected.append((rank, int(far["_id"]), int(far["dmin"])))
+        selected.append((rank, far["_id"], int(far["dmin"])))
         cur = cur.withColumn(
             "dmin", F.least(F.col("dmin"), _d2(list(far["_xi"])))
         )
-    return emb.sparkSession.createDataFrame(
-        selected, "sel_rank int, vec_id long, d2 long"
-    )
+    return emb.sparkSession.createDataFrame(selected, out_schema)

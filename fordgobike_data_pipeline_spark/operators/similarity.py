@@ -70,8 +70,10 @@ def unit_normalize(a: Column) -> Column:
     Zero vectors (norm 0) normalize to the zero vector instead of
     raising ANSI DIVIDE_BY_ZERO (Spark 4 default) — every downstream
     cosine against them is then 0, the natural "no similarity"
-    reading. Found by hypothesis fuzz in round 10; the fixtures never
-    contain zero vectors, so no adjudicated result changes."""
+    reading. Found by hypothesis fuzz in round 10. The DuckDB oracle
+    norm CTEs (_NORM_CTE / _trunc_norm_cte / _MMR_NORM) carry the
+    SAME ``CASE WHEN norm > 0`` guard, so both engines stay
+    bit-identical even if zero vectors ever appear in a fixture."""
     n = l2_norm(a)
     return F.zip_with(
         a,

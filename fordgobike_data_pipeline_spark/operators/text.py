@@ -644,6 +644,7 @@ def vocab_coverage_curve(
     docs: DataFrame,
     sizes: tuple[int, ...] = (100, 500, 1000, 2000, 5000),
     text_col: str = "text",
+    exact_window_below: int = 10_000_000,
 ) -> DataFrame:
     """Token-occurrence coverage of the top-V vocabulary for a grid of
     vocab sizes — the curve that sizes a tokenizer's vocab (or a
@@ -651,11 +652,23 @@ def vocab_coverage_curve(
     token occurrences whose type ranks in the V most frequent types
     (count desc, token asc tiebreak — total order, engine-stable).
 
-    The ranking window runs over the TYPE table (|vocab| rows — Zipf:
-    orders of magnitude below the corpus; for 10M+ vocabs swap the
-    window for quality.rank_select_kth's histogram probe per cutoff).
-    Counts and cumulative sums are exact BIGINTs; coverage is ONE
-    division at render.
+    Two physically different plans, IDENTICAL results
+    (property-tested equal):
+
+    * ``|vocab| < exact_window_below`` — rank the TYPE table with one
+      global window (|vocab| rows — Zipf: orders of magnitude below
+      the corpus, fine up to a few million types).
+    * otherwise — NO global window: per cutoff V, locate the V-th
+      type in (count desc, token asc) order with
+      ``quality.rank_select_kth``'s two-pass histogram probe (value =
+      −count, id = token), then one predicate aggregate counts/sums
+      the types at-or-above that threshold. ~3 bounded passes per
+      cutoff, each a hash aggregate — the plan that survives a 10M+
+      type table where a single-partition window would serialize.
+
+    The |vocab| gate is one COUNT scalar (bounded driver control
+    data). Counts and cumulative sums are exact BIGINTs; coverage is
+    ONE division at render.
 
     Returns one row per size: (vocab_size, n_types, covered_tokens,
     total_tokens, coverage)."""
@@ -665,29 +678,72 @@ def vocab_coverage_curve(
         F.explode(F.split(F.col(text_col), " ")).alias("tokn")
     ).filter(F.col("tokn") != "")
     types = tok.groupBy("tokn").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("tokn")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = types.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("c"), F.asc("tokn")))
-        .alias("rank"),
-        F.sum("c").over(w).alias("cum"),
-    )
     total = types.agg(F.sum("c").cast("long").alias("_total"))
-    size_arr = F.explode(
-        F.array(*[F.lit(int(s)) for s in sizes])
-    ).alias("vocab_size")
-    grid = ranked.sparkSession.range(1).select(size_arr)
-    per = (
-        ranked.crossJoin(F.broadcast(grid))
-        .filter(F.col("rank") <= F.col("vocab_size"))
-        .groupBy("vocab_size")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_types"),
-            F.max("cum").cast("long").alias("covered_tokens"),
+
+    if types.count() < exact_window_below:
+        w = Window.orderBy(F.desc("c"), F.asc("tokn")).rowsBetween(
+            Window.unboundedPreceding, 0
         )
-    )
+        ranked = types.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("tokn")))
+            .alias("rank"),
+            F.sum("c").over(w).alias("cum"),
+        )
+        size_arr = F.explode(
+            F.array(*[F.lit(int(s)) for s in sizes])
+        ).alias("vocab_size")
+        grid = ranked.sparkSession.range(1).select(size_arr)
+        per = (
+            ranked.crossJoin(F.broadcast(grid))
+            .filter(F.col("rank") <= F.col("vocab_size"))
+            .groupBy("vocab_size")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_types"),
+                F.max("cum").cast("long").alias("covered_tokens"),
+            )
+        )
+    else:
+        from . import quality as _quality
+
+        # avoid re-tokenizing the corpus 3x per cutoff
+        types = types.localCheckpoint(eager=True)
+        frames = []
+        for v in sizes:
+            kth = _quality.rank_select_kth(
+                types.withColumn("_negc", -F.col("c")),
+                "_negc",
+                "tokn",
+                k_expr=f"least({int(v)}, n)",
+            ).select(
+                (-F.col("kth_value")).cast("long").alias("_cth"),
+                F.col("kth_id").alias("_tth"),
+            )
+            at_or_above = (F.col("c") > F.col("_cth")) | (
+                (F.col("c") == F.col("_cth"))
+                & (F.col("tokn") <= F.col("_tth"))
+            )
+            stats = (
+                types.crossJoin(F.broadcast(kth))
+                .filter(at_or_above)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_types"),
+                    F.sum("c").cast("long").alias("covered_tokens"),
+                )
+            )
+            frames.append(
+                # an empty threshold (empty corpus) yields zero rows,
+                # matching the windowed path's empty groupBy result
+                stats.join(kth, F.lit(True), "inner").select(
+                    F.lit(int(v)).alias("vocab_size"),
+                    "n_types",
+                    "covered_tokens",
+                )
+            )
+        per = frames[0]
+        for f in frames[1:]:
+            per = per.unionByName(f)
+
     return per.crossJoin(F.broadcast(total)).select(
         F.col("vocab_size").cast("int").alias("vocab_size"),
         "n_types",

@@ -64,6 +64,37 @@ def test_vocab_coverage_tiebreak_on_token(spark):
     assert out[1].covered_tokens == 1  # 'a' ranks first
 
 
+def test_vocab_coverage_probe_path_equals_window_path(spark):
+    # exact_window_below=0 forces the rank_select_kth histogram-probe
+    # plan (no global window); results must be identical to the
+    # windowed plan, including V > |vocab| and count ties.
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d d"), (2, "a a e b f g c"), (3, "h")],
+        "doc_id long, text string",
+    )
+    sizes = (1, 2, 3, 5, 100)
+    win = sorted(
+        text.vocab_coverage_curve(docs, sizes=sizes).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    probe = sorted(
+        text.vocab_coverage_curve(
+            docs, sizes=sizes, exact_window_below=0
+        ).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert [tuple(r) for r in win] == [tuple(r) for r in probe]
+
+
+def test_vocab_coverage_probe_path_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.vocab_coverage_curve(docs, sizes=(1, 2)).count() == 0
+    assert (
+        text.vocab_coverage_curve(docs, sizes=(1, 2), exact_window_below=0).count()
+        == 0
+    )
+
+
 def test_ngram_loopiness_planted(spark):
     docs = spark.createDataFrame(
         [

@@ -24,6 +24,15 @@ def test_wasserstein_known_shift(spark):
     assert r.w1 == 32.0 and r.n_a == 4 and r.n_b == 4
 
 
+def test_wasserstein_gapped_support(spark):
+    # a=0 vs b=96 at width 32: buckets 0 and 3, two EMPTY buckets in
+    # between. The gap-weighted closed form gives |dCDF|=1 across a
+    # run of 3 grid steps -> 32*3 = 96 (the true W1), not 32.
+    df = spark.createDataFrame([("a", 0), ("b", 96)], "g string, v long")
+    r = quality.wasserstein_hist_drift(df, "g", "a", "b", "v", 32).collect()[0]
+    assert r.w1 == 96.0
+
+
 def test_wasserstein_identical_is_zero(spark):
     rows = [("a", i * 7) for i in range(10)] + [("b", i * 7) for i in range(10)]
     df = spark.createDataFrame(rows, "g string, v long")
@@ -87,6 +96,22 @@ def test_kcenter_planted_geometry(spark):
     assert d2[1] == 0
     assert d2[2] == 100_000 ** 2  # (10 * 1e4)^2 = 1e10
     assert d2[3] == 25 * 10_000 ** 2
+
+
+def test_kcenter_empty_corpus_returns_empty(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = sampling.kcenter_coreset(df, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["sel_rank", "vec_id", "d2"]
+
+
+def test_kcenter_string_ids(spark):
+    # vec_id type follows the INPUT id column — string doc ids work
+    rows = [("a", [0.0]), ("b", [1.0]), ("c", [10.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    sel = sorted(sampling.kcenter_coreset(df, k=2).collect(), key=lambda r: r.sel_rank)
+    assert [r.vec_id for r in sel] == ["a", "c"]
+    assert sampling.kcenter_coreset(df, k=2).schema["vec_id"].dataType.typeName() == "string"
 
 
 def test_balanced_bits_clustered_recall_is_one(spark):

@@ -96,6 +96,17 @@ def test_huber_downweights_outlier(spark):
     assert r.delta < 0
 
 
+def test_huber_all_extreme_residuals_keeps_iterate(spark):
+    # residuals of +/-3e6 are ~3e12 integer units, so every outlier
+    # weight rint(cu/|r|*scale) rounds to 0 and sum(w) = 0; the guard
+    # keeps the previous iterate (the start mean, 0) instead of a
+    # divide-by-zero/NULL.
+    rows = [("a", -3_000_000.0), ("a", 3_000_000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = analytics.huber_location(df, "g", "v").collect()[0]
+    assert r.huber_mean == 0.0 and r.plain_mean == 0.0 and r.delta == 0.0
+
+
 def test_huber_clean_data_matches_mean(spark):
     rows = [("a", 2.0), ("a", 2.2), ("a", 1.8)]
     df = spark.createDataFrame(rows, "g string, v double")

@@ -64,6 +64,22 @@ def test_source_set_cover_greedy_order(spark):
     assert out[3].cum_coverage == 1.0
 
 
+def test_source_set_cover_fewer_sources_than_steps(spark):
+    # one distinct source, three steps: steps 2-3 must still emit rows
+    # (NULL source/gain/coverage), matching the oracle's empty scalar
+    # subqueries — not silently return fewer rows.
+    docs = spark.createDataFrame(
+        [(1, "x y z w", "A")], "doc_id long, text string, source string"
+    )
+    out = {r.step: r for r in curation.source_set_cover(docs, steps=3).collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert out[1].source == "A" and out[1].cum_coverage == 1.0
+    for s in (2, 3):
+        assert out[s].source is None
+        assert out[s].marginal_gain is None
+        assert out[s].cum_coverage is None
+
+
 def test_shingle_sensitivity_monotone(spark):
     # docs sharing vocabulary collapse at k=1-ish widths but separate
     # at larger k: dup_rate must be non-increasing in k

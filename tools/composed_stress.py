@@ -38,7 +38,9 @@ from fordgobike_data_pipeline_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def build_sf(spark, n: int, root: str, fixed_src0: bool = False) -> str:
+def build_sf(
+    spark, n: int, root: str, fixed_src0: bool = False, perturb_emb: bool = False
+) -> str:
     """Materialize an n-replicated copy of the tables the composed
     queries read (documents, lineitem, events, embeddings).
 
@@ -49,8 +51,25 @@ def build_sf(spark, n: int, root: str, fixed_src0: bool = False) -> str:
     corpus×bench match set itself grow ~n² (every corpus replica
     near-matches every bench replica), measuring output growth rather
     than operator scaling; with src0 fixed, matches grow linearly with
-    the corpus — exactly the operator's O(batch) claim."""
-    out = os.path.join(root, f"x{n}_fb" if fixed_src0 else f"x{n}")
+    the corpus — exactly the operator's O(batch) claim.
+
+    ``perturb_emb``: BOUNDED-CLUSTER embedding replication — the
+    vector-space analogue of the documents' per-copy text mutation,
+    for the SemDeDup queries. Verbatim embedding replication makes
+    every cross-copy pair a genuine cosine-1.0 duplicate, so the TRUE
+    near-dup pair set grows ~n² by construction (the r10 SCALE.md †
+    artifact). Instead, copy i applies the Walsh sign pattern
+    s_j = (−1)^popcount(i & j) per dimension j — an exact isometry
+    (reflection), so each copy's INTERNAL pair geometry (norms, all
+    within-copy cosines, cluster structure) is bit-identical to copy
+    0's, while any two copies' patterns differ in exactly half the
+    dimensions, scrambling cross-copy cosines to ≈ 0 (far below the
+    dedup threshold). Duplicate-cluster sizes therefore stay at their
+    1× values — the production assumption every SemDeDup deployment
+    makes — and the measured exponent reflects plan scaling, not
+    planted output mass."""
+    sfx = ("_fb" if fixed_src0 else "") + ("_pe" if perturb_emb else "")
+    out = os.path.join(root, f"x{n}{sfx}")
     os.makedirs(out, exist_ok=True)
 
     def rep(df, offsets: dict[str, int]):
@@ -94,9 +113,33 @@ def build_sf(spark, n: int, root: str, fixed_src0: bool = False) -> str:
         "overwrite"
     ).parquet(os.path.join(out, "events.parquet"))
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    rep(emb, {"vec_id": 10_000_000}).write.mode("overwrite").parquet(
-        os.path.join(out, "embeddings.parquet")
-    )
+    if perturb_emb:
+        dim = len(emb.select("embedding").first()["embedding"])
+        ecopies = []
+        for i in range(n):
+            c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            if i > 0:
+                signs = F.array(
+                    *[
+                        F.lit(float(1 - 2 * (bin(i & j).count("1") % 2)))
+                        for j in range(dim)
+                    ]
+                )
+                c = c.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        F.col("embedding"), signs, lambda x, s: x * s
+                    ).cast("array<float>"),
+                )
+            ecopies.append(c)
+        eu = ecopies[0]
+        for c in ecopies[1:]:
+            eu = eu.unionByName(c)
+        eu.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    else:
+        rep(emb, {"vec_id": 10_000_000}).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
     return out
 
 
@@ -119,21 +162,34 @@ def main() -> int:
     ]
 
     # queries whose src0 side is a fixed benchmark/archive in
-    # production get the fixed-src0 replication (see build_sf)
+    # production get the fixed-src0 replication (see build_sf);
+    # SemDeDup queries get bounded-cluster embedding replication
+    # (perturb_emb — verbatim replicas make the TRUE pair set
+    # quadratic, which measures output mass, not plan scaling)
     fixed_src0 = {"q_decontaminate_near", "q_dedup_incr_near"}
+    perturb_emb = {"q_semantic_keep", "q_semantic_dedup"}
 
     root = tempfile.mkdtemp(prefix="composed_stress_")
     results: dict[str, dict] = {name: {} for name in targets}
     try:
-        for fb in sorted({t in fixed_src0 for t in targets}):
-            grp = [t for t in targets if (t in fixed_src0) == fb]
-            warm = build_sf(spark, 1, os.path.join(root, "warm"), fixed_src0=fb)
+        shapes = sorted({(t in fixed_src0, t in perturb_emb) for t in targets})
+        for fb, pe in shapes:
+            grp = [
+                t
+                for t in targets
+                if (t in fixed_src0) == fb and (t in perturb_emb) == pe
+            ]
+            warm = build_sf(
+                spark, 1, os.path.join(root, "warm"), fixed_src0=fb, perturb_emb=pe
+            )
             for name in grp:  # absorb JVM/codegen startup before timing
                 queries[name](spark, warm).write.format("noop").mode(
                     "overwrite"
                 ).save()
             for scale in (1, n):
-                sf_dir = build_sf(spark, scale, root, fixed_src0=fb)
+                sf_dir = build_sf(
+                    spark, scale, root, fixed_src0=fb, perturb_emb=pe
+                )
                 for name in grp:
                     spark.catalog.clearCache()
                     spark.sparkContext._jvm.System.gc()
