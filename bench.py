@@ -392,6 +392,13 @@ HEADLINE = [
     # + adaptive-matcher + small-graph-CC rewrite (16.8s -> 3.4s,
     # bit-identical vs the unchanged full-graph oracle at all SFs)
     "q_er_canonical",
+    # round-11 additions (wave 39 — anchored at ship time per the rule)
+    "q_ngram_entropy_rate",
+    "q_jm_smoothing_sweep",
+    "q_dup_source_matrix",
+    "q_dup_transitivity",
+    "q_bloom_design",
+    "q_quality_anova",
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
     # corpus is template-heavy, so ~8% of ALL pairs qualify even at
     # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the

@@ -101,10 +101,12 @@ def _ensure_extensions_loaded() -> None:
 #   [16-31] the 16 remaining r3-era keys (newest official row is
 #           seven rounds old),
 #   [32-50] the 19 alphabetically-first r4-era keys.
-# r12 window (never-checked first, then stalest): any round-11
-# additions without an official row, then the 31 remaining r4 keys,
-# then the oldest r5 keys up to 50 slots. At ~370 queries / 50 slots
-# the full surface re-verifies every ~7 rounds.
+# r12 window (never-checked first, then stalest): the 6 round-11
+# wave-39 additions (q_ngram_entropy_rate, q_jm_smoothing_sweep,
+# q_dup_source_matrix, q_dup_transitivity, q_bloom_design,
+# q_quality_anova — no official row yet), then the 31 remaining r4
+# keys, then the oldest r5 keys up to 50 slots. At ~376 queries / 50
+# slots the full surface re-verifies every ~7 rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-15] waves 36-38 — first official rows
     "q_wasserstein_drift",

@@ -2551,3 +2551,166 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio terms quantize to 1e-12 BIGINTs before the exact sum."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return analytics.hill_tail_index(docs, "n_chars", "doc_id", k=20)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 39: bloom-filter design audit, one-way ANOVA.
+# ---------------------------------------------------------------------------
+
+_BLOOM_H64 = (
+    "CAST(CAST(from_hex(substr(md5({x}), {start}, 16)) AS BIT) AS BIGINT)"
+)
+
+
+def _bloom_r_block(r: int, k: int) -> str:
+    """One bits-per-key budget of the bloom design oracle: build the
+    distinct inserted-bit relation, probe it with k positions per
+    absent key, count all-k hits."""
+    m = f"(n_keys * {r})"
+    pos = f"((h1 + t.i * h2) % {m})"
+    return f"""
+    ins{r} AS (
+        SELECT DISTINCT {pos} AS pos
+        FROM kh CROSS JOIN nt CROSS JOIN range({k}) t(i)
+    ),
+    pb{r} AS (
+        SELECT p, {pos} AS pos
+        FROM ph CROSS JOIN nt CROSS JOIN range({k}) t(i)
+    ),
+    fp{r} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM (
+            SELECT p, count(*) AS nh
+            FROM (SELECT * FROM pb{r} SEMI JOIN ins{r} USING (pos))
+            GROUP BY p
+        ) WHERE nh = {k}
+    )"""
+
+
+def _bloom_r_select(r: int, k: int) -> str:
+    return f"""
+    SELECT CAST({r} AS INT) AS bits_per_key,
+           CAST({k} AS INT) AS k_hashes,
+           CAST(n_keys * {r} AS BIGINT) AS m_bits,
+           n_keys, n_probes, n_false_pos,
+           round(CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE), 9)
+               AS fpp_measured,
+           round(pow(CAST(1 AS DOUBLE)
+                     - exp(-(CAST({k} AS DOUBLE) / CAST({r} AS DOUBLE))),
+                     CAST({k} AS DOUBLE)), 9) AS fpp_predicted
+    FROM nt CROSS JOIN np CROSS JOIN fp{r}
+    """
+
+
+_BLOOM_GRID = ((4, 3), (8, 6), (12, 8), (16, 11))
+
+_BLOOM_SQL = (
+    f"""
+    WITH kk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM kk),
+    kh AS (
+        SELECT (({_BLOOM_H64.format(x="CAST(k AS VARCHAR)", start=1)}
+                 % 4294967296 + 4294967296) % 4294967296) AS h1,
+               ((({_BLOOM_H64.format(x="CAST(k AS VARCHAR)", start=17)}
+                 % 4294967296 + 4294967296) % 4294967296) | 1) AS h2
+        FROM kk
+    ),
+    pk AS (SELECT DISTINCT c_custkey + 1000000000 AS p FROM customer),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM pk),
+    ph AS (
+        SELECT p,
+               (({_BLOOM_H64.format(x="CAST(p AS VARCHAR)", start=1)}
+                 % 4294967296 + 4294967296) % 4294967296) AS h1,
+               ((({_BLOOM_H64.format(x="CAST(p AS VARCHAR)", start=17)}
+                 % 4294967296 + 4294967296) % 4294967296) | 1) AS h2
+        FROM pk
+    ),
+    """
+    + ",".join(_bloom_r_block(r, k) for r, k in _BLOOM_GRID)
+    + " UNION ALL ".join(_bloom_r_select(r, k) for r, k in _BLOOM_GRID)
+)
+
+
+@query("q_bloom_design", _BLOOM_SQL)
+def q_bloom_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter design audit (sketches.bloom_filter_design): for
+    bits-per-key budgets {4, 8, 12, 16} with optimal k = ⌊r·ln2⌉,
+    the MEASURED false-positive rate of a relationally-built filter
+    over the customer key set against a known-absent probe set
+    (keys + 1e9), next to the textbook (1 − e^(−k/r))^k — the sizing
+    table for join-pruning / shard-routing blooms. The filter is the
+    distinct (budget, position) relation (never a driver bitmap);
+    md5 double-hash positions are bit-reproducible in SQL."""
+    from .operators import sketches
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    probes = cust.select((F.col("c_custkey") + 1_000_000_000).alias("probe"))
+    return sketches.bloom_filter_design(
+        cust, probes, "c_custkey", "probe", bits_per_key=(4, 8, 12, 16)
+    )
+
+
+@query(
+    "q_quality_anova",
+    """
+    WITH per AS (
+        SELECT source AS g, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(n_chars) AS BIGINT) AS sg,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sq
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(ng) AS BIGINT) AS n_rows,
+               CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(sq) AS HUGEINT) AS sq_all,
+               CAST(sum(CAST(round_even(
+                   CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                   / CAST(ng AS DOUBLE) * 1e6, 0) AS HUGEINT)) AS HUGEINT)
+                   AS q_sum
+        FROM per
+    )
+    SELECT n_groups, n_rows,
+           round(CAST(q_sum AS DOUBLE) / 1e6
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n_rows AS DOUBLE), 6) AS ss_between,
+           round(CAST(sq_all AS DOUBLE)
+                 - CAST(q_sum AS DOUBLE) / 1e6, 6) AS ss_within,
+           CASE WHEN n_groups > 1 AND n_rows > n_groups
+                     AND (CAST(sq_all AS DOUBLE)
+                          - CAST(q_sum AS DOUBLE) / 1e6) > 0
+                THEN round(
+                    ((CAST(q_sum AS DOUBLE) / 1e6
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n_rows AS DOUBLE))
+                     / CAST(n_groups - 1 AS DOUBLE))
+                    / ((CAST(sq_all AS DOUBLE)
+                        - CAST(q_sum AS DOUBLE) / 1e6)
+                       / CAST(n_rows - n_groups AS DOUBLE)), 9)
+                END AS f_stat,
+           CASE WHEN (CAST(q_sum AS DOUBLE) / 1e6
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n_rows AS DOUBLE))
+                     + (CAST(sq_all AS DOUBLE)
+                        - CAST(q_sum AS DOUBLE) / 1e6) > 0
+                THEN round(
+                    (CAST(q_sum AS DOUBLE) / 1e6
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n_rows AS DOUBLE))
+                    / ((CAST(q_sum AS DOUBLE) / 1e6
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n_rows AS DOUBLE))
+                       + (CAST(sq_all AS DOUBLE)
+                          - CAST(q_sum AS DOUBLE) / 1e6)), 9)
+                END AS eta_sq
+    FROM tot
+    """,
+)
+def q_quality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across sources
+    (analytics.one_way_anova on n_chars by source): SSB/SSW, F, and
+    η² — does SOURCE explain length, or is the mixture homogeneous?
+    Second moments in decimal/HUGEINT, per-group Σ²/n helper terms
+    quantized to 1e-6 integers before the exact cross-group sum, one
+    float subtraction per SS."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return analytics.one_way_anova(docs, "source", "n_chars")

@@ -4897,3 +4897,205 @@ def q_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per width, 16-byte shuffle keys."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.shingle_set_sensitivity(docs, ks=(2, 3, 5))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 39: entropy rate, JM smoothing sweep, dup-source matrix,
+# near-dup transitivity.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_entropy_rate",
+    """
+    WITH tk0 AS (
+        SELECT source AS grp, string_split(text, ' ') AS tk FROM documents
+    ),
+    tks AS (
+        SELECT grp, w FROM (SELECT grp, unnest(tk) AS w FROM tk0)
+        WHERE w != ''
+    ),
+    uni AS (SELECT grp, w, CAST(count(*) AS BIGINT) AS c
+            FROM tks GROUP BY grp, w),
+    nu AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tok FROM uni GROUP BY grp),
+    uq AS (
+        SELECT uni.grp,
+               CAST(sum(CAST(round_even(
+                   CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                   * log2(CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                   * 1e12, 0) AS BIGINT)) AS BIGINT) AS uq
+        FROM uni JOIN nu USING (grp) GROUP BY uni.grp
+    ),
+    bgs AS (
+        SELECT grp, tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS w1
+        FROM (SELECT grp, tk, unnest(range(1, len(tk))) AS i FROM tk0)
+    ),
+    c2 AS (SELECT grp, bg, w1, CAST(count(*) AS BIGINT) AS cb
+           FROM bgs GROUP BY grp, bg, w1),
+    c1 AS (SELECT grp, w1, CAST(sum(cb) AS BIGINT) AS c1
+           FROM c2 GROUP BY grp, w1),
+    nb AS (SELECT grp, CAST(sum(cb) AS BIGINT) AS n_bg FROM c2 GROUP BY grp),
+    bq AS (
+        SELECT c2.grp,
+               CAST(sum(CAST(round_even(
+                   CAST(cb AS DOUBLE) / CAST(n_bg AS DOUBLE)
+                   * log2(CAST(cb AS DOUBLE) / CAST(c1 AS DOUBLE))
+                   * 1e12, 0) AS BIGINT)) AS BIGINT) AS bq
+        FROM c2 JOIN c1 USING (grp, w1) JOIN nb USING (grp)
+        GROUP BY c2.grp
+    )
+    SELECT nu.grp AS source,
+           n_tok AS n_tokens,
+           COALESCE(n_bg, 0) AS n_bigrams,
+           -(CAST(uq AS DOUBLE)) / 1e12 AS h_unigram,
+           CASE WHEN bq IS NOT NULL
+                THEN -(CAST(bq AS DOUBLE)) / 1e12 END AS h_bigram_cond,
+           CASE WHEN bq IS NOT NULL AND uq < 0
+                THEN round(CAST(1 AS DOUBLE)
+                           - (-(CAST(bq AS DOUBLE)) / 1e12)
+                             / (-(CAST(uq AS DOUBLE)) / 1e12), 9)
+                END AS redundancy
+    FROM nu JOIN uq USING (grp)
+    LEFT JOIN nb USING (grp) LEFT JOIN bq USING (grp)
+    """,
+)
+def q_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token entropy rate (text.ngram_entropy_rate):
+    unigram entropy, bigram CONDITIONAL entropy, and redundancy —
+    the information-density audit that separates natural language
+    (context lowers H) from templates (redundancy → 1) and shuffled
+    junk (redundancy → 0). Entropy terms quantized to 1e-12 BIGINTs
+    before exact sums (the source_diversity playbook); two
+    map-combinable count aggs, bounded per-group reduce."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.ngram_entropy_rate(docs)
+
+
+def _jm_lambda_block(lam: float) -> str:
+    lo = repr(float(lam))
+    hi = repr(1.0 - float(lam))
+    return f"""
+    SELECT CAST({lo} AS DOUBLE) AS lam,
+           CAST(sum(m) AS BIGINT) AS n_test_bigrams,
+           round(-(CAST(sum(CAST(round_even(
+                       log2(CAST({lo} AS DOUBLE) * p_bi
+                            + CAST({hi} AS DOUBLE) * p_uni) * 1e12, 0)
+                     AS BIGINT) * CAST(m AS HUGEINT)) AS DOUBLE))
+                 / (CAST(sum(m) AS DOUBLE) * 1e12), 9) AS cross_entropy_bits
+    FROM j
+    """
+
+
+@query(
+    "q_jm_smoothing_sweep",
+    """
+    WITH tr AS (SELECT string_split(text, ' ') AS tk FROM documents
+                WHERE doc_id % 2 = 0),
+    te AS (SELECT string_split(text, ' ') AS tk FROM documents
+           WHERE doc_id % 2 = 1),
+    tru AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+            FROM (SELECT unnest(tk) AS w FROM tr) WHERE w != '' GROUP BY w),
+    trt AS (SELECT CAST(sum(cu) AS BIGINT) AS n_train,
+                   CAST(count(*) AS BIGINT) AS v_train FROM tru),
+    trbg AS (SELECT tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS w1,
+                    CAST(count(*) AS BIGINT) AS cb
+             FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tr)
+             GROUP BY bg, w1),
+    trp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM trbg GROUP BY w1),
+    tebg AS (SELECT bg, CAST(count(*) AS BIGINT) AS m,
+                    string_split(bg, ' ')[1] AS w1,
+                    string_split(bg, ' ')[2] AS w2
+             FROM (SELECT tk[i] || ' ' || tk[i+1] AS bg
+                   FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM te))
+             GROUP BY bg),
+    j AS (
+        SELECT m,
+               CASE WHEN cb IS NOT NULL AND cp IS NOT NULL
+                    THEN CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS p_bi,
+               (CAST(COALESCE(cu, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+               / (CAST(n_train AS DOUBLE) + CAST(v_train AS DOUBLE)
+                  + CAST(1 AS DOUBLE)) AS p_uni
+        FROM tebg
+        LEFT JOIN (SELECT bg, cb FROM trbg) USING (bg)
+        LEFT JOIN trp USING (w1)
+        LEFT JOIN (SELECT w AS w2, cu FROM tru) USING (w2)
+        CROSS JOIN trt
+    )
+    """
+    + _jm_lambda_block(0.2)
+    + " UNION ALL "
+    + _jm_lambda_block(0.4)
+    + " UNION ALL "
+    + _jm_lambda_block(0.6)
+    + " UNION ALL "
+    + _jm_lambda_block(0.8),
+)
+def q_jm_smoothing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer λ sweep (text.jm_smoothing_sweep): held-out
+    cross-entropy of λ·P_bi + (1−λ)·P_uni⁺ on the odd-doc_id split
+    under the even-doc_id model — the empirical smoothing-weight
+    curve. Per-distinct-bigram log2 terms quantized to 1e-12 BIGINTs,
+    multiplied by exact multiplicities in decimal/HUGEINT, summed
+    exactly; the oracle unrolls the same λ grid with identical double
+    literals."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.jm_smoothing_sweep(docs, lambdas=(0.2, 0.4, 0.6, 0.8))
+
+
+@query(
+    "q_dup_source_matrix",
+    f"""
+    WITH {_mh_pairs_ctes()},
+    lab AS (
+        SELECT least(sa.source, sb.source) AS src_a,
+               greatest(sa.source, sb.source) AS src_b,
+               CAST(round_even(jaccard * 1e6, 0) AS BIGINT) AS jq
+        FROM mh_pairs
+        JOIN documents sa ON sa.doc_id = mh_pairs.id_a
+        JOIN documents sb ON sb.doc_id = mh_pairs.id_b
+    )
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(jq) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1e6), 9) AS mean_jaccard
+    FROM lab GROUP BY src_a, src_b
+    """,
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (dedup.dup_source_matrix)
+    over the verified MinHash near-dup pair set: which feeds
+    re-scrape each other (off-diagonal) vs self-repeat (diagonal).
+    Consumes the cached pair artifact like the other dedup audits;
+    two source-attach joins + one bounded source×source aggregate."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.dup_source_matrix(_cached_mh_pairs(spark, sf_dir), docs)
+
+
+@query(
+    "q_dup_transitivity",
+    f"""
+    WITH {_mh_pairs_ctes()},
+    e AS (SELECT DISTINCT id_a, id_b FROM mh_pairs),
+    sym AS (SELECT id_a AS apex, id_b AS leaf FROM e
+            UNION ALL SELECT id_b, id_a FROM e),
+    wdg AS (SELECT x.leaf AS id_a, y.leaf AS id_b
+            FROM sym x JOIN sym y ON x.apex = y.apex AND x.leaf < y.leaf),
+    cl AS (SELECT * FROM wdg SEMI JOIN e USING (id_a, id_b))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wdg) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_closed,
+           CASE WHEN (SELECT count(*) FROM wdg) > 0
+                THEN round(CAST((SELECT count(*) FROM cl) AS DOUBLE)
+                           / CAST((SELECT count(*) FROM wdg) AS DOUBLE), 9)
+                END AS transitivity
+    """,
+)
+def q_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup transitivity audit (dedup.near_dup_transitivity):
+    share of wedges in the verified pair graph whose closing edge is
+    also a pair — near 1 means clusters are cliques (keep-one-per-
+    cluster is safe); low means the threshold sits inside a
+    similarity gradient. One symmetric self-join on the apex node
+    (degree-bounded by the upstream hot-bucket caps) + one semi-join
+    closure test."""
+    return dedup.near_dup_transitivity(_cached_mh_pairs(spark, sf_dir))

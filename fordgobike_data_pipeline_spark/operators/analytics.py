@@ -1201,3 +1201,69 @@ def hill_tail_index(
             F.round(F.lit(float(k)) * 1e12 / F.sum("t").cast("double"), 9),
         ).alias("alpha_hat"),
     ).select("k", "x_tail", "alpha_hat")
+
+
+def one_way_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA of a numeric column across groups: between/within
+    sums of squares, the F statistic, and η² (the share of variance
+    the grouping explains) — the test behind "does SOURCE actually
+    explain quality/length, or is the mixture homogeneous?" that
+    decides whether per-source thresholds are worth their complexity
+    (η² ≈ 0 → one global threshold is fine).
+
+    Exactness: per-group n and Σx are exact BIGINTs and Σx² is
+    decimal(38,0)/HUGEINT (second-moment playbook); each group's
+    Σx²ᵍ/nᵍ helper term is ONE double expression quantized to a 1e-6
+    BIGINT before the exact cross-group sum (groups are bounded but
+    the sum must still be order-independent), so SSB/SSW come out of
+    exact integers with one float subtraction each.
+
+    Scale: one partial-agg groupBy over the corpus plus a bounded
+    group-table reduce — no windows, no driver data.
+
+    Returns one row: (n_groups, n_rows, ss_between, ss_within,
+    f_stat, eta_sq)."""
+    x = F.col(value_col).cast("long")
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(x).cast("long").alias("sg"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("sq"),
+    )
+    # q = rint(Sg²/ng · 1e6): one double expr per bounded group row
+    qg = F.rint(
+        F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng").cast("double")
+        * F.lit(1e6)
+    ).cast("decimal(38,0)")
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("ng").cast("long").alias("n_rows"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("sq").alias("sq_all"),
+        F.sum(qg).alias("q_sum"),
+    )
+    grand = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n_rows").cast("double")
+    )
+    ssb = F.col("q_sum").cast("double") / F.lit(1e6) - grand
+    ssw = F.col("sq_all").cast("double") - F.col("q_sum").cast("double") / F.lit(1e6)
+    fstat = F.when(
+        (F.col("n_groups") > 1) & (F.col("n_rows") > F.col("n_groups")) & (ssw > 0),
+        (ssb / (F.col("n_groups") - 1).cast("double"))
+        / (ssw / (F.col("n_rows") - F.col("n_groups")).cast("double")),
+    )
+    return tot.select(
+        "n_groups",
+        "n_rows",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(fstat, 9).alias("f_stat"),
+        F.when(ssb + ssw > 0, F.round(ssb / (ssb + ssw), 9)).alias("eta_sq"),
+    )

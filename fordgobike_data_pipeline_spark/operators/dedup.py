@@ -1441,3 +1441,99 @@ def shingle_set_sensitivity(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def dup_source_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix from a verified near-dup pair
+    set: for every unordered source pair (including the diagonal),
+    how many near-duplicate pairs straddle it and how similar they are
+    on average — the audit that tells a mixture owner WHICH feeds are
+    re-scraping each other (off-diagonal mass) vs merely self-repeating
+    (diagonal mass) before they buy or reweight a source.
+
+    Consumes an already-materialized pair table (the production shape —
+    near-dup pairs are computed once and audited many ways, like
+    q_dup_cluster_sizes). Two hash joins to attach sources, one bounded
+    (source × source) aggregate; the unordered key is least/greatest so
+    (A,B) and (B,A) land in one cell. The mean is an exact integer sum
+    of the 1e-6-quantized jaccards (already 6dp-rounded upstream, so
+    quantization is lossless), divided once.
+
+    Returns (src_a, src_b, n_pairs, mean_jaccard)."""
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb"))
+    j = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least(F.col("_sa"), F.col("_sb")).alias("src_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("src_b"),
+            F.rint(F.col("jaccard") * F.lit(1e6)).cast("long").alias("jq"),
+        )
+    )
+    return j.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("jq").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e6)),
+            9,
+        ).alias("mean_jaccard"),
+    )
+
+
+def near_dup_transitivity(
+    pairs: DataFrame,
+) -> DataFrame:
+    """Transitivity audit of a near-dup pair graph: the share of
+    wedges (a–b, a–c) whose closing edge (b–c) is also a verified
+    pair. Near-duplication is *approximately* transitive — a healthy
+    threshold yields a ratio near 1 (clusters are cliques and a
+    keep-one-per-cluster policy is safe); a low ratio means the
+    threshold sits inside a similarity gradient (chains like
+    v1→v2→v3 where v1↮v3), where transitive-closure dedup
+    over-merges and pair-level dedup under-merges — the number that
+    decides between them.
+
+    Pure relational: symmetric edge table, one self-join on the apex
+    node (b < c orders each wedge once), one join against the
+    canonical pair set to test closure. Wedge count is Σ deg·(deg−1)/2
+    — bounded by the hot-bucket caps upstream that already bound the
+    pair graph's max degree, so the self-join cannot blow up at scale.
+
+    Returns one row: (n_edges, n_wedges, n_closed, transitivity)."""
+    e = pairs.select("id_a", "id_b").distinct()
+    sym = e.unionByName(
+        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("apex"), F.col("id_b").alias("leaf"))
+    wedges = (
+        sym.alias("x")
+        .join(sym.alias("y"), "apex")
+        .filter(F.col("x.leaf") < F.col("y.leaf"))
+        .select(F.col("x.leaf").alias("id_a"), F.col("y.leaf").alias("id_b"))
+    )
+    closed = wedges.join(e, ["id_a", "id_b"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+        .crossJoin(
+            closed.agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+        )
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_closed",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.col("n_closed").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    9,
+                ),
+            ).alias("transitivity"),
+        )
+    )

@@ -101,3 +101,110 @@ def count_min_estimate(
         .groupBy("term")
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+def bloom_filter_design(
+    keys: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    probe_col: str,
+    bits_per_key: tuple[int, ...] = (4, 8, 12, 16),
+) -> DataFrame:
+    """Bloom-filter design audit: for a grid of bits-per-key budgets,
+    build the filter RELATIONALLY over the real key set and measure
+    the false-positive rate against a known-absent probe set, next to
+    the textbook prediction (1 − e^(−k/r))^k — the sizing table a
+    100 TB join-pruning or shard-routing bloom gets designed from
+    (measured, because real key sets are never the uniform hashes the
+    formula assumes).
+
+    k per budget is the optimal ⌊r·ln2⌉ (computed driver-side from
+    the literal grid). Bit positions use the repo's md5 double-hash
+    (h1 + i·h2 mod m, h2 forced odd — the minhash/oracle-reproducible
+    family); the filter IS the distinct (budget, position) relation,
+    never a driver-side bitmap, so filter construction is one
+    hash aggregate and membership testing is one join — both
+    partition-parallel at any m. A probe is a false positive iff all
+    k of its positions hit.
+
+    Returns one row per budget: (bits_per_key, k_hashes, m_bits,
+    n_keys, n_probes, n_false_pos, fpp_measured, fpp_predicted)."""
+    import math
+
+    grid = [(int(r), max(1, round(r * math.log(2)))) for r in bits_per_key]
+
+    def h12(c):
+        md = F.md5(c.cast("string"))
+        half = lambda s: F.conv(F.substring(md, s, 16), 16, -10).cast("long")  # noqa: E731
+        return (
+            F.pmod(half(1), F.lit(1 << 32)).alias("h1"),
+            F.pmod(half(17), F.lit(1 << 32)).bitwiseOR(F.lit(1)).alias("h2"),
+        )
+
+    k_keys = keys.select(F.col(key_col).alias("k")).distinct()
+    n_tot = k_keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    kh = k_keys.select(*h12(F.col("k")))
+    p_keys = probes.select(F.col(probe_col).alias("p")).distinct()
+    ph = p_keys.select("p", *h12(F.col("p")))
+
+    frames = []
+    for r, k in grid:
+        m = F.col("n_keys") * F.lit(int(r))
+        ins = (
+            kh.crossJoin(F.broadcast(n_tot))
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(int(k) - 1)),
+                        lambda i: F.pmod(F.col("h1") + i * F.col("h2"), m),
+                    )
+                ).alias("pos")
+            )
+            .distinct()
+        )
+        pb = ph.crossJoin(F.broadcast(n_tot)).select(
+            "p",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(int(k) - 1)),
+                    lambda i: F.pmod(F.col("h1") + i * F.col("h2"), m),
+                )
+            ).alias("pos"),
+        )
+        hits = (
+            pb.join(ins, "pos", "left_semi")
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("nh"))
+            .filter(F.col("nh") == int(k))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+        )
+        stat = (
+            n_tot.crossJoin(p_keys.agg(F.count(F.lit(1)).cast("long").alias("n_probes")))
+            .crossJoin(hits)
+            .select(
+                F.lit(int(r)).alias("bits_per_key"),
+                F.lit(int(k)).alias("k_hashes"),
+                (F.col("n_keys") * F.lit(int(r))).cast("long").alias("m_bits"),
+                "n_keys",
+                "n_probes",
+                "n_false_pos",
+                F.round(
+                    F.col("n_false_pos").cast("double")
+                    / F.col("n_probes").cast("double"),
+                    9,
+                ).alias("fpp_measured"),
+                F.round(
+                    F.pow(
+                        F.lit(1.0)
+                        - F.exp(-F.lit(float(k)) / F.lit(float(r))),
+                        F.lit(float(k)),
+                    ),
+                    9,
+                ).alias("fpp_predicted"),
+            )
+        )
+        frames.append(stat)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

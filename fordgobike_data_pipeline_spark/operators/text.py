@@ -1011,3 +1011,196 @@ def tokenizer_fertility(
             F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens").cast("double")
         ).alias("tokens_per_word"),
     )
+
+
+def ngram_entropy_rate(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token entropy rate: unigram entropy H(W), bigram
+    CONDITIONAL entropy H(W₂|W₁), and the redundancy 1 − H₂/H₁ — the
+    information-density audit of a feed. A natural-language source
+    sits near H₁ ≈ 10–12 bits with H₂|₁ well below it (context helps);
+    templated/boilerplate feeds crater the conditional entropy
+    (near-deterministic transitions → redundancy → 1), while
+    random/shuffled junk pushes H₂|₁ toward H₁ (redundancy → 0).
+    Complements q_bigram_lm (per-DOC score under the corpus model) —
+    this is the per-SOURCE model property itself.
+
+    Determinism playbook: each entropy term p·log2(ṕ) is ONE double
+    expression quantized to a 1e-12 BIGINT (rint/round_even) before
+    the exact integer sum, so the Σ is order-independent and
+    bit-identical cross-engine; the final /1e12 is one float op.
+
+    Scale: two map-side-combinable count aggregates over the token /
+    bigram tables (Zipf-bounded type keys), one bounded per-group
+    reduce. No windows, no driver data.
+
+    Returns one row per group: (<group>, n_tokens, n_bigrams,
+    h_unigram, h_bigram_cond, redundancy)."""
+    g = F.col(group_col).alias("grp")
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    toks = docs.select(g, F.explode(t).alias("w")).filter(F.col("w") != "")
+    uni = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu = uni.groupBy("grp").agg(F.sum("c").cast("long").alias("n_tok"))
+    # term = (c/N)·log2(c/N), quantized 1e-12 → exact BIGINT sum
+    p_u = F.col("c").cast("double") / F.col("n_tok").cast("double")
+    uq = (
+        uni.join(nu, "grp")
+        .select("grp", F.rint(p_u * F.log2(p_u) * F.lit(1e12)).cast("long").alias("q"))
+        .groupBy("grp")
+        .agg(F.sum("q").cast("long").alias("uq"))
+    )
+    bg_arr = F.zip_with(
+        F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bgs = docs.select(g, F.explode(bg_arr).alias("bg")).withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    )
+    c2 = bgs.groupBy("grp", "bg", "w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1 = c2.groupBy("grp", "w1").agg(F.sum("c2").cast("long").alias("c1"))
+    nb = c2.groupBy("grp").agg(F.sum("c2").cast("long").alias("n_bg"))
+    # term = (c12/N2)·log2(c12/c1·) — conditional entropy of the
+    # transition given the prefix, quantized the same way
+    p_b = F.col("c2").cast("double") / F.col("n_bg").cast("double")
+    lp = F.log2(F.col("c2").cast("double") / F.col("c1").cast("double"))
+    bq = (
+        c2.join(c1, ["grp", "w1"])
+        .join(nb, "grp")
+        .select("grp", F.rint(p_b * lp * F.lit(1e12)).cast("long").alias("q"))
+        .groupBy("grp")
+        .agg(F.sum("q").cast("long").alias("bq"))
+    )
+    h1 = -F.col("uq").cast("double") / F.lit(1e12)
+    h2 = -F.col("bq").cast("double") / F.lit(1e12)
+    return (
+        nu.join(uq, "grp")
+        .join(nb, "grp", "left")
+        .join(bq, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_tok").alias("n_tokens"),
+            F.coalesce(F.col("n_bg"), F.lit(0).cast("long")).alias("n_bigrams"),
+            h1.alias("h_unigram"),
+            F.when(F.col("bq").isNotNull(), h2).alias("h_bigram_cond"),
+            F.when(
+                F.col("bq").isNotNull() & (F.col("uq") < 0),
+                F.round(F.lit(1.0) - h2 / h1, 9),
+            ).alias("redundancy"),
+        )
+    )
+
+
+def jm_smoothing_sweep(
+    docs: DataFrame,
+    lambdas: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jelinek–Mercer interpolation sweep: held-out cross-entropy
+    (bits/bigram) of the smoothed bigram model
+    P(w₂|w₁) = λ·P_bi(w₂|w₁) + (1−λ)·P_uni⁺(w₂) for a grid of λ — the
+    curve that picks an LM-data smoothing weight empirically instead
+    of folklore. Train = even doc_id, test = odd doc_id (the repo's
+    deterministic split convention); P_uni⁺ is Laplace over the train
+    vocabulary plus one unseen slot ((c+1)/(N+V+1)), so every test
+    bigram has positive probability and the sweep is well-defined on
+    any split.
+
+    Determinism: each DISTINCT test bigram's log2(mix) is quantized to
+    a 1e-12 BIGINT, multiplied by its exact multiplicity in
+    decimal(38,0)/HUGEINT, and summed exactly; λ and (1−λ) are the
+    identical double literals in both engines. Scale: train/test count
+    tables are map-side aggs; scoring is two hash joins on Zipf-small
+    type keys; the λ grid multiplies the DISTINCT-bigram table only.
+
+    Returns one row per λ: (lam, n_test_bigrams, cross_entropy_bits)."""
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    bg_arr = F.zip_with(
+        F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    train = docs.filter(F.col(id_col) % 2 == 0)
+    test = docs.filter(F.col(id_col) % 2 == 1)
+    tr_uni = (
+        train.select(F.explode(t).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    tr_tot = tr_uni.agg(
+        F.sum("cu").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("v_train"),
+    )
+    tr_bg = (
+        train.select(F.explode(bg_arr).alias("bg"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .groupBy("bg", "w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    tr_pre = tr_bg.groupBy("w1").agg(F.sum("cb").cast("long").alias("cp"))
+    te_bg = (
+        test.select(F.explode(bg_arr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    joined = (
+        te_bg.join(tr_bg.select("bg", "cb"), "bg", "left")
+        .join(tr_pre, "w1", "left")
+        .join(tr_uni.select(F.col("w").alias("w2"), "cu"), "w2", "left")
+        .crossJoin(F.broadcast(tr_tot))
+        .select(
+            "m",
+            F.when(
+                F.col("cb").isNotNull() & F.col("cp").isNotNull(),
+                F.col("cb").cast("double") / F.col("cp").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("p_bi"),
+            (
+                (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(1.0))
+                / (
+                    F.col("n_train").cast("double")
+                    + F.col("v_train").cast("double")
+                    + F.lit(1.0)
+                )
+            ).alias("p_uni"),
+        )
+    )
+    frames = []
+    for lam in lambdas:
+        mix = F.lit(float(lam)) * F.col("p_bi") + F.lit(1.0 - float(lam)) * F.col(
+            "p_uni"
+        )
+        q = F.rint(F.log2(mix) * F.lit(1e12)).cast("long")
+        frames.append(
+            joined.select(
+                (q.cast("decimal(38,0)") * F.col("m")).alias("qm"),
+                F.col("m"),
+            )
+            .agg(
+                F.sum("m").cast("long").alias("n_test_bigrams"),
+                F.round(
+                    -F.sum("qm").cast("double")
+                    / (F.sum("m").cast("double") * F.lit(1e12)),
+                    9,
+                ).alias("cross_entropy_bits"),
+            )
+            .select(
+                F.lit(float(lam)).alias("lam"),
+                "n_test_bigrams",
+                "cross_entropy_bits",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("lam", "n_test_bigrams", "cross_entropy_bits")

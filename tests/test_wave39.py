@@ -1,0 +1,125 @@
+"""Wave-39 operators: n-gram entropy rate, JM smoothing sweep,
+dup-source matrix, near-dup transitivity, bloom design audit, one-way
+ANOVA — planted-value tests pinning hand-computed answers."""
+
+from __future__ import annotations
+
+import math
+
+from fordgobike_data_pipeline_spark.operators import (
+    analytics,
+    dedup,
+    sketches,
+    text,
+)
+
+
+def test_entropy_rate_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "s1"),        # H1 = 0, H2|1 = 0
+            (2, "a b a b a", "s2"),      # H1 > 0, deterministic transitions
+            (3, "x", "s3"),              # no bigrams
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in text.ngram_entropy_rate(docs).collect()}
+    assert out["s1"].n_tokens == 4 and out["s1"].h_unigram == 0.0
+    assert out["s1"].h_bigram_cond == 0.0
+    assert out["s1"].redundancy is None  # H1 = 0 -> undefined
+    h1 = -(3 / 5) * math.log2(3 / 5) - (2 / 5) * math.log2(2 / 5)
+    assert abs(out["s2"].h_unigram - h1) < 1e-9
+    # a->b and b->a are the only transitions: conditional entropy 0
+    assert out["s2"].h_bigram_cond == 0.0 and out["s2"].redundancy == 1.0
+    assert out["s3"].n_bigrams == 0 and out["s3"].h_bigram_cond is None
+
+
+def test_jm_sweep_planted(spark):
+    # train "a b": P_bi(b|a)=1; P_uni+(b) = (1+1)/(2+2+1) = 0.4.
+    # test "a b": CE(lam) = -log2(lam + (1-lam)*0.4), decreasing in lam.
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b")], "doc_id long, text string"
+    )
+    out = {r.lam: r for r in text.jm_smoothing_sweep(docs).collect()}
+    assert all(r.n_test_bigrams == 1 for r in out.values())
+    assert abs(out[0.2].cross_entropy_bits - (-math.log2(0.2 + 0.8 * 0.4))) < 1e-8
+    assert out[0.8].cross_entropy_bits < out[0.2].cross_entropy_bits
+
+
+def test_dup_source_matrix_planted(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.85)], "id_a long, id_b long, jaccard double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A")], "doc_id long, source string"
+    )
+    out = {(r.src_a, r.src_b): r for r in dedup.dup_source_matrix(pairs, docs).collect()}
+    assert out[("A", "B")].n_pairs == 1 and out[("A", "B")].mean_jaccard == 0.9
+    assert out[("A", "A")].n_pairs == 1 and out[("A", "A")].mean_jaccard == 0.85
+
+
+def test_transitivity_open_and_closed(spark):
+    open_g = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    r = dedup.near_dup_transitivity(open_g).collect()[0]
+    assert r.n_edges == 2 and r.n_wedges == 1 and r.n_closed == 0
+    assert r.transitivity == 0.0
+    closed_g = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.9), (2, 3, 0.9)],
+        "id_a long, id_b long, jaccard double",
+    )
+    r = dedup.near_dup_transitivity(closed_g).collect()[0]
+    assert r.n_wedges == 3 and r.n_closed == 3 and r.transitivity == 1.0
+
+
+def test_transitivity_no_wedges(spark):
+    g = spark.createDataFrame([(1, 2, 0.9)], "id_a long, id_b long, jaccard double")
+    r = dedup.near_dup_transitivity(g).collect()[0]
+    assert r.n_wedges == 0 and r.transitivity is None
+
+
+def test_bloom_design_members_always_hit(spark):
+    # probing the INSERTED keys themselves: every position hits, so the
+    # "false-positive" count equals n_probes at every budget (no false
+    # negatives is the Bloom guarantee)
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    out = sketches.bloom_filter_design(keys, keys, "k", "k").collect()
+    assert all(r.n_false_pos == r.n_probes == 50 for r in out)
+
+
+def test_bloom_design_fpp_shrinks_with_budget(spark):
+    keys = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    probes = spark.createDataFrame([(i + 10_000,) for i in range(200)], "p long")
+    out = {
+        r.bits_per_key: r
+        for r in sketches.bloom_filter_design(keys, probes, "k", "p").collect()
+    }
+    assert out[4].m_bits == 800 and out[4].k_hashes == 3
+    assert 0.0 <= out[16].fpp_measured <= out[4].fpp_measured <= 1.0
+    for r in out.values():
+        assert 0.0 <= r.fpp_predicted <= 1.0
+
+
+def test_anova_planted(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)],
+        "g string, v long",
+    )
+    r = analytics.one_way_anova(df, "g", "v").collect()[0]
+    assert r.n_groups == 2 and r.n_rows == 6
+    assert abs(r.ss_between - 13.5) < 1e-6
+    assert abs(r.ss_within - 4.0) < 1e-6
+    assert abs(r.f_stat - 13.5) < 1e-6
+    assert abs(r.eta_sq - 13.5 / 17.5) < 1e-9
+
+
+def test_anova_degenerate(spark):
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    r = analytics.one_way_anova(one, "g", "v").collect()[0]
+    assert r.f_stat is None  # n_groups = 1
+    flat = spark.createDataFrame(
+        [("a", 2), ("a", 2), ("b", 4), ("b", 4)], "g string, v long"
+    )
+    r = analytics.one_way_anova(flat, "g", "v").collect()[0]
+    assert r.f_stat is None and r.eta_sq == 1.0  # SSW = 0
