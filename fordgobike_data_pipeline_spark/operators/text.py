@@ -653,22 +653,25 @@ def vocab_coverage_curve(
     (count desc, token asc tiebreak — total order, engine-stable).
 
     Two physically different plans, IDENTICAL results
-    (property-tested equal):
+    (property-tested equal), gated driver-side on the LITERAL
+    ``max(sizes)`` — no gate job:
 
-    * ``|vocab| < exact_window_below`` — rank the TYPE table with one
-      global window (|vocab| rows — Zipf: orders of magnitude below
-      the corpus, fine up to a few million types).
-    * otherwise — NO global window: per cutoff V, locate the V-th
-      type in (count desc, token asc) order with
-      ``quality.rank_select_kth``'s two-pass histogram probe (value =
-      −count, id = token), then one predicate aggregate counts/sums
-      the types at-or-above that threshold. ~3 bounded passes per
-      cutoff, each a hash aggregate — the plan that survives a 10M+
-      type table where a single-partition window would serialize.
+    * ``max(sizes) < exact_window_below`` — take the top-max(sizes)
+      types with a TakeOrderedAndProject (bounded k reduce — never a
+      global sort), then rank/cumsum that ≤ max(sizes)-row table with
+      a window. Rows past the largest cutoff can never contribute to
+      any curve point, so truncation is exact; the window only ever
+      sees a bounded relation.
+    * otherwise (asking for a 10M+-type cutoff) — no top-k and NO
+      window at all: per cutoff V, locate the V-th type in
+      (count desc, token asc) order with ``quality.rank_select_kth``'s
+      two-pass histogram probe (value = −count, id = token), then one
+      predicate aggregate counts/sums the types at-or-above that
+      threshold — ~3 bounded passes per cutoff over a
+      localCheckpointed type table, each a hash aggregate.
 
-    The |vocab| gate is one COUNT scalar (bounded driver control
-    data). Counts and cumulative sums are exact BIGINTs; coverage is
-    ONE division at render.
+    Counts and cumulative sums are exact BIGINTs; coverage is ONE
+    division at render.
 
     Returns one row per size: (vocab_size, n_types, covered_tokens,
     total_tokens, coverage)."""
@@ -680,11 +683,12 @@ def vocab_coverage_curve(
     types = tok.groupBy("tokn").agg(F.count(F.lit(1)).cast("long").alias("c"))
     total = types.agg(F.sum("c").cast("long").alias("_total"))
 
-    if types.count() < exact_window_below:
+    if max(sizes) < exact_window_below:
+        top = types.orderBy(F.desc("c"), F.asc("tokn")).limit(int(max(sizes)))
         w = Window.orderBy(F.desc("c"), F.asc("tokn")).rowsBetween(
             Window.unboundedPreceding, 0
         )
-        ranked = types.select(
+        ranked = top.select(
             F.row_number()
             .over(Window.orderBy(F.desc("c"), F.asc("tokn")))
             .alias("rank"),
@@ -706,7 +710,7 @@ def vocab_coverage_curve(
     else:
         from . import quality as _quality
 
-        # avoid re-tokenizing the corpus 3x per cutoff
+        # avoid re-tokenizing the corpus ~3x per cutoff
         types = types.localCheckpoint(eager=True)
         frames = []
         for v in sizes:
