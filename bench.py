@@ -399,6 +399,9 @@ HEADLINE = [
     "q_dup_transitivity",
     "q_bloom_design",
     "q_quality_anova",
+    "q_sentence_stats",
+    "q_idf_drift",
+    "q_dedup_bias",
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
     # corpus is template-heavy, so ~8% of ALL pairs qualify even at
     # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the

@@ -101,12 +101,13 @@ def _ensure_extensions_loaded() -> None:
 #   [16-31] the 16 remaining r3-era keys (newest official row is
 #           seven rounds old),
 #   [32-50] the 19 alphabetically-first r4-era keys.
-# r12 window (never-checked first, then stalest): the 6 round-11
-# wave-39 additions (q_ngram_entropy_rate, q_jm_smoothing_sweep,
+# r12 window (never-checked first, then stalest): the 9 round-11
+# additions (wave 39: q_ngram_entropy_rate, q_jm_smoothing_sweep,
 # q_dup_source_matrix, q_dup_transitivity, q_bloom_design,
-# q_quality_anova — no official row yet), then the 31 remaining r4
-# keys, then the oldest r5 keys up to 50 slots. At ~376 queries / 50
-# slots the full surface re-verifies every ~7 rounds.
+# q_quality_anova; wave 40: q_sentence_stats, q_idf_drift,
+# q_dedup_bias — no official row yet), then the 31 remaining r4 keys,
+# then the oldest r5 keys up to 50 slots. At ~379 queries / 50 slots
+# the full surface re-verifies every ~7 rounds.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # [1-15] waves 36-38 — first official rows
     "q_wasserstein_drift",

@@ -5099,3 +5099,138 @@ def q_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree-bounded by the upstream hot-bucket caps) + one semi-join
     closure test."""
     return dedup.near_dup_transitivity(_cached_mh_pairs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 40: sentence profile, IDF drift, dedup survivor bias.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sentence_stats",
+    r"""
+    WITH per AS (
+        SELECT source AS grp,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS BIGINT) AS sents
+        FROM documents
+    ),
+    a AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sents) AS BIGINT) AS n_sentences,
+               CAST(sum(words) AS BIGINT) AS n_words,
+               CAST(sum(CASE WHEN CAST(words AS DOUBLE) / CAST(sents AS DOUBLE)
+                                  > CAST(30 AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runon
+        FROM per GROUP BY grp
+    )
+    SELECT grp AS source, n_docs, n_sentences, n_words,
+           round(CAST(n_sentences AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+               AS sents_per_doc,
+           round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 9)
+               AS words_per_sentence,
+           round(CAST(n_runon AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+               AS runon_share
+    FROM a
+    """,
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sentence-segmentation profile (text.sentence_stats):
+    sentence/word counts, sentences per doc, words per sentence, and
+    the run-on share (docs averaging >30 words per sentence — markup/
+    code masquerading as prose). Exact BIGINT sums off one scan, one
+    double division per ratio; the sentence convention (terminal-
+    punctuation runs, min 1) is the readability operator's."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.sentence_stats(docs)
+
+
+@query(
+    "q_idf_drift",
+    """
+    WITH tm AS (
+        SELECT doc_id % 2 = 0 AS even, doc_id AS id,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    dfs AS (
+        SELECT term,
+               CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df_even,
+               CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT)
+                   AS df_odd
+        FROM (SELECT DISTINCT even, id, term FROM tm WHERE term != '')
+        GROUP BY term
+    ),
+    kept AS (SELECT * FROM dfs WHERE df_even >= 3 OR df_odd >= 3),
+    nd AS (
+        SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_even,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_odd
+        FROM documents
+    ),
+    s AS (
+        SELECT term, df_even, df_odd,
+               round(ln((CAST(n_even AS DOUBLE) + CAST(1 AS DOUBLE))
+                        / (CAST(df_even AS DOUBLE) + CAST(1 AS DOUBLE))), 6)
+                   AS idf_even,
+               round(ln((CAST(n_odd AS DOUBLE) + CAST(1 AS DOUBLE))
+                        / (CAST(df_odd AS DOUBLE) + CAST(1 AS DOUBLE))), 6)
+                   AS idf_odd,
+               round(abs(ln((CAST(n_even AS DOUBLE) + CAST(1 AS DOUBLE))
+                            / (CAST(df_even AS DOUBLE) + CAST(1 AS DOUBLE)))
+                         - ln((CAST(n_odd AS DOUBLE) + CAST(1 AS DOUBLE))
+                              / (CAST(df_odd AS DOUBLE) + CAST(1 AS DOUBLE)))),
+                     6) AS idf_drift
+        FROM kept CROSS JOIN nd
+    )
+    SELECT term, df_even, df_odd, idf_even, idf_odd, idf_drift
+    FROM s ORDER BY idf_drift DESC, term ASC LIMIT 20
+    """,
+)
+def q_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top term-level IDF movers between the even/odd doc_id snapshot
+    halves (text.idf_drift): the lexical drift forensics that NAMES
+    the terms flooding in or going quiet, where PSI/JSD only flag
+    that something moved. Smoothed ln IDFs rounded to 6dp BEFORE the
+    TakeOrdered top-k (the transcendental tiebreak rule), term-asc
+    ties; df tables are one distinct + aggregate per half."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.idf_drift(docs, top_k=20, min_df=3)
+
+
+@query(
+    "q_dedup_bias",
+    f"""
+    WITH {_mh_pairs_ctes()},
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
+    before_ AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_before
+                FROM documents GROUP BY source),
+    after_ AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_after
+               FROM documents ANTI JOIN dropped USING (doc_id)
+               GROUP BY source),
+    tot AS (SELECT (SELECT CAST(sum(n_before) AS BIGINT) FROM before_) AS tb,
+                   (SELECT CAST(sum(n_after) AS BIGINT) FROM after_) AS ta)
+    SELECT src AS source, n_before,
+           COALESCE(n_after, 0) AS n_after,
+           round(CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE), 9)
+               AS share_before,
+           round(CAST(COALESCE(n_after, 0) AS DOUBLE) / CAST(ta AS DOUBLE), 9)
+               AS share_after,
+           round(CAST(COALESCE(n_after, 0) AS DOUBLE) / CAST(ta AS DOUBLE)
+                 - CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE), 9)
+               AS delta_share
+    FROM before_ LEFT JOIN after_ USING (src) CROSS JOIN tot
+    """,
+)
+def q_dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor-bias audit (dedup.dedup_source_bias): per-source
+    corpus share before vs after min-id-survivor near-dedup and the
+    delta — did the dedup pass silently reweight the mixture? Same
+    survivor convention as the keep operators; consumes the cached
+    MinHash pair artifact; one anti-join + two bounded aggregates."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.dedup_source_bias(_cached_mh_pairs(spark, sf_dir), docs)

@@ -1537,3 +1537,62 @@ def near_dup_transitivity(
             ).alias("transitivity"),
         )
     )
+
+
+def dedup_source_bias(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Survivor-bias audit of a near-dup dedup pass: per source, the
+    corpus share BEFORE vs AFTER min-id-survivor dedup and the delta —
+    the check that a dedup pass didn't silently reweight the mixture
+    (a feed that mostly re-posts another feed loses disproportionate
+    mass; a mixture tuned pre-dedup is then wrong post-dedup).
+
+    Survivors follow the repo's standard convention (drop every id
+    that appears as the larger id of a verified pair — the same rule
+    as dedup_keep/semantic_dedup_keep), so this audits exactly what
+    the production keep-set would be. One anti-join against the
+    bounded dropped-id set + two bounded per-source aggregates; shares
+    are single double divisions of exact counts.
+
+    Returns one row per source: (source, n_before, n_after,
+    share_before, share_after, delta_share)."""
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    base = docs.select(F.col(id_col), F.col(source_col).alias("src"))
+    before = base.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after = (
+        base.join(dropped, id_col, "left_anti")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    )
+    tot = before.agg(
+        F.sum("n_before").cast("long").alias("tb")
+    ).crossJoin(after.agg(F.sum("n_after").cast("long").alias("ta")))
+    share_b = F.col("n_before").cast("double") / F.col("tb").cast("double")
+    share_a = F.col("n_after").cast("double") / F.col("ta").cast("double")
+    return (
+        before.join(after, "src", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("src").alias(source_col),
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0).cast("long")).alias("n_after"),
+            F.round(share_b, 9).alias("share_before"),
+            F.round(
+                F.coalesce(F.col("n_after"), F.lit(0)).cast("double")
+                / F.col("ta").cast("double"),
+                9,
+            ).alias("share_after"),
+            F.round(
+                F.coalesce(F.col("n_after"), F.lit(0)).cast("double")
+                / F.col("ta").cast("double")
+                - share_b,
+                9,
+            ).alias("delta_share"),
+        )
+    )

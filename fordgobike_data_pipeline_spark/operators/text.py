@@ -1208,3 +1208,122 @@ def jm_smoothing_sweep(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.select("lam", "n_test_bigrams", "cross_entropy_bits")
+
+
+def sentence_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    runon_words: int = 30,
+) -> DataFrame:
+    """Per-group sentence-segmentation profile: sentence and word
+    counts, mean sentences/doc and words/sentence, and the share of
+    docs whose mean sentence runs past ``runon_words`` words — the
+    corpus-level companion to the per-doc readability score (q_readability
+    buckets single documents; a mixture owner compares FEEDS: a feed
+    whose "sentences" average 200 words is markup/code, not prose).
+
+    Sentences = terminal-punctuation runs, min 1 per doc (the exact
+    readability convention); words = whitespace splits. Everything is
+    an exact BIGINT sum off one scan (map-side combinable); each mean
+    is ONE double division at render.
+
+    Returns one row per group: (<group>, n_docs, n_sentences,
+    n_words, sents_per_doc, words_per_sentence, runon_share)."""
+    t = F.col(text_col)
+    words = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)).cast("long")
+    runon = F.when(
+        words.cast("double") / sents.cast("double") > F.lit(float(runon_words)), 1
+    ).otherwise(0)
+    agg = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(sents).cast("long").alias("n_sentences"),
+        F.sum(words).cast("long").alias("n_words"),
+        F.sum(runon).cast("long").alias("n_runon"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_sentences",
+        "n_words",
+        F.round(
+            F.col("n_sentences").cast("double") / F.col("n_docs").cast("double"), 9
+        ).alias("sents_per_doc"),
+        F.round(
+            F.col("n_words").cast("double") / F.col("n_sentences").cast("double"), 9
+        ).alias("words_per_sentence"),
+        F.round(
+            F.col("n_runon").cast("double") / F.col("n_docs").cast("double"), 9
+        ).alias("runon_share"),
+    )
+
+
+def idf_drift(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top term-level IDF movers between two corpus snapshots (even vs
+    odd doc_id halves — the repo's deterministic split convention):
+    the LEXICAL drift forensics that names WHICH terms changed weight,
+    where the distribution-level drift scores (PSI/JSD/KS) only say
+    THAT something moved and the embedding-centroid drift can't name a
+    token. A term whose smoothed IDF drops sharply between snapshots
+    is flooding in (spam campaign, template rollout); one that jumps
+    is a feed going quiet.
+
+    Smoothed idf = ln((n_docs + 1) / (df + 1)) per half; terms must
+    reach ``min_df`` document frequency in at least one half (drops
+    the hapax noise floor). The drift is rounded to 6dp BEFORE the
+    TakeOrdered top-k (the transcendental-ln tiebreak rule), ties on
+    term asc. Document frequencies are one distinct + count aggregate
+    per half over the (doc, term) grain; the half totals are broadcast
+    scalars.
+
+    Returns ``top_k`` rows: (term, df_even, df_odd, idf_even,
+    idf_odd, idf_drift)."""
+    terms = docs.select(
+        (F.col(id_col) % 2 == 0).alias("even"),
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    df_ = (
+        terms.select("even", "_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("even"), 1).otherwise(0)).cast("long").alias("df_even"),
+            F.sum(F.when(F.col("even"), 0).otherwise(1)).cast("long").alias("df_odd"),
+        )
+        .filter((F.col("df_even") >= min_df) | (F.col("df_odd") >= min_df))
+    )
+    nd = docs.agg(
+        F.sum(F.when(F.col(id_col) % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+        F.sum(F.when(F.col(id_col) % 2 == 0, 0).otherwise(1))
+        .cast("long")
+        .alias("n_odd"),
+    )
+    idf_e = F.log(
+        (F.col("n_even").cast("double") + F.lit(1.0))
+        / (F.col("df_even").cast("double") + F.lit(1.0))
+    )
+    idf_o = F.log(
+        (F.col("n_odd").cast("double") + F.lit(1.0))
+        / (F.col("df_odd").cast("double") + F.lit(1.0))
+    )
+    scored = df_.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "df_even",
+        "df_odd",
+        F.round(idf_e, 6).alias("idf_even"),
+        F.round(idf_o, 6).alias("idf_odd"),
+        F.round(F.abs(idf_e - idf_o), 6).alias("idf_drift"),
+    )
+    return scored.orderBy(
+        F.col("idf_drift").desc(), F.col("term").asc()
+    ).limit(top_k)

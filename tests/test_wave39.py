@@ -123,3 +123,59 @@ def test_anova_degenerate(spark):
     )
     r = analytics.one_way_anova(flat, "g", "v").collect()[0]
     assert r.f_stat is None and r.eta_sq == 1.0  # SSW = 0
+
+
+def test_sentence_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hi there. Bye!", "s1"),   # 2 sentences, 3 words
+            (2, "word", "s1"),             # min-1 sentence, 1 word
+            (3, " ".join(["w"] * 40), "s2"),  # no punctuation: run-on
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in text.sentence_stats(docs).collect()}
+    assert out["s1"].n_docs == 2 and out["s1"].n_sentences == 3
+    assert out["s1"].n_words == 4 and out["s1"].runon_share == 0.0
+    assert out["s1"].sents_per_doc == 1.5
+    assert out["s2"].n_sentences == 1 and out["s2"].runon_share == 1.0
+
+
+def test_idf_drift_planted(spark):
+    import math
+
+    # "x" lives only in the even half (df 3 vs 0); "y" is everywhere
+    rows = [(i, ("x y" if i % 2 == 0 else "y")) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.idf_drift(docs, top_k=5, min_df=3).collect()
+    assert out[0].term == "x"
+    assert abs(out[0].idf_drift - round(math.log(4.0), 6)) < 1e-9
+    ys = [r for r in out if r.term == "y"]
+    assert ys and ys[0].idf_drift == 0.0
+
+
+def test_dedup_bias_planted(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "B")], "doc_id long, source string"
+    )
+    out = {r.source: r for r in dedup.dedup_source_bias(pairs, docs).collect()}
+    assert out["A"].n_before == 1 and out["A"].n_after == 1
+    assert out["B"].n_before == 2 and out["B"].n_after == 1
+    assert abs(out["A"].delta_share - (0.5 - 1 / 3)) < 1e-8
+    assert abs(out["B"].delta_share - (0.5 - 2 / 3)) < 1e-8
+
+
+def test_dedup_bias_source_fully_dropped(spark):
+    # every doc of source C is a dropped duplicate: share_after 0
+    pairs = spark.createDataFrame(
+        [(1, 4, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "A"), (4, "C")], "doc_id long, source string"
+    )
+    out = {r.source: r for r in dedup.dedup_source_bias(pairs, docs).collect()}
+    assert out["C"].n_after == 0 and out["C"].share_after == 0.0
+    assert out["A"].share_after == 1.0
