@@ -104,6 +104,10 @@ def build_sf(
     for c in dcopies[1:]:
         du = du.unionByName(c)
     du.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    rep(cust, {"c_custkey": 10_000_000}).write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     rep(li, {"l_orderkey": 10_000_000, "l_partkey": 10_000_000}).write.mode(
         "overwrite"
