@@ -2566,7 +2566,7 @@ def _bloom_r_block(r: int, k: int) -> str:
     """One bits-per-key budget of the bloom design oracle: build the
     distinct inserted-bit relation, probe it with k positions per
     absent key, count all-k hits."""
-    m = f"(n_keys * {r})"
+    m = f"greatest(n_keys * {r}, 1)"
     pos = f"((h1 + t.i * h2) % {m})"
     return f"""
     ins{r} AS (

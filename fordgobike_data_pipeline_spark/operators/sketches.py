@@ -149,7 +149,10 @@ def bloom_filter_design(
 
     frames = []
     for r, k in grid:
-        m = F.col("n_keys") * F.lit(int(r))
+        # greatest(., 1): an empty key set would make m = 0 and ANSI
+        # mode throws on pmod-by-zero; with m = 1 every probe position
+        # is 0, the inserted set is empty, and fpp_measured = 0
+        m = F.greatest(F.col("n_keys") * F.lit(int(r)), F.lit(1))
         ins = (
             kh.crossJoin(F.broadcast(n_tot))
             .select(
