@@ -94,74 +94,81 @@ def _ensure_extensions_loaded() -> None:
 # first official rows) + the alphabetically-first 15 r3-era keys —
 # CORRECTNESS_r10.json recorded all 50 green.
 #
-# The r11 window (first 50), per the standing never-checked-first rule
-# and the rotation pre-declared in round 10:
-#   [1-15]  the 15 round-10 additions (waves 36-38) with no official
-#           row yet — judge mirror 15/15 green in r10,
-#   [16-31] the 16 remaining r3-era keys (newest official row is
-#           seven rounds old),
-#   [32-50] the 19 alphabetically-first r4-era keys.
-# r12 window (never-checked first, then stalest): the 9 round-11
-# additions (wave 39: q_ngram_entropy_rate, q_jm_smoothing_sweep,
-# q_dup_source_matrix, q_dup_transitivity, q_bloom_design,
-# q_quality_anova; wave 40: q_sentence_stats, q_idf_drift,
-# q_dedup_bias — no official row yet), then the 31 remaining r4 keys,
-# then the oldest r5 keys up to 50 slots. At ~379 queries / 50 slots
-# the full surface re-verifies every ~7 rounds.
+# The r12 window (first 50), per the standing never-checked-first rule
+# and the rotation pre-declared in round 11:
+#   [1-9]   the 9 round-11 additions (waves 39-40) with no official
+#           row yet — judge mirror 9/9 green in r11,
+#   [10-40] the 31 remaining r4-era keys (newest official row is
+#           eight rounds old),
+#   [41-50] the 10 alphabetically-first r5-era keys (all 50 r5 keys
+#           tie on age, so ties break alphabetical per the rule).
+# After this window drains, no registered key's newest official row is
+# older than r5 — the registry is sub-4-rounds fresh for the first time.
+# r13 window (never-checked first, then stalest): any round-12
+# additions with no official row yet, then the 40 remaining r5 keys
+# (q_distinct_on ... q_string_funcs, alphabetical), then the oldest r6
+# keys up to 50 slots. At ~379 queries / 50 slots the full surface
+# re-verifies every ~7 rounds.
+#
+# History: the r10 window was the 35 round-9 additions (waves 28-35) +
+# the alphabetically-first 15 r3-era keys — CORRECTNESS_r10.json 50/50
+# green. The r11 window was the 15 wave-36-38 additions + the 16
+# remaining r3-era keys + the 19 alphabetically-first r4 keys —
+# CORRECTNESS_r11.json 50/50 green.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # [1-15] waves 36-38 — first official rows
-    "q_wasserstein_drift",
-    "q_source_loo_impact",
-    "q_cdc_chunks",
-    "q_kcenter_coreset",
-    "q_balanced_bits",
-    "q_lateness_audit",
-    "q_huber_mean",
-    "q_compaction_plan",
-    "q_dp_quantiles",
-    "q_blocking_quality",
-    "q_mutual_knn",
-    "q_silhouette",
-    "q_shingle_sensitivity",
-    "q_source_set_cover",
-    "q_hill_tail",
-    # [16-31] staleness: the 16 r3-era keys
-    "q_project_rename",
-    "q_quantize_embed",
-    "q_random_projection",
-    "q_range_join",
-    "q_round_minutes",
-    "q_sessionize",
-    "q_smart_date_key",
-    "q_string_concat",
-    "q_summary_stats",
-    "q_top_ngrams",
-    "q_union_all_null",
-    "q_union_distinct",
-    "q_weekend_flag",
-    "q_window_hopping",
-    "q_window_rownum",
-    "q_window_time_bucket",
-    # [32-50] staleness: alphabetically-first 19 of the 50 r4-era keys
-    "q_agg_daily_summary",
-    "q_ann_ivf_seeded",
-    "q_ann_lsh",
-    "q_bigram_lm",
-    "q_bm25",
-    "q_chat_flatten",
-    "q_clean_corpus",
-    "q_containment_pairs",
-    "q_cube",
-    "q_date_arith",
-    "q_dedup_agreement",
-    "q_dedup_clusters",
-    "q_dedup_incr_near",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_domain_mixture",
-    "q_dup_cluster_sizes",
-    "q_dup_span_stats",
-    "q_embed_dim_stats",
+    # [1-9] waves 39-40 — first official rows (registration order)
+    "q_bloom_design",
+    "q_quality_anova",
+    "q_ngram_entropy_rate",
+    "q_jm_smoothing_sweep",
+    "q_dup_source_matrix",
+    "q_dup_transitivity",
+    "q_sentence_stats",
+    "q_idf_drift",
+    "q_dedup_bias",
+    # [10-40] staleness: the 31 remaining r4-era keys (alphabetical)
+    "q_embed_pairs_lsh",
+    "q_expect_unique",
+    "q_fk_integrity",
+    "q_gopher_rules",
+    "q_grouping_sets",
+    "q_having",
+    "q_join_left_composite",
+    "q_lm_cross_entropy",
+    "q_negative_samples",
+    "q_ngram_jaccard",
+    "q_null_census",
+    "q_outlier_iqr",
+    "q_pack_ids",
+    "q_percentiles",
+    "q_pivot",
+    "q_pq_adc",
+    "q_pq_encode",
+    "q_quality_percentile",
+    "q_range_check",
+    "q_remove_boilerplate",
+    "q_remove_dup_spans",
+    "q_rollup",
+    "q_salted_join",
+    "q_semantic_dedup",
+    "q_semantic_keep",
+    "q_set_ops",
+    "q_skew_count",
+    "q_source_drift",
+    "q_strip_html",
+    "q_url_dedup",
+    "q_window_lag_cumsum",
+    # [41-50] staleness: alphabetically-first 10 of the 50 r5-era keys
+    "q_ann_recall",
+    "q_ann_topk",
+    "q_anti_join",
+    "q_bloom_join",
+    "q_bpe_seeded",
+    "q_cdc_apply",
+    "q_decontaminate",
+    "q_decontaminate_near",
+    "q_dedup_exact",
+    "q_dedup_incremental",
 )
 
 
