@@ -402,11 +402,55 @@ HEADLINE = [
     "q_sentence_stats",
     "q_idf_drift",
     "q_dedup_bias",
+    # round-12 additions (wave 41 — anchored at ship time per the rule;
+    # q_pq_recall MUST stay behind q_pq_adc: warm-cache contract below)
+    "q_pq_recall",
+    "q_unpivot",
+    "q_stopword_profile",
+    "q_query_likelihood",
+    "q_contam_overlap",
+    "q_truncation_loss",
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
     # corpus is template-heavy, so ~8% of ALL pairs qualify even at
     # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the
     # quadratic-oracle certificate runs at sf0.01 via the driver.
 ]
+
+# WARM-CACHE ORDER CONTRACT (VERDICT r11 item 4). The dedup-audit keys
+# below consume the session-cached MinHash pair artifact
+# (harness_scale._cached_mh_pairs): the FIRST consumer in HEADLINE
+# order pays the cold pair-set build; every later consumer's anchor in
+# BENCH_ANCHOR.json was minted WARM and is only valid while it stays
+# behind that first consumer. q_dup_cluster_sizes is the designated
+# cold-payer (its anchor includes the build). Reordering HEADLINE so a
+# warm-anchored key runs first would read as a fake regression — the
+# assertion below makes that impossible to do silently.
+_MH_PAIRS_COLD_PAYER = "q_dup_cluster_sizes"
+_MH_PAIRS_WARM_CONSUMERS = [
+    "q_dedup_agreement",
+    "q_dedup_keep_best",
+    "q_leakage_split",
+    "q_blocking_quality",
+    "q_dup_source_matrix",
+    "q_dup_transitivity",
+    "q_dedup_bias",
+]
+_cold_idx = HEADLINE.index(_MH_PAIRS_COLD_PAYER)
+for _warm in _MH_PAIRS_WARM_CONSUMERS:
+    assert HEADLINE.index(_warm) > _cold_idx, (
+        f"{_warm} anchors WARM (cached _MH_PAIRS) but precedes "
+        f"{_MH_PAIRS_COLD_PAYER} in HEADLINE — its anchor would measure "
+        "a cold pair-set build; keep it behind the cold-payer or "
+        "re-mint its anchor cold."
+    )
+
+# Same contract for the PQ code-table cache (harness_scale._PQ_CODES):
+# q_pq_adc pays the cold encode+localCheckpoint; q_pq_recall's anchor
+# was minted WARM against the cached codes (BENCH_NOTES_r12_wave41).
+assert HEADLINE.index("q_pq_recall") > HEADLINE.index("q_pq_adc"), (
+    "q_pq_recall anchors WARM (cached _PQ_CODES) but precedes q_pq_adc "
+    "in HEADLINE — keep it behind the cold-payer or re-mint cold."
+)
 
 # The compact driver-facing JSON line carries only these queries — the
 # round-1..4 set that BENCH_ANCHOR.json and every parsed BENCH_r{N}.json

@@ -2191,3 +2191,77 @@ def q_source_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy rounds."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return curation.source_set_cover(docs, steps=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 41: contamination-rate audit + context-length sizing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_contam_overlap",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source, array_to_string(w[i:i+3], ' ') AS g
+        FROM tok, unnest(generate_series(1, greatest(len(w) - 3, 1))) AS t(i)
+    ),
+    train AS (SELECT DISTINCT g FROM grams WHERE source <> 'src0'),
+    bench AS (SELECT doc_id, g FROM grams WHERE source = 'src0'),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM bench GROUP BY doc_id
+    ),
+    hit AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM bench WHERE g IN (SELECT g FROM train)
+        GROUP BY doc_id
+    )
+    SELECT tot.doc_id, n_grams,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+               AS overlap_frac
+    FROM tot LEFT JOIN hit USING (doc_id)
+    """,
+)
+def q_contam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-doc 4-gram contamination RATE
+    (curation.contamination_overlap) — the audit twin of
+    q_decontaminate's binary drop: source src0 stands in for the eval
+    suite, and each of its docs reports what fraction of its distinct
+    token 4-grams leaks from the training split. Distinct'd gram sets
+    + a semi-join on the gram key — no all-pairs product."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return curation.contamination_overlap(corpus, bench, n=4)
+
+
+@query(
+    "q_truncation_loss",
+    """
+    WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+    f AS (
+        SELECT t.L AS max_len, n_tok
+        FROM d CROSS JOIN (SELECT unnest([64, 128, 256]) AS L) t
+    )
+    SELECT CAST(max_len AS INT) AS max_len,
+           CAST(sum(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_truncated,
+           CAST(sum(greatest(n_tok - max_len, 0)) AS BIGINT) AS lost_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(greatest(n_tok - max_len, 0)) AS DOUBLE)
+                 / CAST(sum(n_tok) AS DOUBLE), 6) AS loss_frac
+    FROM f GROUP BY max_len
+    """,
+)
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sizing audit (curation.truncation_loss): for
+    max_seq_len ∈ {64, 128, 256}, the docs truncated and the fraction
+    of corpus tokens lost past the cut — the table that picks sequence
+    length before a training run. Exact integer sums, one division at
+    render, one scan."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.truncation_loss(docs, (64, 128, 256))

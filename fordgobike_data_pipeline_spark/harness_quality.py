@@ -1310,3 +1310,58 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.wasserstein_hist_drift(
         docs, "source", "src0", "src2", "n_chars", bucket_width=32
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 41: per-source stopword profile.
+# ---------------------------------------------------------------------------
+
+_SW_IN = "('the','be','to','of','and','that','have','with')"
+
+
+@query(
+    "q_stopword_profile",
+    f"""
+    WITH w AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+    ),
+    d AS (
+        SELECT source, len(w) AS n_words,
+               len(list_filter(w, x -> x IN {_SW_IN})) AS n_stop,
+               len(list_filter(list_distinct(w), x -> x IN {_SW_IN}))
+                   AS n_distinct_stop
+        FROM w WHERE len(w) > 0
+    ),
+    a AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(round_even(
+                   CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e12,
+                   0) AS BIGINT)) AS BIGINT) AS rq,
+               CAST(sum(n_distinct_stop) AS BIGINT) AS ds,
+               CAST(sum(CASE WHEN n_distinct_stop < 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_stop
+        FROM d GROUP BY source
+    )
+    SELECT source, n_docs,
+           round(CAST(rq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e12, 6)
+               AS avg_stop_ratio,
+           round(CAST(ds AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS avg_distinct_stop,
+           n_low_stop
+    FROM a
+    """,
+)
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stopword-usage profile (text.stopword_profile): mean
+    stopword-token ratio (1e-12-quantized exact sum), mean distinct
+    stopwords, and the count of docs that would fail the Gopher ≥2-
+    distinct-stopwords gate — the corpus-level tuning view for that
+    rule. Literal stopword list, no join; one map-side-combinable
+    groupBy on source."""
+    from .operators import text
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.stopword_profile(docs)

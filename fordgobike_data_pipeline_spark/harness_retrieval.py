@@ -271,3 +271,66 @@ def q_inbatch_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
     run, exact integers with one division at render."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return retrieval.inbatch_collision(emb, label_col="label", n_batches=16)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 41: Dirichlet-smoothed query likelihood — the LM
+# retrieval twin of q_bm25 (same query terms, same dl/tokenization
+# conventions, different scoring family).
+# ---------------------------------------------------------------------------
+
+_QL_TERMS = ("join", "hash", "scan", "filter", "merge")
+
+
+@query(
+    "q_query_likelihood",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, token FROM toks
+        WHERE token IN {str(tuple(_QL_TERMS))}
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY doc_id, token
+    ),
+    cand AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tf GROUP BY doc_id
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM hits GROUP BY token),
+    nt AS (
+        SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_corpus
+        FROM documents
+    ),
+    s AS (
+        SELECT cand.doc_id, cand.n_hits,
+               ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                   + CAST(100.0 AS DOUBLE)
+                     * (CAST(cf.cf AS DOUBLE) / CAST(nt.n_corpus AS DOUBLE)))
+                  / (CAST(dl.dl AS DOUBLE) + CAST(100.0 AS DOUBLE))) AS s
+        FROM cand
+        JOIN dl USING (doc_id)
+        CROSS JOIN cf
+        CROSS JOIN nt
+        LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.token = cf.token
+    )
+    SELECT doc_id, n_hits, round(sum(s), 6) AS ql_score
+    FROM s GROUP BY doc_id, n_hits
+    """,
+)
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood (μ=100) of the shared fixed
+    query-term set against every matching doc
+    (text.query_likelihood_scores). Unlike BM25, zero-count query
+    terms still contribute smoothed background mass, so the score is a
+    true LM log-probability — the second ranker a hybrid-retrieval
+    stack fuses. The oracle mirrors the exact expression tree
+    (coalesced tf → smoothed ratio → ln → 5-term sum, 6dp)."""
+    from .operators import text
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.query_likelihood_scores(docs, list(_QL_TERMS), mu=100.0)

@@ -1955,10 +1955,10 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(emb, cb, dim=64, n_subspaces=4, exact_assign=True)
 
 
-@query(
-    "q_pq_adc",
-    f"""
-    WITH {_PQ_CTES},
+# ADC ranking CTE chain shared by q_pq_adc (which emits the ranked
+# list) and q_pq_recall (which joins it against the exact L2 top-k):
+# extends _PQ_CTES with the query LUTs and the integer LUT-sum scoring.
+_PQ_ADC_RANKED = f"""
     lutd AS (
         SELECT e.vec_id AS query_id, c.subspace, c.code_id,
                round(list_sum(list_transform(range(16), d ->
@@ -1983,7 +1983,31 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY approx_dist, cand_id) AS rank
         FROM scored
-    )
+    )"""
+
+
+def _cached_pq_codes(spark: SparkSession, sf_dir: str, emb, cb) -> DataFrame:
+    """The PERSISTED PQ code table (encoded once when vectors land,
+    probed by every ADC query) — cached per (session, sf) so repeated
+    calls time the probe, same pattern as the IVF fit and near-dup
+    index caches; content is deterministic either way."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    codes = _PQ_CODES.get(key)
+    if codes is None:
+        codes = (
+            similarity.pq_encode(emb, cb, dim=64, n_subspaces=4, exact_assign=True)
+            .select("vec_id", "subspace", "code_id")
+            .localCheckpoint(eager=True)
+        )
+        _PQ_CODES[key] = codes
+    return codes
+
+
+@query(
+    "q_pq_adc",
+    f"""
+    WITH {_PQ_CTES},
+{_PQ_ADC_RANKED}
     SELECT query_id, CAST(rank AS INT) AS rank, cand_id, approx_dist
     FROM r WHERE rank <= 10
     """,
@@ -1996,21 +2020,55 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (subspace, code_id) pairs — the PQ memory story at scale."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
-    # codes are the PERSISTED artifact (encoded once when vectors land,
-    # probed by every ADC query) — cache the encode per (session, sf)
-    # so repeated calls time the probe, same pattern as the IVF fit and
-    # near-dup index caches; content is deterministic either way.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    codes = _PQ_CODES.get(key)
-    if codes is None:
-        codes = (
-            similarity.pq_encode(emb, cb, dim=64, n_subspaces=4, exact_assign=True)
-            .select("vec_id", "subspace", "code_id")
-            .localCheckpoint(eager=True)
-        )
-        _PQ_CODES[key] = codes
+    codes = _cached_pq_codes(spark, sf_dir, emb, cb)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64, n_subspaces=4)
+
+
+@query(
+    "q_pq_recall",
+    f"""
+    WITH {_PQ_CTES},
+{_PQ_ADC_RANKED},
+    adc AS (SELECT query_id, cand_id FROM r WHERE rank <= 10),
+    ex AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_L2_DIST.format(a='q', b='e')} ASC,
+                                e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS n
+        FROM adc a JOIN ex e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+        GROUP BY a.query_id
+    )
+    SELECT query_id,
+           CAST(coalesce(n, 0) AS INT) AS n_hits,
+           round(coalesce(n, 0) / 10.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hits USING (query_id)
+    """,
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ ADC ranking against the exact Euclidean
+    top-10 on the raw vectors — the quantization-quality gauge that
+    closes the PQ family (encode → ADC → measured recall), sibling of
+    q_ann_recall (LSH) and q_matryoshka_recall (truncation). Both
+    rankings are |queries|·k row sets, so the evaluation join costs
+    nothing at corpus scale; the ADC side reuses the session-cached
+    code table (the persisted artifact a production index would
+    serve)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = similarity.pq_codebooks(emb, dim=64, n_subspaces=4, seed_mod=40, n_iter=0)
+    codes = _cached_pq_codes(spark, sf_dir, emb, cb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    adc = similarity.pq_adc_topk(codes, queries, cb, k=10, dim=64, n_subspaces=4)
+    exact = retrieval.l2_topk(emb, queries, k=10)
+    return similarity.ann_recall_at_k(exact, adc, k=10)
 
 
 @query(

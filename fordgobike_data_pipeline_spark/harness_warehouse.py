@@ -1425,3 +1425,44 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.compaction_plan(
         census, "part", "file_id", "n_bytes", target_bytes=65536
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 41: unpivot (engine surface —
+# INTERSECT/EXCEPT exist as q_set_ops; the melt direction was
+# missing — q_unpivot completes the pivot family).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(count(*) AS DOUBLE) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_items' AS measure, n_items AS value FROM wide
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the wide per-returnflag measure table folded to
+    long (flag, measure, value) form, the inverse of q_pivot. Spark's
+    native ``DataFrame.unpivot`` (Expand node: one pass, no join, no
+    shuffle beyond the source aggregate); the oracle is the equivalent
+    ANSI UNION ALL since melt is pure relational algebra."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_items"], "measure", "value"
+    )

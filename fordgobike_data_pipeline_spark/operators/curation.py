@@ -1437,3 +1437,100 @@ def source_set_cover(
             ),
         ).alias("cum_coverage"),
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-benchmark-doc n-gram contamination RATE — the audit twin of
+    :func:`ngram_decontaminate`'s binary drop. For every benchmark doc,
+    the fraction of its DISTINCT token n-grams that appear anywhere in
+    the training corpus (the GPT-3 appendix-C style overlap measure):
+    1.0 means the doc is fully recoverable from training text, 0.0
+    means no n-gram leaks. Returns (id, n_grams, n_hit, overlap_frac).
+
+    Shape at 100 TB: the corpus gram set is distinct'd once
+    (hash-partitioned on the gram), the benchmark's per-doc distinct
+    grams LEFT SEMI join it on the gram key, and the per-doc counts are
+    two map-side-combinable aggregates — the benchmark side is eval-
+    suite-sized, so the join is broadcast-friendly under AQE. Exact
+    integer counts, one division at render."""
+    from .dedup import token_shingles
+
+    corpus_grams = (
+        token_shingles(corpus, text_col=text_col, id_col=id_col, k=n)
+        .select("shingle")
+        .distinct()
+    )
+    bench_grams = token_shingles(benchmark, text_col=text_col, id_col=id_col, k=n)
+    totals = bench_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        bench_grams.join(corpus_grams, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            n_hit.alias("n_hit"),
+            F.round(
+                n_hit.cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def truncation_loss(
+    docs: DataFrame,
+    lengths: tuple[int, ...] = (64, 128, 256),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length sizing audit: for each candidate max sequence
+    length, how many docs would be truncated and what fraction of all
+    corpus tokens falls past the cut — the table that picks max_seq_len
+    before a training run (too short wastes text, too long wastes
+    compute on padding). Token count is the whitespace-split length
+    (the dl convention shared with bm25/query-likelihood).
+
+    Shape at 100 TB: one scan computes per-doc token counts, a literal
+    explode fans each count to the |lengths| budget rows (narrow
+    integers, map-side combined), and the aggregate is |lengths| rows
+    of exact integer sums with one division at render — no shuffle of
+    document text, no window."""
+    if not lengths:
+        raise ValueError("lengths must be non-empty")
+    counts = docs.select(
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok")
+    )
+    fanned = counts.select(
+        F.explode(F.array(*[F.lit(int(l)) for l in lengths])).alias("max_len"),
+        "n_tok",
+    )
+    lost = F.greatest(F.col("n_tok") - F.col("max_len"), F.lit(0).cast("long"))
+    agg = fanned.groupBy("max_len").agg(
+        F.sum((F.col("n_tok") > F.col("max_len")).cast("long"))
+        .cast("long")
+        .alias("n_docs_truncated"),
+        F.sum(lost).cast("long").alias("lost_tokens"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    return agg.select(
+        F.col("max_len").cast("int").alias("max_len"),
+        "n_docs_truncated",
+        "lost_tokens",
+        "total_tokens",
+        F.round(
+            F.col("lost_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("loss_frac"),
+    )

@@ -1343,3 +1343,116 @@ def idf_drift(
     return scored.orderBy(
         F.col("idf_drift").desc(), F.col("term").asc()
     ).limit(top_k)
+
+
+def stopword_profile(
+    docs: DataFrame,
+    stopwords: tuple[str, ...] = _GOPHER_STOPWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_distinct: int = 2,
+) -> DataFrame:
+    """Per-source stopword-usage profile — the corpus-level view of the
+    Gopher stopword gate (gopher_quality_flags checks each DOC for ≥2
+    distinct English stopwords; this reports how each SOURCE is doing
+    before anyone tunes that threshold): doc count, mean stopword-token
+    ratio, mean distinct-stopword count, and how many docs would fail
+    the ``min_distinct`` gate. Docs with zero non-empty tokens are
+    excluded (their ratio is undefined).
+
+    Determinism: the per-doc ratio is quantized to 1e-12 integer units
+    (bround ↔ DuckDB round_even) and summed exactly, so the per-source
+    mean is addition-order-independent; every other column is an exact
+    integer until one division at render.
+
+    Shape at 100 TB: pure array expressions per row (the stopword list
+    is a literal — no join), then one map-side-combinable groupBy on
+    the source key. One scan, one bounded shuffle."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: w.isin(*stopwords))).alias("n_stop"),
+        F.size(
+            F.filter(F.array_distinct(words), lambda w: w.isin(*stopwords))
+        ).alias("n_distinct_stop"),
+    ).filter(F.col("n_words") > 0)
+    ratio_q = F.bround(
+        F.col("n_stop").cast("double")
+        / F.col("n_words").cast("double")
+        * F.lit(1e12)
+    ).cast("long")
+    agg = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ratio_q).cast("long").alias("rq"),
+        F.sum(F.col("n_distinct_stop").cast("long")).cast("long").alias("ds"),
+        F.sum((F.col("n_distinct_stop") < min_distinct).cast("long"))
+        .cast("long")
+        .alias("n_low_stop"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.round(
+            F.col("rq").cast("double") / F.col("n_docs").cast("double") / F.lit(1e12),
+            6,
+        ).alias("avg_stop_ratio"),
+        F.round(
+            F.col("ds").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_distinct_stop"),
+        "n_low_stop",
+    )
+
+
+def query_likelihood_scores(
+    docs: DataFrame,
+    terms: list[str],
+    mu: float = 100.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) of a fixed query-term set: score(d) = Σ_t ln((c(t,d) +
+    μ·p(t|C)) / (|d| + μ)) over ALL query terms (zero-count terms
+    contribute the smoothed background mass — the semantic difference
+    from bm25_scores, which only sums matched terms). Candidates are
+    docs matching ≥1 term (the postings-union convention shared with
+    BM25); |d| is the whitespace-split length (the shared dl
+    convention) and p(t|C) = cf_t / N over the same tokenization.
+
+    Shape at 100 TB: per-(doc, term) tf is one map-side-combinable
+    aggregate over the IN-filtered token explode; cf/N are bounded
+    control aggregates broadcast into the scoring grid; the grid is
+    |candidates|·|terms| narrow rows and the final per-doc sum runs
+    over ≤|terms| values. One corpus scan, no quadratic step."""
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    hits = toks.filter(F.col("token").isin(list(terms)))
+    tf = hits.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+    cf = hits.groupBy("token").agg(F.count("*").cast("long").alias("cf"))
+    n_total = dl.agg(F.sum(F.col("dl").cast("long")).alias("n_corpus"))
+    grid = (
+        tf.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(cf.crossJoin(n_total)))
+        .join(tf, [id_col, "token"], "left")
+    )
+    c = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    p_bg = F.col("cf").cast("double") / F.col("n_corpus").cast("double")
+    s = F.log(
+        (c + F.lit(float(mu)) * p_bg)
+        / (F.col("dl").cast("double") + F.lit(float(mu)))
+    )
+    return grid.groupBy(id_col, "n_hits").agg(
+        F.round(F.sum(s), 6).alias("ql_score")
+    ).select(F.col(id_col), F.col("n_hits"), "ql_score")
