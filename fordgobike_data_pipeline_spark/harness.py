@@ -104,11 +104,15 @@ def _ensure_extensions_loaded() -> None:
 #           tie on age, so ties break alphabetical per the rule).
 # After this window drains, no registered key's newest official row is
 # older than r5 — the registry is sub-4-rounds fresh for the first time.
-# r13 window (never-checked first, then stalest): any round-12
-# additions with no official row yet, then the 40 remaining r5 keys
-# (q_distinct_on ... q_string_funcs, alphabetical), then the oldest r6
-# keys up to 50 slots. At ~379 queries / 50 slots the full surface
-# re-verifies every ~7 rounds.
+# r13 window (never-checked first, then stalest), pre-declared at r12
+# close with the exact membership: the 6 wave-41 additions
+# (q_contam_overlap, q_pq_recall, q_query_likelihood,
+# q_stopword_profile, q_truncation_loss, q_unpivot — registration
+# order), then the 40 remaining r5-era keys (q_distinct_on ...
+# q_zorder, alphabetical), then the 4 alphabetically-first r6-era keys
+# (q_ann_multiprobe, q_anomaly_zscore, q_anti_scalar, q_assoc_rules).
+# At ~385 queries / 50 slots the full surface re-verifies every ~8
+# rounds.
 #
 # History: the r10 window was the 35 round-9 additions (waves 28-35) +
 # the alphabetically-first 15 r3-era keys — CORRECTNESS_r10.json 50/50

@@ -170,7 +170,10 @@ def main() -> int:
     # SemDeDup queries get bounded-cluster embedding replication
     # (perturb_emb — verbatim replicas make the TRUE pair set
     # quadratic, which measures output mass, not plan scaling)
-    fixed_src0 = {"q_decontaminate_near", "q_dedup_incr_near"}
+    # q_contam_overlap joined r12: its src0 side IS the fixed eval
+    # suite, so replicating it with the corpus would measure n²
+    # bench×corpus match growth, not the operator's O(corpus) claim
+    fixed_src0 = {"q_decontaminate_near", "q_dedup_incr_near", "q_contam_overlap"}
     perturb_emb = {"q_semantic_keep", "q_semantic_dedup"}
 
     root = tempfile.mkdtemp(prefix="composed_stress_")
