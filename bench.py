@@ -410,6 +410,9 @@ HEADLINE = [
     "q_query_likelihood",
     "q_contam_overlap",
     "q_truncation_loss",
+    # round-12 additions (wave 42)
+    "q_code_detect",
+    "q_encoding_census",
     # q_setsim_prefix is deliberately NOT a headline: the synthetic
     # corpus is template-heavy, so ~8% of ALL pairs qualify even at
     # t=0.9 and the output alone is ~1M rows at sf0.1 (~110s) — the

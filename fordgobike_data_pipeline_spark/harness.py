@@ -105,14 +105,14 @@ def _ensure_extensions_loaded() -> None:
 # After this window drains, no registered key's newest official row is
 # older than r5 — the registry is sub-4-rounds fresh for the first time.
 # r13 window (never-checked first, then stalest), pre-declared at r12
-# close with the exact membership: the 6 wave-41 additions
-# (q_contam_overlap, q_pq_recall, q_query_likelihood,
-# q_stopword_profile, q_truncation_loss, q_unpivot — registration
-# order), then the 40 remaining r5-era keys (q_distinct_on ...
-# q_zorder, alphabetical), then the 4 alphabetically-first r6-era keys
-# (q_ann_multiprobe, q_anomaly_zscore, q_anti_scalar, q_assoc_rules).
-# At ~385 queries / 50 slots the full surface re-verifies every ~8
-# rounds.
+# close with the exact membership: the 8 round-12 additions
+# (wave 41: q_unpivot, q_stopword_profile, q_query_likelihood,
+# q_contam_overlap, q_truncation_loss, q_pq_recall; wave 42:
+# q_code_detect, q_encoding_census — registration order), then the 40
+# remaining r5-era keys (q_distinct_on ... q_zorder, alphabetical),
+# then the 2 alphabetically-first r6-era keys (q_ann_multiprobe,
+# q_anomaly_zscore). At ~387 queries / 50 slots the full surface
+# re-verifies every ~8 rounds.
 #
 # History: the r10 window was the 35 round-9 additions (waves 28-35) +
 # the alphabetically-first 15 r3-era keys — CORRECTNESS_r10.json 50/50

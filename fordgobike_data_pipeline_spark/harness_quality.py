@@ -1365,3 +1365,170 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return text.stopword_profile(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 42: code-vs-prose routing profile + encoding artifact
+# census. The synthetic corpus is clean prose, so each query derives
+# its artifact surface deterministically in-query (the q_pii_redact
+# convention) — the oracle mirrors the derivation, so the audits are
+# adjudicated against non-trivial counts.
+# ---------------------------------------------------------------------------
+
+_CODE_KW_IN = (
+    "('def','return','import','class','function','var','const','void')"
+)
+
+
+@query(
+    "q_code_detect",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   text || chr(10) || 'def f_' || CAST(doc_id % 100 AS VARCHAR)
+                        || '(x):' || chr(10) || '    return x * '
+                        || CAST(doc_id % 9 AS VARCHAR) || ';'
+                        || chr(10) || '    import os'
+               ELSE text END AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT source,
+               string_split(t, chr(10)) AS ln,
+               list_filter(regexp_split_to_array(t, '[\\s(:;]+'),
+                           x -> x != '') AS tk,
+               length(t) AS n_chars,
+               length(t) - length(regexp_replace(t, '[{{}}();=<>\\[\\]]', '', 'g'))
+                   AS n_sym
+        FROM raw
+    ),
+    e AS (
+        SELECT source, len(ln) AS n_lines,
+               len(list_filter(ln, l -> starts_with(l, '    '))) AS n_indent,
+               len(list_filter(tk, x -> x IN {_CODE_KW_IN})) AS n_kw,
+               n_chars, n_sym
+        FROM d WHERE n_chars > 0
+    ),
+    a AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_kw >= 2 AND n_indent >= 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+               CAST(sum(CAST(round_even(
+                   CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) * 1e12,
+                   0) AS BIGINT)) AS BIGINT) AS sq,
+               CAST(sum(CAST(round_even(
+                   CAST(n_indent AS DOUBLE) / CAST(n_lines AS DOUBLE) * 1e12,
+                   0) AS BIGINT)) AS BIGINT) AS iq
+        FROM e GROUP BY source
+    )
+    SELECT source, n_docs, n_code,
+           round(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e12, 6)
+               AS avg_symbol_ratio,
+           round(CAST(iq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e12, 6)
+               AS avg_indent_frac
+    FROM a
+    """,
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing profile (text.code_prose_profile): every
+    7th doc gains a deterministic 3-line code snippet (def/return/
+    import + two 4-space-indented lines), and the per-source profile
+    must count exactly those as code — the branch-routing decision a
+    mixed crawl makes before curation. Structural AND rule (≥2 keyword
+    tokens AND ≥1 indented line), so prose mentioning 'class' alone
+    never flips."""
+    from .operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("\ndef f_"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("(x):\n    return x * "),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit(";\n    import os"),
+        ),
+    ).otherwise(F.col("text"))
+    mangled = docs.select("doc_id", injected.alias("text"), "source")
+    return text_ops.code_prose_profile(mangled)
+
+
+@query(
+    "q_encoding_census",
+    """
+    WITH raw AS (
+        SELECT source,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN substr(repeat(chr(65533), 3), 1,
+                                   CAST(1 + doc_id % 3 AS INT))
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN ' café' ELSE '' END AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT source,
+               length(t) AS n_chars,
+               length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+               length(t) - length(regexp_replace(
+                   t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS n_ctrl,
+               length(t) - length(regexp_replace(t, '[^\\x00-\\x7f]', '', 'g'))
+                   AS n_nonascii
+        FROM raw
+    ),
+    a AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_repl,
+               CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_ctrl,
+               CAST(sum(n_repl) AS BIGINT) AS n_repl_chars,
+               CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl_chars,
+               CAST(sum(n_nonascii) AS BIGINT) AS n_nonascii_chars,
+               CAST(sum(CASE WHEN n_chars > 0 THEN CAST(round_even(
+                   CAST(n_chars - n_nonascii AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE) * 1e12, 0) AS BIGINT)
+                   END) AS BIGINT) AS aqs,
+               CAST(sum(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonempty
+        FROM d GROUP BY source
+    )
+    SELECT source, n_docs, n_docs_repl, n_docs_ctrl,
+           n_repl_chars, n_ctrl_chars, n_nonascii_chars,
+           CASE WHEN n_nonempty > 0
+                THEN round(CAST(aqs AS DOUBLE)
+                           / CAST(n_nonempty AS DOUBLE) / 1e12, 6)
+           END AS avg_ascii_ratio
+    FROM a
+    """,
+)
+def q_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact census (quality.encoding_census): every 5th
+    doc gains 1-3 U+FFFD replacement chars, every 11th a C0 control
+    char, every 3rd a non-ASCII suffix — the census must count exactly
+    those docs/chars per source. The mojibake audit a crawled corpus
+    runs before tokenization; clean sources read 1.0 ASCII ratio and
+    zero artifact rows."""
+    from .operators import quality as quality_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.substr(
+                F.lit("���"),
+                F.lit(1),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\u0007")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" café")).otherwise(F.lit("")),
+    )
+    mangled = docs.select("doc_id", t.alias("text"), "source")
+    return quality_ops.encoding_census(mangled)

@@ -1007,3 +1007,71 @@ def wasserstein_hist_drift(
             "n_buckets",
         )
     )
+
+
+def encoding_census(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source text-encoding artifact census — the mojibake audit a
+    crawled corpus runs before tokenization: U+FFFD replacement
+    characters (a decoder already lost bytes there), C0 control
+    characters (protocol junk that breaks downstream tooling), and the
+    non-ASCII character share. Per source: docs affected by each
+    artifact class, total artifact characters (exact integer counts via
+    length-difference / regex-strip arithmetic — no per-char explode),
+    and the mean ASCII ratio (1e-12-quantized exact sum). Empty docs
+    are excluded from the ratio (undefined) but still counted.
+
+    Shape at 100 TB: pure per-row string expressions, then one
+    map-side-combinable groupBy on the source key. One scan, one
+    bounded shuffle."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_repl = n_chars - F.length(F.regexp_replace(t, "�", ""))
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    )
+    n_ascii = F.length(F.regexp_replace(t, r"[^\x00-\x7f]", ""))
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"),
+        (n_chars - n_ascii).alias("n_nonascii"),
+        F.when(
+            n_chars > 0,
+            F.bround(
+                n_ascii.cast("double") / n_chars.cast("double") * F.lit(1e12)
+            ).cast("long"),
+        ).alias("aq"),
+    )
+    agg = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_repl") > 0).cast("long")).cast("long").alias("n_docs_repl"),
+        F.sum((F.col("n_ctrl") > 0).cast("long")).cast("long").alias("n_docs_ctrl"),
+        F.sum(F.col("n_repl").cast("long")).cast("long").alias("n_repl_chars"),
+        F.sum(F.col("n_ctrl").cast("long")).cast("long").alias("n_ctrl_chars"),
+        F.sum(F.col("n_nonascii").cast("long")).cast("long").alias("n_nonascii_chars"),
+        F.sum(F.col("aq")).cast("long").alias("aqs"),
+        F.sum(F.col("aq").isNotNull().cast("long")).cast("long").alias("n_nonempty"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_docs_repl",
+        "n_docs_ctrl",
+        "n_repl_chars",
+        "n_ctrl_chars",
+        "n_nonascii_chars",
+        F.when(
+            F.col("n_nonempty") > 0,
+            F.round(
+                F.col("aqs").cast("double")
+                / F.col("n_nonempty").cast("double")
+                / F.lit(1e12),
+                6,
+            ),
+        ).alias("avg_ascii_ratio"),
+    )

@@ -1456,3 +1456,71 @@ def query_likelihood_scores(
     return grid.groupBy(id_col, "n_hits").agg(
         F.round(F.sum(s), 6).alias("ql_score")
     ).select(F.col(id_col), F.col("n_hits"), "ql_score")
+
+
+def code_prose_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    keywords: tuple[str, ...] = (
+        "def", "return", "import", "class", "function", "var", "const", "void",
+    ),
+    min_keywords: int = 2,
+    min_indent_lines: int = 1,
+) -> DataFrame:
+    """Per-source code-vs-prose routing profile — the classifier a
+    mixed crawl runs before sending documents down the code or the
+    natural-language curation branch. Per doc: line count, indented
+    lines (4-space prefix), code-keyword token hits, and symbol-char
+    ratio over {}();=<>[]; a doc is flagged ``is_code`` when it has
+    ≥ ``min_keywords`` keyword tokens AND ≥ ``min_indent_lines``
+    indented lines (a structural AND, so prose quoting one keyword
+    doesn't flip). Per source: doc/flag counts and quantized mean
+    symbol ratio + indent fraction (1e-12 integer units, exact sums).
+
+    Shape at 100 TB: pure per-row array/regex expressions (the keyword
+    list is a literal — no join) then one map-side-combinable groupBy
+    on the source key. One scan, one bounded shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    toks = F.filter(F.split(F.col(text_col), r"[\s(:;]+"), lambda w: w != F.lit(""))
+    n_chars = F.length(F.col(text_col))
+    sym_chars = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[{}();=<>\[\]]", "")
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.startswith("    "))).alias("n_indent"),
+        F.size(F.filter(toks, lambda w: w.isin(*keywords))).alias("n_kw"),
+        n_chars.alias("n_chars"),
+        sym_chars.alias("n_sym"),
+    ).filter(F.col("n_chars") > 0)
+    is_code = (F.col("n_kw") >= min_keywords) & (
+        F.col("n_indent") >= min_indent_lines
+    )
+    sym_q = F.bround(
+        F.col("n_sym").cast("double") / F.col("n_chars").cast("double") * F.lit(1e12)
+    ).cast("long")
+    ind_q = F.bround(
+        F.col("n_indent").cast("double") / F.col("n_lines").cast("double") * F.lit(1e12)
+    ).cast("long")
+    agg = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(is_code.cast("long")).cast("long").alias("n_code"),
+        F.sum(sym_q).cast("long").alias("sq"),
+        F.sum(ind_q).cast("long").alias("iq"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_code",
+        F.round(
+            F.col("sq").cast("double") / F.col("n_docs").cast("double") / F.lit(1e12),
+            6,
+        ).alias("avg_symbol_ratio"),
+        F.round(
+            F.col("iq").cast("double") / F.col("n_docs").cast("double") / F.lit(1e12),
+            6,
+        ).alias("avg_indent_frac"),
+    )
