@@ -780,7 +780,16 @@ def perplexity_buckets(
     from . import quality as quality_ops
     from . import text as text_ops
 
-    ce = text_ops.bigram_cross_entropy(docs, text_col, id_col)
+    # The per-doc score table feeds FIVE consumers (each rank_select_kth
+    # reads it twice — stats agg + bucketed pass — and the final bucket
+    # aggregate once); without a cut the whole bigram-LM join chain
+    # (two count aggregates + a three-way join per evaluation) re-runs
+    # per consumer — measured as a 128-Exchange / 54-scan plan at sf0.1.
+    # Eager localCheckpoint scores the corpus once; the |docs|-row
+    # (id, score) table is the only thing materialized.
+    ce = text_ops.bigram_cross_entropy(docs, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     c1 = quality_ops.rank_select_kth(
         ce, "cross_entropy", id_col, k_expr="(n + 2) div 3"
     ).select(F.col("kth_value").alias("_c1"))
@@ -1359,15 +1368,22 @@ def source_set_cover(
     has fewer distinct sources than steps, the surplus steps carry
     NULL source/gain/coverage (matching the oracle's empty scalar
     subqueries)."""
+    # Tokenize in its own projection: Catalyst re-evaluates non-lambda
+    # subtrees inside a higher-order function once PER ELEMENT, so
+    # inlining split() into the gram lambda re-splits the text once per
+    # gram — O(tokens²) per doc (the token_shingles trap). The alias is
+    # referenced twice (size + slice), so CollapseProject leaves it.
     g = (
         docs.select(
             F.col(source_col).alias("src"),
+            F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("_toks"),
+        )
+        .select(
+            "src",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, greatest(size(split(lower(trim("
-                    f"{text_col})), '\\\\s+')) - 3, 0)), "
-                    f"i -> array_join(slice(split(lower(trim({text_col})), "
-                    f"'\\\\s+'), i + 1, 3), ' '))"
+                    "transform(sequence(0, greatest(size(_toks) - 3, 0)), "
+                    "i -> array_join(slice(_toks, i + 1, 3), ' '))"
                 )
             ).alias("gram"),
         )

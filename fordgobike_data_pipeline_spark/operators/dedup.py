@@ -397,6 +397,10 @@ def incremental_minhash_pairs(
     new_sh = token_shingles(new_docs, text_col, id_col, k).localCheckpoint(eager=True)
     new_sig = minhash_signatures(new_sh, id_col, n_hashes, hash_fn)
     new_buckets = band_buckets(new_sig, n_bands, n_hashes // n_bands, id_col, hash_fn)
+    # the candidate pair set feeds THREE consumers (the old-doc semi-join
+    # pushdown and both pair-join legs in jaccard_for_pairs); without a
+    # cut each re-runs the signature build + bucket probe — checkpoint
+    # the bounded (id_a, id_b) table once
     candidates = (
         new_buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
         .join(
@@ -405,11 +409,15 @@ def incremental_minhash_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint()
     )
     matched_old = old_docs.join(
         candidates.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    old_sh = token_shingles(matched_old, text_col, id_col, k)
+    # the verify step reads the shingle table three times (both join
+    # legs + set sizes); re-shingle the matched old docs once instead
+    # of per consumer
+    old_sh = token_shingles(matched_old, text_col, id_col, k).localCheckpoint()
     return jaccard_for_pairs(new_sh.unionByName(old_sh), candidates, id_col, threshold)
 
 
@@ -1402,45 +1410,50 @@ def shingle_set_sensitivity(
     than vocabulary — the empirical companion to q_lsh_design_sweep's
     analytic S-curves.
 
-    One tokenize+explode+distinct+hash aggregate per k (|ks| linear
-    passes, shuffles carry 16-byte keys). Returns one row per k:
-    (k, n_docs, n_distinct, dup_docs, dup_rate)."""
-    out = None
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    for k in ks:
-        sh = (
-            docs.select(
-                F.col(id_col).alias("_id"),
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
-                        f"i -> array_join(slice({toks}, i + 1, {k}), ' '))"
-                    )
-                ).alias("sh"),
+    ONE tokenize+explode pass covers every k (grams carry a k tag), one
+    (k, doc) hash aggregate fingerprints the sets — |ks| scans become
+    one, and the token array is materialized in its own projection
+    first: Catalyst re-evaluates non-lambda subtrees inside a
+    higher-order function once PER ELEMENT, so inlining split() into
+    the gram lambda re-splits the text once per gram — O(tokens²) per
+    doc per k (the token_shingles trap; the alias is referenced more
+    than once, so CollapseProject leaves it alone). collect_set is
+    set-semantics, so no pre-distinct exchange is needed. Returns one
+    row per k: (k, n_docs, n_distinct, dup_docs, dup_rate)."""
+    tokd = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("_toks"),
+    )
+    per_k = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("k"),
+                F.expr(
+                    f"transform(sequence(0, greatest(size(_toks) - {k}, 0)), "
+                    f"i -> array_join(slice(_toks, i + 1, {k}), ' '))"
+                ).alias("gs"),
             )
-            .filter(F.col("sh") != "")
-            .distinct()
-        )
-        fp = sh.groupBy("_id").agg(
-            F.md5(
-                F.array_join(F.array_sort(F.collect_set("sh")), "|")
-            ).alias("fp")
-        )
-        row = fp.agg(
-            F.lit(int(k)).alias("k"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct("fp").cast("long").alias("n_distinct"),
-            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias(
-                "dup_docs"
-            ),
-            F.round(
-                (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                9,
-            ).alias("dup_rate"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+            for k in ks
+        ]
+    )
+    sh = (
+        tokd.select("_id", F.explode(per_k).alias("_kg"))
+        .select("_id", F.col("_kg.k").alias("k"), F.explode("_kg.gs").alias("sh"))
+        .filter(F.col("sh") != "")
+    )
+    fp = sh.groupBy("k", "_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_set("sh")), "|")).alias("fp")
+    )
+    return fp.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("dup_docs"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("dup_rate"),
+    )
 
 
 def dup_source_matrix(

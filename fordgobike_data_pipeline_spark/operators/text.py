@@ -57,12 +57,9 @@ def token_count_bpe_ish(
     )
 
 
-def quality_score(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Composite quality heuristic in [0,1]: length, punctuation sanity,
-    token-shape — the standard cheap pre-filter before expensive model
-    scoring."""
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality heuristic as a bare column expression —
+    usable as a narrow filter (no join-back) by pipeline stages."""
     t = F.col(text_col)
     tok = tokens(t)
     n_tok = F.size(tok)
@@ -76,7 +73,30 @@ def quality_score(
         + 0.3 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
         + 0.3 * F.least(mean_len / 10.0, F.lit(1.0))
     )
-    return docs.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite quality heuristic in [0,1]: length, punctuation sanity,
+    token-shape — the standard cheap pre-filter before expensive model
+    scoring."""
+    return docs.select(F.col(id_col), quality_expr(text_col).alias("quality"))
+
+
+def lang_guess_expr(text_col: str = "text") -> Column:
+    """The stopword-overlap language guess as a bare column expression
+    (see :func:`lang_id`) — usable as a narrow filter by pipeline
+    stages."""
+    tok_set = F.array_distinct(tokens(F.col(text_col)))
+    entries = []
+    for lang, words in sorted(STOPWORDS.items()):
+        lit_words = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.array_intersect(tok_set, lit_words))
+        entries.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def lang_id(
@@ -577,6 +597,27 @@ def pmi_collocations(
     )
 
 
+def _word_grams(df: DataFrame, n: int, text_col: str, *keep_cols: Column) -> DataFrame:
+    """(keep_cols..., gram) — one row per word n-gram OCCURRENCE; docs
+    with fewer than ``n`` tokens contribute nothing.
+
+    The token array is materialized in its own projection before the
+    gram-building transform: Catalyst re-evaluates non-lambda subtrees
+    inside a higher-order function once PER ELEMENT, so inlining
+    split() into the gram lambda re-splits the text once per gram —
+    O(tokens²) per doc (the token_shingles trap). The alias is
+    referenced more than once (size + slice), so CollapseProject
+    leaves it alone."""
+    tokd = df.select(*keep_cols, F.split(F.col(text_col), " ").alias("_toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - n),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, n), " "),
+    )
+    return tokd.filter(F.size("_toks") >= n).select(
+        *[c for c in tokd.columns if c != "_toks"], F.explode(grams).alias("gram")
+    )
+
+
 def ngram_novelty(
     docs: DataFrame,
     ref_docs: DataFrame,
@@ -599,28 +640,9 @@ def ngram_novelty(
 
     Returns (doc_id, n_grams, n_novel, novelty) — docs shorter than
     ``n`` tokens have no grams and drop out (mirrored by oracles)."""
-    t = F.split(F.col(text_col), " ")
-    size = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(0), size - n),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-    )
-    doc_grams = (
-        docs.filter(size >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
-        .distinct()
-    )
-    rt = F.split(F.col(text_col), " ")
+    doc_grams = _word_grams(docs, n, text_col, F.col(id_col)).distinct()
     ref_grams = (
-        ref_docs.filter(F.size(rt) >= n)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(rt) - n),
-                    lambda i: F.array_join(F.slice(rt, i + 1, n), " "),
-                )
-            ).alias("gram")
-        )
+        _word_grams(ref_docs, n, text_col)
         .distinct()
         .withColumn("_in_ref", F.lit(1))
     )
@@ -778,15 +800,8 @@ def ngram_loopiness(
     ``n`` tokens drop out (no grams).
 
     Returns (doc_id, n_ngrams, max_repeat, loop_score)."""
-    t = F.split(F.col(text_col), " ")
-    size = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(0), size - n),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-    )
     per_gram = (
-        docs.filter(size >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        _word_grams(docs, n, text_col, F.col(id_col))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -827,16 +842,13 @@ def rouge_n(
 
     Returns (ref_id, cand_id, n_ref, n_cand, n_overlap, rouge_recall,
     rouge_precision, rouge_f1)."""
-    t = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-    )
+    # the per-doc gram-count table feeds BOTH the ref and cand join
+    # legs — checkpoint so the tokenize+explode+aggregate runs once
     gc = (
-        docs.filter(F.size(t) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        _word_grams(docs, n, text_col, F.col(id_col))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     # Dedup the pair list: a duplicated (ref_id, cand_id) row would
     # multiply both-sided grams quadratically through the full_outer
@@ -898,15 +910,13 @@ def source_overlap(
 
     Returns (source_a, source_b, n_a, n_b, n_common, jaccard) for
     source_a < source_b."""
-    t = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-    )
+    # the distinct (source, gram) table feeds THREE consumers (totals
+    # + both self-join legs) — checkpoint so the tokenize+explode+
+    # distinct runs once
     sg = (
-        docs.filter(F.size(t) >= n)
-        .select(F.col(source_col).alias("_src"), F.explode(grams).alias("gram"))
+        _word_grams(docs, n, text_col, F.col(source_col).alias("_src"))
         .distinct()
+        .localCheckpoint()
     )
     totals = sg.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_n"))
     a = sg.select(F.col("_src").alias("source_a"), "gram")
@@ -956,14 +966,7 @@ def distinct_ngrams(
     nothing (mirrored by oracles).
 
     Returns (<by>, n_grams, n_distinct, distinct_ratio)."""
-    t = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-    )
-    g = docs.filter(F.size(t) >= n).select(
-        F.col(by), F.explode(grams).alias("gram")
-    )
+    g = _word_grams(docs, n, text_col, F.col(by))
     return g.groupBy(by).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.countDistinct("gram").cast("long").alias("n_distinct"),
@@ -1047,7 +1050,13 @@ def ngram_entropy_rate(
     t = F.split(F.col(text_col), " ")
     n = F.size(t)
     toks = docs.select(g, F.explode(t).alias("w")).filter(F.col("w") != "")
-    uni = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the unigram type table feeds the total AND the entropy join —
+    # checkpoint so the tokenize + count shuffle runs once (Zipf-small)
+    uni = (
+        toks.groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     nu = uni.groupBy("grp").agg(F.sum("c").cast("long").alias("n_tok"))
     # term = (c/N)·log2(c/N), quantized 1e-12 → exact BIGINT sum
     p_u = F.col("c").cast("double") / F.col("n_tok").cast("double")
@@ -1072,8 +1081,12 @@ def ngram_entropy_rate(
             & (F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) != "")
         )
     )
-    c2 = bgs.groupBy("grp", "bg", "w1").agg(
-        F.count(F.lit(1)).cast("long").alias("c2")
+    # three consumers (prefix totals, group totals, entropy join) —
+    # checkpoint the bigram type table so the explode+count runs once
+    c2 = (
+        bgs.groupBy("grp", "bg", "w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .localCheckpoint()
     )
     c1 = c2.groupBy("grp", "w1").agg(F.sum("c2").cast("long").alias("c1"))
     nb = c2.groupBy("grp").agg(F.sum("c2").cast("long").alias("n_bg"))
