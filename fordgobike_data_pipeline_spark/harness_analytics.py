@@ -544,11 +544,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex."""
     from .operators import graph
 
+    # collect_set + in-array combinations (graph.order_part_pairs):
+    # one shuffle instead of distinct + self-join — same pair multiset
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    x = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
-    y = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
-    pairs = x.join(y, "o").filter(F.col("a") < F.col("b")).select("a", "b")
+    pairs = graph.order_part_pairs(li).select(
+        F.col("p").alias("a"), F.col("q").alias("b")
+    )
     return graph.triangle_count(pairs, "a", "b")
 
 
@@ -1451,16 +1452,17 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    x = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
-    y = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    # collect_set + in-array combinations (graph.order_part_pairs):
+    # one shuffle instead of distinct + self-join; checkpointed because
+    # the seed probe AND the BFS edge build both read it
     pairs = (
-        x.join(y, "o")
-        .filter(F.col("a") < F.col("b"))
+        graph.order_part_pairs(li)
+        .select(F.col("p").alias("a"), F.col("q").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("a", "b")
+        .localCheckpoint()
     )
     seed = pairs.agg(F.min("a")).first()[0]  # 1 value: control data
     return graph.bfs_hops(pairs, [seed], max_hops=3)
@@ -2366,8 +2368,23 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
 
-    def wt(j: int):
-        u = F.conv(F.substring(F.col("h"), 1 + 6 * j, 6), 16, 10).cast("long")
+    # Decode the four 24-bit uniforms with TWO conv() calls instead of
+    # four, then exact div/mod splits: conv is a BigInteger string
+    # parse and dominated this stage (profiled 3.4s of the 6s total at
+    # sf0.1 for 4 convs/row; the md5 itself was 1.7s). Each 12-hex-char
+    # conv yields 48 bits = two uniforms; div/mod on the non-negative
+    # long is exact, so u_j is bit-identical to the oracle's
+    # one-conv-per-uniform formulation. The decode columns live in
+    # their own projections (each alias is referenced more than once,
+    # so CollapseProject cannot inline the conv back into every use).
+    dec = hashes.select(
+        "x",
+        "k",
+        F.conv(F.substring(F.col("h"), 1, 12), 16, 10).cast("long").alias("_cA"),
+        F.conv(F.substring(F.col("h"), 13, 12), 16, 10).cast("long").alias("_cB"),
+    )
+
+    def wt(u) -> "F.Column":
         return (
             F.when(u < 6171993, 0)
             .when(u < 12343986, 1)
@@ -2376,12 +2393,22 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(4)
         )
 
+    us = [
+        F.expr("_cA div 16777216"),
+        F.expr("_cA % 16777216"),
+        F.expr("_cB div 16777216"),
+        F.expr("_cB % 16777216"),
+    ]
+    # materialize each weight ONCE: the aggregate otherwise evaluates
+    # the decode chain inside both sum(w*x) and sum(w)
+    weighted = dec.select(
+        "x", "k", *[wt(us[j]).alias(f"_w{j}") for j in range(4)]
+    )
     aggs = []
     for j in range(4):
-        w = wt(j)
-        aggs.append(F.sum(w * F.col("x")).alias(f"sw{j}"))
-        aggs.append(F.sum(w).alias(f"w{j}"))
-    partials = hashes.groupBy("k").agg(*aggs)
+        aggs.append(F.sum(F.col(f"_w{j}") * F.col("x")).alias(f"sw{j}"))
+        aggs.append(F.sum(F.col(f"_w{j}")).alias(f"w{j}"))
+    partials = weighted.groupBy("k").agg(*aggs)
     stack_expr = "stack(4, " + ", ".join(
         f"{j}, sw{j}, w{j}" for j in range(4)
     ) + ") AS (j, sw, w)"

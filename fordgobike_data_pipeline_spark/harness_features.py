@@ -910,6 +910,9 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring joins each doc token against the 5 candidate rows —
     tokens×|langs| rows, one groupBy, no driver state."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # the token table feeds FIVE consumers (vocab size, per-lang
+    # counts, doc total, token-lang counts, scoring join) — checkpoint
+    # so the corpus is tokenized once, not once per consumer
     tok = docs.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
@@ -919,7 +922,7 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x != "",
             )
         ).alias("t"),
-    )
+    ).localCheckpoint()
     vocab_v = tok.agg(F.countDistinct("t").alias("V"))
     langs = tok.groupBy(F.col("true_lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("n_l"),

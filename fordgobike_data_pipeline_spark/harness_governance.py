@@ -38,15 +38,12 @@ _COPURCHASE_SQL = """
 
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_set + in-array combinations (graph.order_part_pairs):
+    # one shuffle instead of distinct + self-join — same pair multiset
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    op = (
-        li.filter(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    return graph.order_part_pairs(li.filter(F.col("l_orderkey") % 4 == 0)).select(
+        F.col("p").alias("a"), F.col("q").alias("b")
     )
-    x = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
-    y = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
-    return x.join(y, "o").filter(F.col("a") < F.col("b")).select("a", "b")
 
 
 @query(
@@ -481,6 +478,13 @@ def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct().localCheckpoint()
 
     def norm(df, col):
+        # each iteration's score table is read twice (max agg + the
+        # normalizing projection) and then AGAIN by the next iteration's
+        # join — without a cut the mutual-reinforcement chain re-derives
+        # every earlier iteration per consumer (a 148-Exchange plan at
+        # sf0.1; at scale, exponentially many passes over e). The
+        # checkpointed frame is |parts|- or |suppliers|-sized.
+        df = df.localCheckpoint()
         m = df.agg(F.max(col).alias("m"))
         return df.crossJoin(F.broadcast(m)).select(
             *[c for c in df.columns if c != col],
@@ -587,7 +591,13 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one edge-list scan."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     bi = graph.copurchase_bidirected(li)
-    deg = bi.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    # the degree table joins onto BOTH edge endpoints — checkpoint the
+    # |nodes|-row aggregate so the second join probe reuses it
+    deg = (
+        bi.groupBy(F.col("src").alias("n"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
     xy = (
         bi.join(deg.select(F.col("n").alias("ns"), F.col("d").alias("x")), F.col("src") == F.col("ns"))
         .join(deg.select(F.col("n").alias("nd"), F.col("d").alias("y")), F.col("dst") == F.col("nd"))
@@ -663,11 +673,22 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lab_d), F.col("dst") == F.col("kd"))
         .select("b_src", "b_dst")
     )
-    m2 = e.agg(F.count(F.lit(1)).alias("m"))
-    per_c = e.groupBy(F.col("b_src").alias("community")).agg(
-        F.sum(F.when(F.col("b_src") == F.col("b_dst"), 1).otherwise(0)).alias("e_in"),
-        F.count(F.lit(1)).alias("d_c"),
+    # ONE pass over the labeled edge list: m (total directed edges) is
+    # Σ d_c and n_communities is the row count of the per-community
+    # table itself, so neither needs its own edge scan — per_c (a
+    # |communities|-row frame) is checkpointed and every scalar derives
+    # from it (was: three independent passes over e)
+    per_c = (
+        e.groupBy(F.col("b_src").alias("community"))
+        .agg(
+            F.sum(F.when(F.col("b_src") == F.col("b_dst"), 1).otherwise(0)).alias(
+                "e_in"
+            ),
+            F.count(F.lit(1)).alias("d_c"),
+        )
+        .localCheckpoint()
     )
+    m2 = per_c.agg(F.sum("d_c").alias("m"))
     md = F.col("m").cast("double")
     term = F.round(
         (F.col("e_in").cast("double") / md

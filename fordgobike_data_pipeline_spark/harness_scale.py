@@ -3494,9 +3494,16 @@ def q_er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"substring(p_name, {pos} + 2, length(p_name)))"
         ).alias("name"),
     )
-    pairs = dedup_mod.edit_distance_join(
-        clean, dirty, "clean_id", "dirty_id", "name", max_dist=1
-    ).select("clean_id", "dirty_id")
+    # the matched pair set feeds BOTH the precision and recall
+    # aggregates — checkpoint so the deletion-neighborhood join +
+    # levenshtein verify runs once
+    pairs = (
+        dedup_mod.edit_distance_join(
+            clean, dirty, "clean_id", "dirty_id", "name", max_dist=1
+        )
+        .select("clean_id", "dirty_id")
+        .localCheckpoint()
+    )
     is_true = (F.col("dirty_id") - 1000000 == F.col("clean_id")).cast("long")
     s = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"), F.sum(is_true).alias("tp")

@@ -19,6 +19,40 @@ from .io import load_tables
 from .operators import warehouse
 
 
+def _stream_state_conf(spark: SparkSession):
+    """Context manager pinning ``spark.sql.shuffle.partitions`` for a
+    streaming query's lifetime.
+
+    Stateful streaming stages key one state store PER shuffle
+    partition at checkpoint creation, and every micro-batch pays a
+    fixed open/commit cost per store — so the right number tracks
+    STATEFUL-KEY VOLUME (and the state backend's throughput), not the
+    session's CPU count. The harness's bounded replays carry ~1e5
+    keys, where 32 stores per stage are pure overhead (measured at
+    sf0.1: q_stream_window 12.7s → 4.2s going 32 → 8 stores, results
+    identical — partition count never changes what a stateful
+    aggregation emits). Production sizes it via
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS (or the session conf at the
+    checkpoint's first run, which pins it for the checkpoint's life).
+    """
+    import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"),
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 # SCD2 history CTEs shared by q_scd2 and the point-in-time consumer
 _SCD2_CTES = """
     c AS (
@@ -572,16 +606,17 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("price", T.DoubleType()),
         ]
     )
-    incremental.stream_maintain_mv(
-        spark,
-        os.path.join(landing, "*", ""),
-        os.path.join(root, "partials"),
-        os.path.join(root, "mv"),
-        os.path.join(root, "ckpt"),
-        ["prio"],
-        "price",
-        schema=schema,
-    )
+    with _stream_state_conf(spark):
+        incremental.stream_maintain_mv(
+            spark,
+            os.path.join(landing, "*", ""),
+            os.path.join(root, "partials"),
+            os.path.join(root, "mv"),
+            os.path.join(root, "ckpt"),
+            ["prio"],
+            "price",
+            schema=schema,
+        )
     return spark.read.parquet(os.path.join(root, "mv"))
 
 
@@ -647,18 +682,19 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("total", T.DoubleType()),
         ]
     )
-    incremental.stream_apply_changelog(
-        spark,
-        os.path.join(landing, "*", ""),
-        os.path.join(root, "state"),
-        os.path.join(root, "snap"),
-        os.path.join(root, "ckpt"),
-        ["cust_id"],
-        "ts",
-        "op",
-        ["tb"],
-        schema,
-    )
+    with _stream_state_conf(spark):
+        incremental.stream_apply_changelog(
+            spark,
+            os.path.join(landing, "*", ""),
+            os.path.join(root, "state"),
+            os.path.join(root, "snap"),
+            os.path.join(root, "ckpt"),
+            ["cust_id"],
+            "ts",
+            "op",
+            ["tb"],
+            schema,
+        )
     return spark.read.parquet(os.path.join(root, "snap"))
 
 
@@ -843,16 +879,17 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_stream = spark.readStream.schema(clicks.schema).parquet(c_src)
     v_stream = spark.readStream.schema(views.schema).parquet(v_src)
     out_dir = os.path.join(root, "joined")
-    q = (
-        incremental.stream_stream_join(c_stream, v_stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_conf(spark):
+        q = (
+            incremental.stream_stream_join(c_stream, v_stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -970,14 +1007,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = incremental.deduped_stream(stream, watermark="1 hour")
     out_dir = os.path.join(root, "deduped")
-    (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_conf(spark):
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")
@@ -1053,15 +1091,16 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         # foreachBatch appends each batch's updated rows
         batch.write.mode("append").parquet(out_dir)
 
-    (
-        incremental.stateful_user_sums_exact(stream)
-        .writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_conf(spark):
+        (
+            incremental.stateful_user_sums_exact(stream)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     emitted = spark.read.parquet(out_dir)
     final = emitted.groupBy("user_id").agg(
         F.max(F.struct("n_events", "sum_cents")).alias("s")
@@ -1134,7 +1173,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, -1, horizon_us + 10 * 3600 * 1_000_000)],
         "event_id long, user_id long, ts_us long",
     )
-    flush.write.mode("overwrite").json(os.path.join(landing, "wave=z_flush"))
+    # one file -> one micro-batch: the 1-row sentinel otherwise lands
+    # as defaultParallelism-many files under maxFilesPerTrigger=1
+    flush.coalesce(1).write.mode("overwrite").json(
+        os.path.join(landing, "wave=z_flush")
+    )
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1152,15 +1195,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withWatermark("ts", "1 hour"), gap="30 minutes"
     )
     out_dir = os.path.join(root, "sessions")
-    (
-        sessions.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_conf(spark):
+        (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return (
         spark.read.parquet(out_dir)
         .filter(F.col("user_id") >= 0)
@@ -1210,7 +1254,11 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, horizon_us + 10 * 3600 * 1_000_000, 0)],
         "event_id long, ts_us long, value_cents long",
     )
-    flush.write.mode("overwrite").json(os.path.join(landing, "wave=z_flush"))
+    # one file -> one micro-batch: the 1-row sentinel otherwise lands
+    # as defaultParallelism-many files under maxFilesPerTrigger=1
+    flush.coalesce(1).write.mode("overwrite").json(
+        os.path.join(landing, "wave=z_flush")
+    )
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1237,15 +1285,16 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("bucket_start"), "cnt", "sum_cents")
     )
     out_dir = os.path.join(root, "windows")
-    (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_conf(spark):
+        (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(out_dir).select("bucket_start", "cnt", "sum_cents")
 
 
@@ -1310,15 +1359,16 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     out_dir = os.path.join(root, "deduped")
-    (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_conf(spark):
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "event_type", "ts_us"
     )

@@ -547,19 +547,38 @@ def basket_pair_counts(
     statistics every derived metric (support, confidence, lift,
     cosine) is pure arithmetic over.
     """
-    bi = items.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
-    item_n = bi.groupBy(F.col("it").alias("i")).agg(F.count(F.lit(1)).alias("n_i"))
-    x = bi.select("bk", F.col("it").alias("a"))
-    y = bi.select("bk", F.col("it").alias("b"))
+    # ONE (basket, item) shuffle builds per-basket item sets
+    # (collect_set IS the distinct); items-per-basket counts, pair
+    # co-occurrence counts and the basket total all derive from the
+    # checkpointed set table — replacing a distinct exchange + a
+    # basket-keyed self-join + a separate distinct-count job with one
+    # aggregation and three cheap consumers. Pair expansion happens
+    # in-array (a basket holds a handful of items, so combinations
+    # stay tiny); the cost remains Σ basket_size², same as the join.
+    sets_ = (
+        items.groupBy(F.col(basket_col).alias("bk"))
+        .agg(F.collect_set(F.col(item_col)).alias("_its"))
+        .localCheckpoint()
+    )
+    item_n = (
+        sets_.select(F.explode("_its").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
     pairs = (
-        x.join(y, "bk")
-        .filter(F.col("a") < F.col("b"))
+        sets_.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_its, x -> transform("
+                    "filter(_its, y -> y > x), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_ab")
+        )
+        .select(F.col("_ab.a").alias("a"), F.col("_ab.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    n_baskets = bi.select("bk").distinct().count()
+    n_baskets = sets_.count()
     return (
         pairs.join(item_n.withColumnRenamed("i", "a").withColumnRenamed("n_i", "n_a"), "a")
         .join(item_n.withColumnRenamed("i", "b").withColumnRenamed("n_i", "n_b"), "b")
@@ -581,8 +600,12 @@ def association_rules(
     ties can't flap between engines; the tiebreak is (a, b). Top-k is
     TakeOrderedAndProject over the pair table (already ≪ data scale).
     """
-    stats = basket_pair_counts(items, basket_col, item_col).filter(
-        F.col("n_ab") >= min_pair_count
+    # both rule directions read the same pair stats — checkpoint so
+    # the basket aggregation + pair join runs once
+    stats = (
+        basket_pair_counts(items, basket_col, item_col)
+        .filter(F.col("n_ab") >= min_pair_count)
+        .localCheckpoint()
     )
     fwd = stats.select(
         F.col("a").alias("lhs"), F.col("b").alias("rhs"),
@@ -692,9 +715,13 @@ def frequent_triples(
     enumerates Σ C(basket,3) candidates; pruning cuts it to triples
     whose pairs already passed the support floor).
     """
-    bi = items.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    # the distinct basket-item table feeds five join legs — checkpoint
+    # so the distinct runs once, not once per leg
+    bi = (
+        items.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("it"))
+        .distinct()
+        .localCheckpoint()
+    )
     x = bi.select("bk", F.col("it").alias("a"))
     y = bi.select("bk", F.col("it").alias("b"))
     z = bi.select("bk", F.col("it").alias("c"))

@@ -367,18 +367,45 @@ def kcore_peel(
     return out
 
 
+def order_part_pairs(lineitem: DataFrame) -> DataFrame:
+    """Within-order part pairs (p < q), one row per (order, pair) —
+    the raw co-purchase pair stream before any cross-order distinct.
+
+    Built as collect_set per order + an in-array combination expand
+    instead of the op⋈op self-join: one (orderkey, partkey) shuffle
+    replaces the distinct-exchange + join-exchange pair, and the
+    per-order part sets are tiny (an order has single-digit line
+    items), so the combination arrays never blow up. Same multiset as
+    the self-join — collect_set IS the per-order distinct."""
+    return (
+        lineitem.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.collect_set("l_partkey").alias("_ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, x -> "
+                    "transform(filter(_ps, y -> y > x), y -> struct(x AS p, y AS q))))"
+                )
+            ).alias("_pq")
+        )
+        .select(F.col("_pq.p").alias("p"), F.col("_pq.q").alias("q"))
+    )
+
+
 def copurchase_bidirected(lineitem: DataFrame) -> DataFrame:
     """Bidirected co-purchase edge list (src, dst): parts linked when
     they share an order, each undirected edge emitted in both
     directions — the DataFrame twin of the harness's
     _COPURCHASE_BI_CTE (keep the two in sync; the SQL is the oracle).
     Shared by the graph-metric queries (assortativity, modularity) so
-    the edge definition lives in exactly one place per engine."""
-    op = lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    y2 = op.select(F.col("o"), F.col("p").alias("q"))
-    e0 = op.join(y2, "o").filter(F.col("p") < F.col("q")).select("p", "q").distinct()
+    the edge definition lives in exactly one place per engine.
+
+    The distinct undirected edge set is localCheckpoint'ed: every
+    consumer reads the edge list at least twice (degree table + edge
+    scan), and without the cut each read re-runs the per-order pair
+    expansion — at corpus scale that is the single most expensive
+    subtree in every graph-metric plan."""
+    e0 = order_part_pairs(lineitem).distinct().localCheckpoint()
     return e0.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
         e0.select(F.col("q").alias("src"), F.col("p").alias("dst"))
     )
@@ -415,7 +442,11 @@ def label_propagation(
     after ``iterations`` rounds (unreached nodes are absent)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    # the edge table is probed once per round — checkpoint so its
+    # upstream lineage (often a kNN-graph build) runs once
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint()
     seed = seeds.select(
         F.col(node_col).alias("_n"), F.col(label_col).cast("long").alias("_l")
     )

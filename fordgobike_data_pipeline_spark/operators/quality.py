@@ -637,6 +637,11 @@ def conformal_threshold(
     Returns one row: (n, k, threshold, n_accepted, accept_rate)."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    # the calibration table is read three times (rank_select_kth's
+    # histogram + bucket passes, then the accept-rate aggregate) —
+    # checkpoint the (id, score) projection so the caller's scoring
+    # lineage runs once, not once per pass
+    df = df.select(id_col, score_col).localCheckpoint()
     # k = ceil((n+1)(1-alpha)) with alpha expressed as an exact integer
     # ratio so the k expression is integer arithmetic on both engines;
     # ceil(a/b) = (a + b - 1) div b for positive ints

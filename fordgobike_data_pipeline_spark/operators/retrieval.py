@@ -163,11 +163,13 @@ def knn_graph(
     rounded cosine, id tiebreaks — the oracle reproduces every edge.
     """
     planes = _hyperplanes(dim, n_planes, seed)
+    # both bucket-join legs read the signature table — checkpoint so
+    # the normalize + hyperplane hashing pass runs once, not twice
     sig = corpus.select(
         F.col(id_col).alias("id"),
         unit_normalize(F.col(vec_col)).alias("nv"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).localCheckpoint()
     a = sig.select(
         F.col("id").alias("src_id"), F.col("nv").alias("a_vec"), "bucket"
     )
@@ -316,8 +318,13 @@ def knn_graph_increment(
 
     c_sig, b_sig = sig(corpus), sig(batch)
     affected = b_sig.select("bucket").distinct()
-    touched = c_sig.unionByName(b_sig).join(
-        F.broadcast(affected), "bucket", "inner"
+    # three consumers (both pair-join legs + the touched-id anti-join
+    # key set) — checkpoint so the signature scan + bucket filter runs
+    # once, not once per consumer
+    touched = (
+        c_sig.unionByName(b_sig)
+        .join(F.broadcast(affected), "bucket", "inner")
+        .localCheckpoint()
     )
     a = touched.select(
         F.col("id").alias("src_id"), F.col("nv").alias("a_vec"), "bucket"

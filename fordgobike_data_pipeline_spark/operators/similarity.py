@@ -2044,12 +2044,15 @@ def spectral_top_share(
             [(0, None, None, None)],
             "n_rows long, dim int, top_eigen_share double, dominant_dim int",
         )
+    # the quantized matrix is scanned once per iteration plus the final
+    # Rayleigh pass — checkpoint so the source scan + quantization runs
+    # once and every iteration reads the materialized integer rows
     ints = emb.select(
         F.transform(
             F.col(vec_col),
             lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast("long"),
         ).alias("_xi")
-    )
+    ).localCheckpoint()
     v = [1] * dim
     for _ in range(iters):
         varr = F.array(*[F.lit(int(c)).cast("long") for c in v])

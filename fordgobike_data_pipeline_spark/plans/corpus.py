@@ -35,42 +35,45 @@ def clean_corpus(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
-    spark = docs.sparkSession
-    counts: list[tuple[str, DataFrame]] = [("input", docs)]
-
-    # Each stage output is eagerly checkpointed: every stage feeds BOTH
-    # the next stage and its accounting count, so without a barrier each
-    # downstream consumer re-evaluates the whole prefix chain — 4 extra
-    # corpus scans by the final count. At sf0.1 the saving is small (the
-    # stages' own shuffles dominate); at corpus scale the prefix is a
-    # full text scan per consumer and the checkpoint is what keeps the
-    # pipeline one-pass-per-stage. On clusters with executor churn swap
-    # for persist(MEMORY_AND_DISK) + unpersist — checkpointed blocks are
-    # not recomputable.
-
-    # 1. quality gate — pure projection, fuses into the scan
-    q = text.quality_score(docs, text_col, id_col)
-    gated = docs.join(
-        q.filter(F.col("quality") >= min_quality).select(id_col), id_col, "left_semi"
-    ).localCheckpoint(eager=True)
-    counts.append(("quality_gate", gated))
-
-    # 2. language filter — pure projection
+    # Stages 1-2 are pure per-row expressions, so they run as NARROW
+    # filters fused into one scan — no score self-join, no join-back,
+    # and no per-stage checkpoint of the full text payload (the former
+    # shape copied the corpus into the block manager once per gate).
+    # Their accounting counts come from ONE conditional aggregate over
+    # the same expressions, so the whole gate accounting is a single
+    # extra narrow pass. Only the surviving rows are materialized, once,
+    # where the first shuffling consumer needs them. On clusters with
+    # executor churn swap localCheckpoint for persist(MEMORY_AND_DISK)
+    # + unpersist — checkpointed blocks are not recomputable.
+    q_ok = text.quality_expr(text_col) >= min_quality
     if keep_langs:
-        langs = text.lang_id(gated, text_col, id_col)
-        gated = gated.join(
-            langs.filter(F.col("lang_guess").isin(*keep_langs)).select(id_col),
-            id_col,
-            "left_semi",
-        ).localCheckpoint(eager=True)
-        counts.append(("lang_filter", gated))
+        gate_ok = q_ok & text.lang_guess_expr(text_col).isin(*keep_langs)
+    else:
+        gate_ok = q_ok
+    gate_counts = docs.agg(
+        F.count(F.lit(1)).alias("_input"),
+        F.count(F.when(q_ok, 1)).alias("_quality"),
+        F.count(F.when(gate_ok, 1)).alias("_lang"),
+    )
+    counts: list[tuple[str, DataFrame]] = [
+        ("input", gate_counts.select(F.col("_input").alias("n_docs"))),
+        ("quality_gate", gate_counts.select(F.col("_quality").alias("n_docs"))),
+    ]
+    if keep_langs:
+        counts.append(("lang_filter", gate_counts.select(F.col("_lang").alias("n_docs"))))
+
+    # survivors of both gates feed exact dedup AND its survivor
+    # join-back — materialize the filtered rows once
+    gated = docs.filter(gate_ok).localCheckpoint(eager=True)
 
     # 3. exact dedup — keep the min-id representative
     survivors = dedup.exact_dedup(gated, [text_col], id_col).select(
         F.col("keep_id").alias(id_col)
     )
     gated = gated.join(survivors, id_col, "left_semi").localCheckpoint(eager=True)
-    counts.append(("exact_dedup", gated))
+    counts.append(
+        ("exact_dedup", gated.agg(F.count(F.lit(1)).alias("n_docs")))
+    )
 
     # 4. near-dedup — cluster pairs into connected components and keep
     # the min-id survivor per component (exact transitive semantics:
@@ -80,13 +83,13 @@ def clean_corpus(
         hash_fn=hash_fn,
     )
     cleaned = dedup.dedup_clusters(gated, pairs, id_col)
-    counts.append(("near_dedup", cleaned))
+    counts.append(
+        ("near_dedup", cleaned.agg(F.count(F.lit(1)).alias("n_docs")))
+    )
 
     report = None
-    for stage, df in counts:
-        row = df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(stage).alias("stage"), "n_docs"
-        )
+    for stage, cnt in counts:
+        row = cnt.select(F.lit(stage).alias("stage"), "n_docs")
         report = row if report is None else report.unionByName(row)
     return cleaned, report
 
