@@ -1954,9 +1954,11 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text as text_ops
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # five consumers (two passes per rank_select_kth × two cutoffs +
+    # the phase aggregate) — checkpoint so the corpus is scored once
     g = text_ops.quality_score(docs).select(
         "doc_id", F.round(F.col("quality") * 1e6).cast("long").alias("q6")
-    )
+    ).localCheckpoint()
     c1 = quality.rank_select_kth(g, "q6", "doc_id", k_expr="(n + 2) div 3").select(
         F.col("kth_value").alias("c1_v"), F.col("kth_id").alias("c1_id")
     )

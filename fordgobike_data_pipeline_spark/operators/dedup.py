@@ -831,6 +831,12 @@ def edit_distance_join(
     entity-resolution job MUST pair up anyway (true-output mass, not
     wasted candidates)."""
     def neighborhood(df: DataFrame, id_col: str) -> DataFrame:
+        # the candidate equi-join is keyed on xxhash64(variant), not the
+        # variant TEXT: 8-byte keys cut the dominant exchange ~2-3x vs
+        # variant strings (the _pair_overlap_stats trick). A 2^-64
+        # collision can only ADD a candidate, and the exact levenshtein
+        # verify below removes it — no false negatives (equal strings
+        # always hash equal), so the join result is unchanged.
         base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
         vs = base.select("_id", F.col("_s").alias("_v"))
         frontier = vs
@@ -839,12 +845,12 @@ def edit_distance_join(
                 "_id", F.explode(_deletion_variants("_v")).alias("_v")
             )
             vs = vs.unionByName(frontier)
-        return vs.distinct()
+        return vs.select("_id", F.xxhash64("_v").alias("_vh")).distinct()
     cands = (
         neighborhood(left, left_id)
         .withColumnRenamed("_id", left_id)
         .join(
-            neighborhood(right, right_id).withColumnRenamed("_id", right_id), "_v"
+            neighborhood(right, right_id).withColumnRenamed("_id", right_id), "_vh"
         )
         .select(left_id, right_id)
         .distinct()

@@ -418,28 +418,28 @@ def minmax_fuse(
     |queries|·k rows, so every join here is broadcast-sized; the
     expensive work happened in the rankers.
     """
-    na = sim_ranking.groupBy("query_id").agg(
-        F.min(sim_col).alias("_amn"), F.max(sim_col).alias("_amx")
-    )
-    nb = dist_ranking.groupBy("query_id").agg(
-        F.min(dist_col).alias("_bmn"), F.max(dist_col).alias("_bmx")
-    )
-    sa = sim_ranking.join(na, "query_id").select(
+    # per-query min/max as WINDOW aggregates: one pass per ranking
+    # instead of a groupBy + join-back pair, so the upstream RANKER (a
+    # full corpus top-k scan at real scale) is consumed exactly once —
+    # identical arithmetic, and the window partitions by query over
+    # |queries|·k rows only
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id")
+    _amn, _amx = F.min(sim_col).over(wq), F.max(sim_col).over(wq)
+    sa = sim_ranking.select(
         "query_id",
         "cand_id",
-        F.when(F.col("_amx") == F.col("_amn"), F.lit(1.0))
-        .otherwise(
-            (F.col(sim_col) - F.col("_amn")) / (F.col("_amx") - F.col("_amn"))
-        )
+        F.when(_amx == _amn, F.lit(1.0))
+        .otherwise((F.col(sim_col) - _amn) / (_amx - _amn))
         .alias("cn"),
     )
-    sb = dist_ranking.join(nb, "query_id").select(
+    _bmn, _bmx = F.min(dist_col).over(wq), F.max(dist_col).over(wq)
+    sb = dist_ranking.select(
         F.col("query_id").alias("query_id2"),
         F.col("cand_id").alias("cand_id2"),
-        F.when(F.col("_bmx") == F.col("_bmn"), F.lit(1.0))
-        .otherwise(
-            (F.col("_bmx") - F.col(dist_col)) / (F.col("_bmx") - F.col("_bmn"))
-        )
+        F.when(_bmx == _bmn, F.lit(1.0))
+        .otherwise((_bmx - F.col(dist_col)) / (_bmx - _bmn))
         .alias("ln"),
     )
     f = sa.join(

@@ -1801,12 +1801,14 @@ def norm_outliers(
             lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast("long"),
         ).alias("_xi"),
     )
+    # five consumers (two passes per quartile's rank_select_kth + the
+    # fence filter) — checkpoint so the norm computation runs once
     norms = ints.select(
         F.col(id_col),
         F.aggregate(
             F.col("_xi"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
         ).alias("norm2_int"),
-    )
+    ).localCheckpoint()
     q1 = rank_select_kth(
         norms, "norm2_int", id_col, k_expr="(n + 3) div 4"
     ).select(F.col("kth_value").alias("_q1"))

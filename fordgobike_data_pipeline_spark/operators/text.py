@@ -453,8 +453,13 @@ def bigram_cross_entropy(
         F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bigrams = docs.select(F.col(id_col), F.explode(bg_arr).alias("bg")).withColumn(
-        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    # the bigram occurrence table feeds THREE consumers (both count
+    # tables + the scoring join) — checkpoint so the tokenize+explode
+    # runs once, not once per consumer
+    bigrams = (
+        docs.select(F.col(id_col), F.explode(bg_arr).alias("bg"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .localCheckpoint()
     )
     c2 = bigrams.groupBy("bg").agg(F.count("*").alias("c2"))
     c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
@@ -1208,6 +1213,11 @@ def jm_smoothing_sweep(
             ).alias("p_uni"),
         )
     )
+    # the λ grid re-reads the scored DISTINCT-bigram table once per λ —
+    # checkpoint so the train/test count builds and the three scoring
+    # joins run once, and each λ is a trivial aggregate over the
+    # materialized (m, p_bi, p_uni) rows
+    joined = joined.localCheckpoint()
     frames = []
     for lam in lambdas:
         mix = F.lit(float(lam)) * F.col("p_bi") + F.lit(1.0 - float(lam)) * F.col(
