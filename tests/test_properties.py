@@ -152,7 +152,11 @@ def test_domain_mixture_invariants(spark, doms, ws):
     from fordgobike_data_pipeline_spark.operators import curation
 
     rows = [
-        (i, dom, "tok " * n_tok) for i, (dom, n_tok) in enumerate(doms)
+        # strip the trailing space: the operator counts tokens as
+        # size(split(text, ' ')), so "tok " * n would carry an extra
+        # empty token and skew the binding-domain ratios this test
+        # derives independently from n_tok
+        (i, dom, ("tok " * n_tok).strip()) for i, (dom, n_tok) in enumerate(doms)
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
     present = {d for d, _ in doms}

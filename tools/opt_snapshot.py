@@ -1,6 +1,7 @@
 """Optimization-round snapshot: per-key formatted plan + isolated timing.
 
-For each named query, writes ``plans/r12/<name>_<tag>.txt`` containing
+For each named query, writes ``plans/<round>/<name>_<tag>.txt`` (round
+from SPARK_GRAFT_PLANS_ROUND, default r13) containing
 the ``explain("formatted")`` output and records an isolated best-of-N
 noop-sink timing into ``<out>.json`` — the before/after evidence pair
 the optimization round commits alongside each plan change.
@@ -42,7 +43,9 @@ def main() -> int:
     tag, out_path, names = sys.argv[1], sys.argv[2], sys.argv[3:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    plans_dir = os.path.join(_REPO, "plans", "r12")
+    plans_dir = os.path.join(
+        _REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = get_spark(app_name=f"opt-snapshot-{tag}")
@@ -70,7 +73,7 @@ def main() -> int:
     payload = {"tag": tag, "sf_dir": sf_dir, "runs_per_query": runs, "queries": result}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
-    print(f"wrote {out_path} + {len(names)} plans to plans/r12/")
+    print(f"wrote {out_path} + {len(names)} plans to {plans_dir}/")
     return 0
 
 
