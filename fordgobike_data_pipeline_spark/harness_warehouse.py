@@ -19,6 +19,24 @@ from .io import load_tables
 from .operators import warehouse
 
 
+def _run_parallel(*thunks) -> None:
+    """Run independent Spark actions concurrently from driver threads
+    (optimization-guide §2.6: actions are only sequential because the
+    driver calls them sequentially). The streaming harnesses' landing
+    waves are each a single-task JSON/parquet write on this input —
+    profiled at sf0.1 the two serial wave jobs were ~4.5s of
+    q_stream_window's ~6.6s wall while 31 cores idled. Submitting the
+    wave writes together overlaps them; per-wave output layout and
+    bytes are identical to serial submission (each job still writes
+    its own directory)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(th) for th in thunks]
+        for f in futures:
+            f.result()
+
+
 def _stream_state_conf(spark: SparkSession):
     """Context manager pinning ``spark.sql.shuffle.partitions`` for a
     streaming query's lifetime.
@@ -594,10 +612,12 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_mv_q_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for wv in (0, 1):
-        base.filter(F.col("wave") == wv).drop("wave").write.mode(
+    _run_parallel(*[
+        lambda wv=wv: base.filter(F.col("wave") == wv).drop("wave").write.mode(
             "overwrite"
         ).json(os.path.join(landing, f"wave={wv}"))
+        for wv in (0, 1)
+    ])
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -668,10 +688,12 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_cdc_q_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for wv in (0, 1):
-        changes.filter(F.col("wave") == wv).drop("wave").write.mode(
+    _run_parallel(*[
+        lambda wv=wv: changes.filter(F.col("wave") == wv).drop("wave").write.mode(
             "overwrite"
         ).json(os.path.join(landing, f"wave={wv}"))
+        for wv in (0, 1)
+    ])
     schema = T.StructType(
         [
             T.StructField("cust_id", T.LongType()),
@@ -874,8 +896,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="stream_join_q_")
     c_src, v_src = os.path.join(root, "clicks"), os.path.join(root, "views")
-    clicks.write.parquet(c_src)
-    views.write.parquet(v_src)
+    _run_parallel(
+        lambda: clicks.write.parquet(c_src),
+        lambda: views.write.parquet(v_src),
+    )
     c_stream = spark.readStream.schema(clicks.schema).parquet(c_src)
     v_stream = spark.readStream.schema(views.schema).parquet(v_src)
     out_dir = os.path.join(root, "joined")
@@ -984,9 +1008,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_dedup_q_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    ev.write.mode("overwrite").json(os.path.join(landing, "wave=0"))
-    ev.filter(F.col("event_id") % 3 == 0).write.mode("overwrite").json(
-        os.path.join(landing, "wave=1")
+    _run_parallel(
+        lambda: ev.write.mode("overwrite").json(os.path.join(landing, "wave=0")),
+        lambda: ev.filter(F.col("event_id") % 3 == 0).write.mode("overwrite").json(
+            os.path.join(landing, "wave=1")
+        ),
     )
     schema = T.StructType(
         [
@@ -1063,10 +1089,12 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_stateful_q_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for wv in (0, 1, 2):
-        ev.filter(F.col("event_id") % 3 == wv).write.mode("overwrite").json(
-            os.path.join(landing, f"wave={wv}")
-        )
+    _run_parallel(*[
+        lambda wv=wv: ev.filter(F.col("event_id") % 3 == wv).write.mode(
+            "overwrite"
+        ).json(os.path.join(landing, f"wave={wv}"))
+        for wv in (0, 1, 2)
+    ])
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1165,19 +1193,29 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_session_q_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for wv in (0, 1):
-        ev.filter(F.col("event_id") % 2 == wv).write.mode("overwrite").json(
-            os.path.join(landing, f"wave={wv}")
-        )
-    flush = spark.createDataFrame(
-        [(-1, -1, horizon_us + 10 * 3600 * 1_000_000)],
-        "event_id long, user_id long, ts_us long",
+    # sentinel built JVM-side as a single-partition range: the former
+    # createDataFrame([...]) parallelized 1 row over defaultParallelism
+    # Python partitions and the coalesce(1) then evaluated all 32
+    # Python-worker roundtrips SERIALLY inside one task — profiled
+    # ~4.5s for a 1-row JSON write at sf0.1. range(1) is one JVM
+    # partition (one file -> one micro-batch under maxFilesPerTrigger=1)
+    # and the emitted JSON is byte-identical.
+    flush = spark.range(0, 1, 1, 1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(horizon_us + 10 * 3600 * 1_000_000).cast("long").alias("ts_us"),
     )
-    # one file -> one micro-batch: the 1-row sentinel otherwise lands
-    # as defaultParallelism-many files under maxFilesPerTrigger=1
-    flush.coalesce(1).write.mode("overwrite").json(
-        os.path.join(landing, "wave=z_flush")
-    )
+    _run_parallel(*[
+        lambda wv=wv: ev.filter(F.col("event_id") % 2 == wv).write.mode(
+            "overwrite"
+        ).json(os.path.join(landing, f"wave={wv}"))
+        for wv in (0, 1)
+    ])
+    # the sentinel is written strictly AFTER the waves: the file stream
+    # orders micro-batches by modification time, and a sentinel landing
+    # first would advance the watermark past the horizon and late-drop
+    # every real event in the later wave
+    flush.write.mode("overwrite").json(os.path.join(landing, "wave=z_flush"))
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1246,19 +1284,25 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_window_q_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for wv in (0, 1):
-        ev.filter(F.col("event_id") % 2 == wv).write.mode("overwrite").json(
-            os.path.join(landing, f"wave={wv}")
-        )
-    flush = spark.createDataFrame(
-        [(-1, horizon_us + 10 * 3600 * 1_000_000, 0)],
-        "event_id long, ts_us long, value_cents long",
+    # sentinel built JVM-side as a single-partition range — see
+    # q_stream_session for the profiled createDataFrame+coalesce(1)
+    # trap this replaces (one file -> one micro-batch either way)
+    flush = spark.range(0, 1, 1, 1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(horizon_us + 10 * 3600 * 1_000_000).cast("long").alias("ts_us"),
+        F.lit(0).cast("long").alias("value_cents"),
     )
-    # one file -> one micro-batch: the 1-row sentinel otherwise lands
-    # as defaultParallelism-many files under maxFilesPerTrigger=1
-    flush.coalesce(1).write.mode("overwrite").json(
-        os.path.join(landing, "wave=z_flush")
-    )
+    _run_parallel(*[
+        lambda wv=wv: ev.filter(F.col("event_id") % 2 == wv).write.mode(
+            "overwrite"
+        ).json(os.path.join(landing, f"wave={wv}"))
+        for wv in (0, 1)
+    ])
+    # the sentinel is written strictly AFTER the waves: the file stream
+    # orders micro-batches by modification time, and a sentinel landing
+    # first would advance the watermark past the horizon and late-drop
+    # every real event in the later wave
+    flush.write.mode("overwrite").json(os.path.join(landing, "wave=z_flush"))
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1336,8 +1380,13 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_dedup_q_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for wv in (0, 1):  # wave 1 = the byte-identical redelivery
-        ev.write.mode("overwrite").json(os.path.join(landing, f"wave={wv}"))
+    # wave 1 = the byte-identical redelivery
+    _run_parallel(*[
+        lambda wv=wv: ev.write.mode("overwrite").json(
+            os.path.join(landing, f"wave={wv}")
+        )
+        for wv in (0, 1)
+    ])
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

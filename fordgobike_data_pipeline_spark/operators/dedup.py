@@ -59,7 +59,14 @@ def token_shingles(
     split() into the lambda re-splits the text once per gram — O(n²)
     per doc (measured 2.2× slower on 120-token docs). The alias is
     referenced more than once, so CollapseProject leaves it alone."""
-    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    from ..functions.skew import fan_out
+
+    # fan_out: tokenize + gram build + explode run in the scan stage; a
+    # single-file corpus would do all of it on one core (skew.fan_out —
+    # §2.5 input rebalance, no-op when the scan has enough splits)
+    tokd = fan_out(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
     toks = F.col("_toks")
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
@@ -212,10 +219,14 @@ def minhash_signatures(
     engine, which is what lets the DuckDB oracle adjudicate the whole
     LSH pipeline instead of a rows-only check."""
     if hash_fn == "md5-parity":
+        # pmod(conv(16 hex, 16, -10), 2^32) is exactly the UNSIGNED low
+        # 32 bits of the half — i.e. conv of the low 8 hex chars alone.
+        # Parsing 8 digits instead of 16 and dropping the pmod is
+        # bit-identical (verified over 4M hashes) and ~30% cheaper per
+        # decode, on the hottest expression of the whole minhash family.
         md = F.md5(F.col("shingle"))
-        half = lambda s: F.conv(F.substring(md, s, 16), 16, -10).cast("long")  # noqa: E731
-        h1 = F.pmod(half(1), F.lit(1 << 32))
-        h2 = F.pmod(half(17), F.lit(1 << 32)).bitwiseOR(F.lit(1))
+        h1 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md, 25, 8), 16, 10).cast("long").bitwiseOR(F.lit(1))
     elif hash_fn == "xxhash64":
         h1 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
         h2 = F.pmod(F.xxhash64("shingle", F.lit(0x9E3779B9)), F.lit(1 << 32)).bitwiseOR(
@@ -411,7 +422,12 @@ def incremental_minhash_pairs(
         .distinct()
         .localCheckpoint()
     )
-    matched_old = old_docs.join(
+    from ..functions.skew import fan_out
+
+    # fan the SCAN side before the semi-join (fan_out declines join
+    # lineage); the re-shingle of matched docs inherits the probe
+    # side's partitioning through the broadcast join
+    matched_old = fan_out(old_docs).join(
         candidates.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
     )
     # the verify step reads the shingle table three times (both join
@@ -559,7 +575,14 @@ def positional_shingles(
     — the first 64 bits of md5 as a signed BIGINT, the same surrogate-
     key construction every other parity oracle uses; 8-byte join keys
     either way, never gram text in an exchange)."""
-    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    from ..functions.skew import fan_out
+
+    # fan_out: tokenize + gram build + explode run in the scan stage; a
+    # single-file corpus would do all of it on one core (skew.fan_out —
+    # §2.5 input rebalance, no-op when the scan has enough splits)
+    tokd = fan_out(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
     n = F.size("_toks")
     starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(
@@ -1426,7 +1449,9 @@ def shingle_set_sensitivity(
     than once, so CollapseProject leaves it alone). collect_set is
     set-semantics, so no pre-distinct exchange is needed. Returns one
     row per k: (k, n_docs, n_distinct, dup_docs, dup_rate)."""
-    tokd = docs.select(
+    from ..functions.skew import fan_out
+
+    tokd = fan_out(docs).select(
         F.col(id_col).alias("_id"),
         F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("_toks"),
     )

@@ -168,11 +168,29 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     wedges = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
     # the closing edge is oriented too, but its direction depends on
     # the (deg, node) order of x and y — probe both as a normalized
-    # undirected key
-    closing = oriented.select(
-        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
-    )
-    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    # undirected key.
+    # Key shape (§2.3 narrow keys): when every node id fits in 31 bits
+    # (checked exactly on the materialized edge table — one tiny agg),
+    # the (x, y) pair packs bijectively into ONE long, so the wedge
+    # semi-join probes a LongHashedRelation instead of the generic
+    # two-column UnsafeHashedRelation — the probe side is Σ C(outdeg,2)
+    # wedges, far bigger than |E|, so per-probe cost dominates this
+    # operator (profiled ~3.4s of 8.3s at sf0.1 even with the closing
+    # side broadcast). Ids beyond 31 bits fall back to the pair key.
+    lo, hi = e.agg(F.min("u"), F.max("v")).first()
+    if lo is not None and lo >= 0 and hi < (1 << 31):
+        pack = lambda x, y: F.shiftleft(x, 31).bitwiseOR(y)  # noqa: E731
+        closing = oriented.select(
+            pack(F.least("src", "dst"), F.greatest("src", "dst")).alias("xy")
+        )
+        tri = wedges.select(pack(F.col("x"), F.col("y")).alias("xy")).join(
+            closing, "xy", "left_semi"
+        )
+    else:
+        closing = oriented.select(
+            F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+        )
+        tri = wedges.join(closing, ["x", "y"], "left_semi")
     return (
         e.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(n_wedges_df)
@@ -281,7 +299,11 @@ def local_clustering_coefficient(
     closing = oriented.select(
         F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
     )
-    # inner join (closing edges are distinct) -> one row per triangle
+    # inner join (closing edges are distinct) -> one row per triangle.
+    # (triangle_count's packed-key rewrite was A/B-tested here too and
+    # LOST: this operator keeps x/y as output columns, so the pack only
+    # adds an extra projection and a driver-side bounds job on a key
+    # whose wedge volume is already top-n-bounded upstream.)
     triples = wedges.join(closing, ["x", "y"])
     tri_per_node = (
         triples.select(F.explode(F.array("src", "x", "y")).alias("n"))

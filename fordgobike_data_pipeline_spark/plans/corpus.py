@@ -15,6 +15,10 @@ Everything stays declarative, so Catalyst fuses stages 1-2 into the
 scan and prunes columns; only survivors of the cheap gates reach the
 shuffling stages. Returns (clean_docs, report) where report is a small
 per-stage row-count accounting DataFrame.
+
+Contract: ``id_col`` uniquely identifies rows (the same assumption
+exact dedup's min-id survivor already makes); all keep/drop decisions
+travel as id sets and are re-attached to the full rows by semi-join.
 """
 
 from __future__ import annotations
@@ -35,25 +39,43 @@ def clean_corpus(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
-    # Stages 1-2 are pure per-row expressions, so they run as NARROW
-    # filters fused into one scan — no score self-join, no join-back,
-    # and no per-stage checkpoint of the full text payload (the former
-    # shape copied the corpus into the block manager once per gate).
-    # Their accounting counts come from ONE conditional aggregate over
-    # the same expressions, so the whole gate accounting is a single
-    # extra narrow pass. Only the surviving rows are materialized, once,
-    # where the first shuffling consumer needs them. On clusters with
-    # executor churn swap localCheckpoint for persist(MEMORY_AND_DISK)
-    # + unpersist — checkpointed blocks are not recomputable.
+    # DECIDE ON SMALL ROWS, MOVE BIG ROWS ONCE (the §8 discipline of the
+    # optimization playbook). One narrow pass over the text evaluates
+    # BOTH gate expressions and the exact-dedup content hash; only
+    # (id, 32-char hash, two booleans) is ever materialized or joined.
+    # The former shape localCheckpointed the FULL TEXT payload twice
+    # (post-gate and post-exact-dedup) — at corpus scale that is two
+    # extra copies of the corpus through the block manager for
+    # decisions that only ever read ids and hashes. Every keep/drop
+    # decision below runs on this meta table; the text is scanned again
+    # only (a) to shingle the exact-dedup SURVIVORS for near-dedup (a
+    # pruned semi-join scan) and (b) lazily, if the caller consumes the
+    # `cleaned` rows themselves. On clusters with executor churn swap
+    # localCheckpoint for persist(MEMORY_AND_DISK) + unpersist —
+    # checkpointed blocks are not recomputable (see SCALE.md).
     q_ok = text.quality_expr(text_col) >= min_quality
     if keep_langs:
         gate_ok = q_ok & text.lang_guess_expr(text_col).isin(*keep_langs)
     else:
         gate_ok = q_ok
-    gate_counts = docs.agg(
+    from ..functions.skew import fan_out
+
+    meta = fan_out(docs).select(
+        F.col(id_col),
+        # concat_ws("", c) (not bare md5(c)): single-column content key
+        # identical to dedup.exact_dedup's, incl. NULL -> md5('')
+        F.md5(F.concat_ws("", F.col(text_col))).alias("_chash"),
+        q_ok.alias("_q"),
+        gate_ok.alias("_g"),
+    ).localCheckpoint(eager=True)
+
+    # gate accounting: ONE conditional aggregate over the meta table —
+    # the gate expressions genuinely run once (the former comment
+    # claimed this while each report row re-planned the whole scan)
+    gate_counts = meta.agg(
         F.count(F.lit(1)).alias("_input"),
-        F.count(F.when(q_ok, 1)).alias("_quality"),
-        F.count(F.when(gate_ok, 1)).alias("_lang"),
+        F.count(F.when(F.col("_q"), 1)).alias("_quality"),
+        F.count(F.when(F.col("_g"), 1)).alias("_lang"),
     )
     counts: list[tuple[str, DataFrame]] = [
         ("input", gate_counts.select(F.col("_input").alias("n_docs"))),
@@ -62,30 +84,39 @@ def clean_corpus(
     if keep_langs:
         counts.append(("lang_filter", gate_counts.select(F.col("_lang").alias("n_docs"))))
 
-    # survivors of both gates feed exact dedup AND its survivor
-    # join-back — materialize the filtered rows once
-    gated = docs.filter(gate_ok).localCheckpoint(eager=True)
-
-    # 3. exact dedup — keep the min-id representative
-    survivors = dedup.exact_dedup(gated, [text_col], id_col).select(
-        F.col("keep_id").alias(id_col)
+    # 3. exact dedup — min-id survivor per content hash, ids only.
+    # Checkpointed: feeds the count row, the survivor-shingle semi-join
+    # AND the final keep set.
+    keep_ids = (
+        meta.filter(F.col("_g"))
+        .groupBy("_chash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
-    gated = gated.join(survivors, id_col, "left_semi").localCheckpoint(eager=True)
-    counts.append(
-        ("exact_dedup", gated.agg(F.count(F.lit(1)).alias("n_docs")))
-    )
+    counts.append(("exact_dedup", keep_ids.agg(F.count(F.lit(1)).alias("n_docs"))))
 
     # 4. near-dedup — cluster pairs into connected components and keep
     # the min-id survivor per component (exact transitive semantics:
-    # a~b~c collapses to one doc even when (a,c) was never a pair)
+    # a~b~c collapses to one doc even when (a,c) was never a pair).
+    # The semi-join prunes the text scan to exact-dedup survivors; from
+    # the shingle table on, only ids and 8-byte hashes shuffle.
+    # fan the SCAN side before the semi-join (fan_out declines join
+    # lineage): the shingle build downstream inherits the probe side's
+    # partitioning through the broadcast join
+    gated_docs = fan_out(docs).join(keep_ids, id_col, "left_semi")
     pairs = dedup.minhash_lsh_pairs(
-        gated, text_col, id_col, k=shingle_k, threshold=jaccard_threshold,
+        gated_docs, text_col, id_col, k=shingle_k, threshold=jaccard_threshold,
         hash_fn=hash_fn,
     )
-    cleaned = dedup.dedup_clusters(gated, pairs, id_col)
+    final_ids = dedup.dedup_clusters(keep_ids, pairs, id_col)
     counts.append(
-        ("near_dedup", cleaned.agg(F.count(F.lit(1)).alias("n_docs")))
+        ("near_dedup", final_ids.agg(F.count(F.lit(1)).alias("n_docs")))
     )
+    # survivors' full rows: one lazy pruned scan, paid only by callers
+    # that consume the documents themselves (the accounting report
+    # never touches the text again)
+    cleaned = docs.join(final_ids.select(id_col), id_col, "left_semi")
 
     report = None
     for stage, cnt in counts:

@@ -963,8 +963,13 @@ def test_round4_operator_plan_shapes(spark):
     p = plan_of(docs.select("doc_id", curation.strip_html(FF.col("text")).alias("t")))
     assert "Exchange" not in p
 
+    # winnowing stays free of KEYED shuffles and window functions; the
+    # only Exchange allowed is skew.fan_out's round-robin input
+    # rebalance (fires when the test corpus scan is under-partitioned,
+    # no-op at scale)
     p = plan_of(text.winnowing_fingerprints(docs))
-    assert "Exchange" not in p and "Window" not in p
+    assert "Window" not in p and "hashpartitioning" not in p
+    assert n_nodes(p, "Exchange") <= 1
 
     with_url = docs.select(
         "doc_id", FF.concat(FF.lit("https://x.com/"), FF.col("doc_id").cast("string")).alias("url")
