@@ -2356,8 +2356,15 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 / 50 / 98), never an interpolated percentile. No per-resample
     scan, no driver loop; the result is bounded at 100 rows whatever
     the table size."""
+    from .functions.skew import fan_out
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    pts = ev.select("event_id", F.round(F.col("value") * 100).cast("long").alias("x"))
+    # fan_out: the md5 + decode of rows x 25 resamples runs between the
+    # scan and the groupBy("k") exchange — on a single-file input that
+    # whole stage is one core (§2.5 input rebalance; no-op at scale)
+    pts = fan_out(
+        ev.select("event_id", F.round(F.col("value") * 100).cast("long").alias("x"))
+    )
     hashes = pts.crossJoin(
         F.broadcast(ev.sparkSession.range(0, 25).select(F.col("id").alias("k")))
     ).select(

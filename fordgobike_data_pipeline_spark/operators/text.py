@@ -622,8 +622,16 @@ def _word_grams(df: DataFrame, n: int, text_col: str, *keep_cols: Column) -> Dat
     split() into the gram lambda re-splits the text once per gram —
     O(tokens²) per doc (the token_shingles trap). The alias is
     referenced more than once (size + slice), so CollapseProject
-    leaves it alone."""
-    tokd = df.select(*keep_cols, F.split(F.col(text_col), " ").alias("_toks"))
+    leaves it alone.
+
+    fan_out: the tokenize + gram explode runs in the scan stage; a
+    single-file corpus would build every gram on one core (§2.5 input
+    rebalance — no-op when the scan already has enough splits)."""
+    from ..functions.skew import fan_out
+
+    tokd = fan_out(df).select(
+        *keep_cols, F.split(F.col(text_col), " ").alias("_toks")
+    )
     grams = F.transform(
         F.sequence(F.lit(0), F.size("_toks") - n),
         lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, n), " "),
