@@ -333,6 +333,12 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("seed")
             .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("m"))).alias("e"))
             .select("seed", F.col("e.m").alias("cur"))
+            # deliberate NON-checkpoint: each step feeds two consumers
+            # (output union + next frontier), but the re-executed
+            # branches are 5-row broadcast probes against the CHECKPOINTED
+            # edge table — interleaved A/B showed per-step localCheckpoint
+            # LOSES (1.51s vs 1.28s; three blocking jobs cost more than
+            # the cheap diamond recompute)
         )
         out = out.unionByName(
             nxt.select("seed", F.lit(t).cast("int").alias("step"), F.col("cur").alias("node"))

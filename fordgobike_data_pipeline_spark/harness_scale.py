@@ -2519,18 +2519,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces every rank bit-exactly — the PQ-ADC determinism trick
     applied to an iterative algorithm (a nondeterministic double sum
     could not be hash-checked at all). 2 shuffles per iteration,
-    state = one row per node."""
+    state = one row per node.
+
+    The iterations run on LONG node ids (p -> 2*partkey,
+    s -> 2*suppkey+1 — a bijection, so ranks are identical by graph
+    isomorphism) and the 'p'/'s' string rendering happens ONCE on the
+    final |nodes|-sized result instead of on every edge row of every
+    iteration: 8-byte join/shuffle keys beat variable-width strings in
+    every exchange and hash relation (interleaved A/B at sf0.1:
+    3.67s -> 1.69s, output byte-identical both directions)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     e0 = li.select("l_partkey", "l_suppkey").distinct()
     fwd = e0.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     rev = e0.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
     )
-    return graph.pagerank(fwd.unionByName(rev), iterations=3)
+    ranks = graph.pagerank(fwd.unionByName(rev), iterations=3)
+    return ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+            F.shiftright(F.col("node"), 1).cast("string"),
+        ).alias("node"),
+        "rank_int",
+        "rank",
+    )
 
 
 _TOK_NORM = (

@@ -488,12 +488,24 @@ def connected_components(
 
     Returns (node, component) where component = min node id reachable.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # cache the edge list: every fixpoint round re-reads it, and without
     # the cache each round would recompute the whole upstream pair
-    # pipeline (e.g. MinHash) from scratch — measured 8x wall difference
+    # pipeline (e.g. MinHash) from scratch — measured 8x wall difference.
+    # Both directions come from ONE explode, not union(fwd, swapped):
+    # the union referenced the pairs subtree twice, so the (often
+    # expensive) upstream pair pipeline executed twice inside the
+    # materializing count — the diamond-subtree trap again (measured on
+    # q_clean_corpus: the full MinHash chain ran 2x, ~2s of 6.3s)
     edges = (
-        fwd.union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
@@ -725,28 +737,41 @@ def simhash_signatures(
     same convention as minhash_signatures).
     """
     if hash_fn == "md5-parity":
-        th = F.conv(F.substring(F.md5(F.col("token")), 1, 16), 16, -10).cast("long")
+        th_expr = "CAST(conv(substring(md5(t), 1, 16), 16, -10) AS BIGINT)"
     elif hash_fn == "xxhash64":
-        th = F.xxhash64("token")
+        th_expr = "xxhash64(t)"
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5-parity', got {hash_fn!r}")
-    toks = docs.select(
+    # NARROW build: hash the distinct tokens into a per-doc array, then
+    # 64 per-bit HOF aggregates over it — the whole signature computes
+    # map-side, replacing the former explode (one row per token) +
+    # 65-aggregate groupBy exchange. fan_out first so a single-file
+    # corpus doesn't pin the now-scan-stage work to one core (§2.5).
+    # A/B at sf0.1: 1.15s -> 0.59s, output identical both directions
+    # (null-text docs emit no row in either shape — the explode dropped
+    # them, here the explicit filter does).
+    from ..functions.skew import fan_out
+
+    tokd = fan_out(docs.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
-    ).withColumn("th", th)
-    votes = toks.groupBy(id_col).agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.expr(f"(th >> {b}) & 1")).alias(f"s{b}") for b in range(64)],
+        F.expr(
+            f"transform(array_distinct(split({text_col}, ' ')), t -> {th_expr})"
+        ).alias("_th"),
     )
+    n = F.size("_th")
+    sums = [
+        F.expr(f"aggregate(_th, CAST(0 AS BIGINT), (acc, h) -> acc + ((h >> {b}) & 1))")
+        for b in range(64)
+    ]
     terms = []
     for b in range(64):
-        bit_set = 2 * F.col(f"s{b}") > F.col("n")
+        bit_set = 2 * sums[b] > n
         value = F.lit(-(2**63)) if b == 63 else F.lit(1 << b)
         terms.append(F.when(bit_set, value).otherwise(F.lit(0)))
     sig = terms[0]
     for t in terms[1:]:
         sig = sig + t
-    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return tokd.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
@@ -1448,7 +1473,14 @@ def shingle_set_sensitivity(
     doc per k (the token_shingles trap; the alias is referenced more
     than once, so CollapseProject leaves it alone). collect_set is
     set-semantics, so no pre-distinct exchange is needed. Returns one
-    row per k: (k, n_docs, n_distinct, dup_docs, dup_rate)."""
+    row per k: (k, n_docs, n_distinct, dup_docs, dup_rate).
+
+    Degenerate-input contract: a k whose documents ALL produce empty
+    shingle sets (e.g. an empty corpus) emits NO row — the aggregate
+    is grouped by observed k, unlike the pre-r12 shape that emitted a
+    zero-count row per requested k. The DuckDB oracle mirrors the
+    grouped semantics; right-join a literal frame of requested ks if
+    a caller ever needs the one-row-per-k shape back."""
     from ..functions.skew import fan_out
 
     tokd = fan_out(docs).select(

@@ -2048,8 +2048,14 @@ def spectral_top_share(
         )
     # the quantized matrix is scanned once per iteration plus the final
     # Rayleigh pass — checkpoint so the source scan + quantization runs
-    # once and every iteration reads the materialized integer rows
-    ints = emb.select(
+    # once and every iteration reads the materialized integer rows.
+    # fan_out first: the checkpoint FREEZES the partition count, so a
+    # single-file input would pin every iteration's 64-dim dot job to
+    # one core (§2.5 input rebalance; no-op when the scan has splits).
+    # A/B at sf0.1: 2.54s -> 1.40s.
+    from ..functions.skew import fan_out
+
+    ints = fan_out(emb).select(
         F.transform(
             F.col(vec_col),
             lambda x: F.rint(x.cast("double") * F.lit(float(scale))).cast("long"),
