@@ -71,6 +71,33 @@ def _stream_state_conf(spark: SparkSession):
     return _cm()
 
 
+def _wave_trigger_files(landing: str) -> str:
+    """maxFilesPerTrigger sized to ONE WAVE of the landing directory.
+
+    The landing protocol writes each replay wave with the source's own
+    parallelism, so a wave is one file at sf0.1 but N files at larger
+    inputs (the sf1 replica writes 10 per wave). A literal
+    maxFilesPerTrigger=1 then turns a fixed per-micro-batch cost
+    (state-store open/commit on every store + plan + WAL, ~1s) into
+    files-many batches — profiled at sf1: q_stream_stateful spent 21s
+    running 20 one-file batches of 50k rows. Triggering one wave's
+    file count per batch keeps the batch COUNT at the wave count
+    whatever the scale, which is exactly what the cross-batch
+    state-carry contract needs (>= 2 data batches; the per-key
+    operators are event-time/arrival-order independent within the
+    watermark, and wave-vs-wave arrival order was probed output-
+    invariant in the r13 landing-protocol round)."""
+    import glob
+    import os
+
+    per_wave = [
+        len(glob.glob(os.path.join(d, "part-*")))
+        for d in glob.glob(os.path.join(landing, "wave=*"))
+        if not d.endswith("wave=z_flush")
+    ]
+    return str(max([1] + per_wave))
+
+
 # SCD2 history CTEs shared by q_scd2 and the point-in-time consumer
 _SCD2_CTES = """
     c AS (
@@ -1106,13 +1133,15 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value_cents", T.LongType()),
         ]
     )
-    # one file per micro-batch: the waves MUST land in separate
-    # batches so the state.exists restore path actually runs — with a
-    # higher limit all three waves collapse into batch 0 and
-    # cross-batch state carry-over goes unexercised
+    # one WAVE of files per micro-batch (_wave_trigger_files): the
+    # waves MUST land in separate batches so the state.exists restore
+    # path actually runs — with no limit all waves collapse into batch
+    # 0 and cross-batch state carry-over goes unexercised; with a
+    # literal 1 a multi-file wave (sf1: 10 files/wave) pays the fixed
+    # per-batch cost once PER FILE instead of once per wave
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", _wave_trigger_files(landing))
         .json(os.path.join(landing, "*"))
     )
     out_dir = os.path.join(root, "totals")
@@ -1228,7 +1257,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        # one wave of files per micro-batch (see _wave_trigger_files);
+        # the sentinel's mtime sorts after every wave file, so it still
+        # arrives in the LAST data batch and the watermark only crosses
+        # the horizon after all real events are in
+        .option("maxFilesPerTrigger", _wave_trigger_files(landing))
         .json(os.path.join(landing, "*"))
         .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     )
@@ -1315,7 +1348,8 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        # one wave of files per micro-batch (see _wave_trigger_files)
+        .option("maxFilesPerTrigger", _wave_trigger_files(landing))
         .json(os.path.join(landing, "*"))
         .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         # the sentinel flows THROUGH the watermark (filtering it here
