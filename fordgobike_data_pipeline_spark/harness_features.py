@@ -909,11 +909,15 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: token-lang count table + broadcastable |langs| priors;
     scoring joins each doc token against the 5 candidate rows —
     tokens×|langs| rows, one groupBy, no driver state."""
+    from .functions.skew import fan_out
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # the token table feeds FIVE consumers (vocab size, per-lang
     # counts, doc total, token-lang counts, scoring join) — checkpoint
-    # so the corpus is tokenized once, not once per consumer
-    tok = docs.select(
+    # so the corpus is tokenized once, not once per consumer. fan_out
+    # FIRST: the checkpoint freezes the partition count, and a
+    # single-file corpus would pin all five consumers' jobs to one core
+    tok = fan_out(docs).select(
         "doc_id",
         F.col("lang").alias("true_lang"),
         F.explode(

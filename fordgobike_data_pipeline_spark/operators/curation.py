@@ -1008,16 +1008,23 @@ def dsir_weights(
     per bigram, positive = target-like."""
 
     def grams(df: DataFrame) -> DataFrame:
+        from ..functions.skew import fan_out
+
         t = F.split(F.col(text_col), " ")
         n = F.size(t)
         bg = F.zip_with(
             F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-        return df.select(F.col(id_col), F.explode(bg).alias("_bg")).select(
+        # fan_out: the bigram build + hash runs in the scan stage (§2.5)
+        return fan_out(df).select(F.col(id_col), F.explode(bg).alias("_bg")).select(
             F.col(id_col), _hash_bucket(F.col("_bg"), n_buckets).alias("_b")
         )
 
+    # deliberately NOT checkpointed despite two consumers (bucket counts
+    # + scoring join): the recompute is one narrow fanned tokenize pass
+    # and the interleaved A/B showed the blocking materialization LOSES
+    # (orig 1.65 / fan_out 1.48 / fan_out+checkpoint 1.66)
     raw_g = grams(docs)
     tgt_c = grams(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
     raw_c = raw_g.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
@@ -1373,8 +1380,13 @@ def source_set_cover(
     # inlining split() into the gram lambda re-splits the text once per
     # gram — O(tokens²) per doc (the token_shingles trap). The alias is
     # referenced twice (size + slice), so CollapseProject leaves it.
+    # fan_out: the tokenize+gram+md5 map work runs in the scan stage —
+    # single-core on a single-file corpus without the rebalance (§2.5;
+    # no-op when the scan has splits).
+    from ..functions.skew import fan_out
+
     g = (
-        docs.select(
+        fan_out(docs).select(
             F.col(source_col).alias("src"),
             F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("_toks"),
         )

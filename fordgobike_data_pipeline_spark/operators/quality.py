@@ -640,7 +640,10 @@ def conformal_threshold(
     # the calibration table is read three times (rank_select_kth's
     # histogram + bucket passes, then the accept-rate aggregate) —
     # checkpoint the (id, score) projection so the caller's scoring
-    # lineage runs once, not once per pass
+    # lineage runs once, not once per pass. fan_out was A/B'd here and
+    # LOSES (0.68 vs 0.98s): the (id, score) rows are tiny and the
+    # added exchange + plan-finalizing partition probe cost more than
+    # the single-core passes they parallelize.
     df = df.select(id_col, score_col).localCheckpoint()
     # k = ceil((n+1)(1-alpha)) with alpha expressed as an exact integer
     # ratio so the k expression is integer arithmetic on both engines;

@@ -175,7 +175,12 @@ def kcenter_coreset(
     pairs. Returns k rows: (sel_rank, vec_id, d2) where d2 is the
     exact integer squared distance (1e-8 units) from the selected
     point to the previously selected set (0 for the seed)."""
-    ints = emb.select(
+    # fan_out before the checkpoint: it freezes the partition count, and
+    # a single-file input would pin every one of the k distance scans to
+    # one core (§2.5 input rebalance; no-op when the scan has splits)
+    from ..functions.skew import fan_out
+
+    ints = fan_out(emb).select(
         F.col(id_col).alias("_id"),
         F.transform(
             F.col(vec_col),

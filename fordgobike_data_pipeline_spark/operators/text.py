@@ -465,7 +465,10 @@ def bigram_cross_entropy(
     )
     # the bigram occurrence table feeds THREE consumers (both count
     # tables + the scoring join) — checkpoint so the tokenize+explode
-    # runs once, not once per consumer
+    # runs once, not once per consumer. fan_out was A/B'd here and
+    # LOSES (0.85 vs 0.98s): the round-robin exchange re-shuffles the
+    # full exploded bigram payload, which costs more than the
+    # single-core tokenize it parallelizes
     bigrams = (
         docs.select(F.col(id_col), F.explode(bg_arr).alias("bg"))
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
